@@ -25,7 +25,86 @@ object SparkEntry {
     "topk_orders"   -> ((s, d) => CoreAnalytics.topkOrders(s, d)),
     "window_events" -> ((s, d) => CoreAnalytics.windowEvents(s, d)),
     "sessionize"    -> ((s, d) => CoreAnalytics.sessionize(s, d)),
+    // Vector search
+    "dense_topk"          -> ((s, d) => VectorSearch.denseTopK(s, d)),
+    "dense_topk_filtered" -> ((s, d) => VectorSearch.denseTopK(s, d, label = Some(3))),
+    "recommend"           -> ((s, d) => VectorSearch.recommend(s, d)),
+    "knn_join"            -> ((s, d) => VectorSearch.knnJoin(s, d)),
+    "ann_lsh"             -> ((s, d) => VectorSearch.annLsh(s, d)),
+    "ann_ivf"             -> ((s, d) => VectorSearch.annIvf(s, d)),
+    // Sparse / text search
+    "bm25_topk"        -> ((s, d) => SparseSearch.bm25TopK(s, d)),
+    "sparse_vectors"   -> ((s, d) => SparseSearch.sparseVectors(s, d)),
+    "hybrid_rrf"       -> ((s, d) => SparseSearch.hybridRrf(s, d)),
+    "grep_search"      -> ((s, d) => SparseSearch.grepSearch(s, d)),
+    "diversity_rerank" -> ((s, d) => SparseSearch.diversityRerank(s, d)),
+    "keyword_tfidf"    -> ((s, d) => SparseSearch.keywordTfidf(s, d)),
+    // Deduplication
+    "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
+    "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
+    "dedup_simhash"   -> ((s, d) => Dedup.dedupSimhash(s, d)),
+    "ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
+    // Text analysis
+    "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "token_count"     -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
+    "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
+    // Ingestion pipeline
+    "chunk_documents"  -> ((s, d) => Ingest.chunkDocuments(s, d)),
+    "store_points"     -> ((s, d) => Ingest.storePoints(s, d)),
+    "retrieve_scroll"  -> ((s, d) => Ingest.retrieveScroll(s, d)),
+    "collection_stats" -> ((s, d) => Ingest.collectionStats(s, d)),
+    // Graph analytics
+    "graph_degree"      -> ((s, d) => GraphAlgorithms.degree(s, d)),
+    "graph_pagerank"    -> ((s, d) => GraphAlgorithms.pageRank(s, d)),
+    "graph_communities" -> ((s, d) => GraphAlgorithms.communities(s, d)),
+    "graph_betweenness" -> ((s, d) => GraphAlgorithms.betweenness(s, d)),
+    // Streaming + multimodal
+    "streaming_window"    -> ((s, d) => graft.streaming.StreamOps.streamingWindowOnce(s, d)),
+    "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.featureSummary(s, d)),
   )
+
+  /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
+  private val tokenStatsCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+      |    t -> len(t) > 1 AND NOT list_contains(
+      |      ['a','an','and','are','as','at','be','by','for','from','has','he','in','is','it','its','of','on','or','that','the','to','was','were','will','with','this','but','they','have','had','what','when','where','who','which','why','how'], t)) AS toks
+      |  FROM documents
+      |), tfx AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+      |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tfx GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM documents)""".stripMargin
+
+  private val bm25ScoredCte: String =
+    """q AS (SELECT unnest(['spark','query','filter','join']) AS term),
+      |sscored AS (
+      |  SELECT tfc.doc_id,
+      |    sum(greatest(ln((n.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 0)
+      |        * (1.2 * tfc.tf) / (tfc.tf + 1.2)) AS score
+      |  FROM tfc JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN n
+      |  GROUP BY 1)""".stripMargin
+
+  private val hybridCte: String =
+    """sparse AS (
+      |  SELECT doc_id AS id,
+      |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS sparse_rank
+      |  FROM sscored ORDER BY 2 LIMIT 40),
+      |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |dense AS (
+      |  SELECT vec_id AS id,
+      |    CAST(row_number() OVER (
+      |      ORDER BY list_cosine_similarity(e.embedding, qv.q_emb) DESC, vec_id) AS INTEGER) AS dense_rank
+      |  FROM embeddings e, qv WHERE vec_id <> 0 ORDER BY 2 LIMIT 40),
+      |fused AS (
+      |  SELECT coalesce(d.id, s.id) AS id,
+      |    coalesce(1.0 / (60.0 + d.dense_rank), 0) + coalesce(1.0 / (60.0 + s.sparse_rank), 0) AS rrf
+      |  FROM dense d FULL OUTER JOIN sparse s ON d.id = s.id),
+      |hyb AS (
+      |  SELECT id, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rnk
+      |  FROM fused ORDER BY 2 LIMIT 20)""".stripMargin
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
   def oracleSql: Map[String, String] = Map(
@@ -92,5 +171,193 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  round(sum(value), 4) AS session_value
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dense_topk" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, vec_id) AS INTEGER) AS rnk
+        |FROM embeddings e, q
+        |WHERE vec_id <> 0
+        |ORDER BY rnk LIMIT 20""".stripMargin,
+    "dense_topk_filtered" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, vec_id) AS INTEGER) AS rnk
+        |FROM embeddings e, q
+        |WHERE vec_id <> 0 AND label = 3
+        |ORDER BY rnk LIMIT 20""".stripMargin,
+    "recommend" ->
+      """WITH pe AS (
+        |  SELECT vec_id, i, embedding[i]::DOUBLE AS v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS u(i)
+        |  WHERE vec_id IN (1, 2, 3, 4, 5)
+        |), qv AS (
+        |  SELECT i,
+        |    coalesce(avg(CASE WHEN vec_id IN (1, 2, 3) THEN v END), 0)
+        |      - coalesce(avg(CASE WHEN vec_id IN (4, 5) THEN v END), 0) AS qv
+        |  FROM pe GROUP BY i
+        |), q AS (SELECT list(qv ORDER BY i) AS q_emb FROM qv)
+        |SELECT e.vec_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, e.vec_id) AS INTEGER) AS rnk
+        |FROM embeddings e, q
+        |WHERE e.vec_id NOT IN (1, 2, 3, 4, 5)
+        |ORDER BY rnk LIMIT 20""".stripMargin,
+    "knn_join" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 10
+        |), s AS (
+        |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY p.probe_id
+        |      ORDER BY list_cosine_similarity(e.embedding, p.p_emb) DESC, e.vec_id) AS INTEGER) AS rnk
+        |  FROM embeddings e CROSS JOIN p
+        |  WHERE e.vec_id <> p.probe_id)
+        |SELECT probe_id, neighbor_id, rnk FROM s WHERE rnk <= 3
+        |ORDER BY probe_id, rnk""".stripMargin,
+    "bm25_topk" ->
+      s"""$tokenStatsCte,
+         |$bm25ScoredCte
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+         |FROM sscored ORDER BY rnk LIMIT 10""".stripMargin,
+    "sparse_vectors" ->
+      s"""$tokenStatsCte,
+         |w AS (
+         |  SELECT tfc.doc_id,
+         |    greatest(ln((n.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 0)
+         |      * (1.2 * tfc.tf) / (tfc.tf + 1.2) AS w
+         |  FROM tfc JOIN dfreq USING (term) CROSS JOIN n)
+         |SELECT doc_id, count(*) AS nnz, round(sqrt(sum(w * w)), 4) AS l2_norm
+         |FROM w WHERE w > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hybrid_rrf" ->
+      s"""$tokenStatsCte,
+         |$bm25ScoredCte,
+         |$hybridCte
+         |SELECT id, rnk FROM hyb ORDER BY rnk""".stripMargin,
+    "grep_search" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'quer(y|ies)')) AS INTEGER) AS n_matches
+        |FROM documents
+        |WHERE len(regexp_extract_all(text, 'quer(y|ies)')) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "diversity_rerank" ->
+      s"""$tokenStatsCte,
+         |$bm25ScoredCte,
+         |$hybridCte,
+         |scored AS (
+         |  SELECT h.id, h.rnk, 1.0 / (60.0 + h.rnk) AS rrf, d.source
+         |  FROM hyb h JOIN documents d ON d.doc_id = h.id),
+         |isl AS (
+         |  SELECT *, row_number() OVER (ORDER BY rnk) AS rn,
+         |    row_number() OVER (PARTITION BY source ORDER BY rnk) AS srn
+         |  FROM scored),
+         |runs AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source, rn - srn ORDER BY rn) - 1 AS run
+         |  FROM isl)
+         |SELECT id, source,
+         |  CAST(row_number() OVER (ORDER BY rrf * pow(0.85, run) DESC, id) AS INTEGER) AS rnk
+         |FROM runs ORDER BY rnk""".stripMargin,
+    "keyword_tfidf" ->
+      s"""$tokenStatsCte,
+         |kscored AS (
+         |  SELECT tfc.doc_id, tfc.term, tfc.tf * ln(n.n / dfreq.df) AS tfidf
+         |  FROM tfc JOIN dfreq USING (term) CROSS JOIN n),
+         |top AS (
+         |  SELECT doc_id, term,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+         |  FROM kscored)
+         |SELECT doc_id, term AS keyword FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS INTEGER) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+        |      i -> substr(text, i, 3))) AS g
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(len(list_intersect(a.g, b.g))::DOUBLE / len(list_distinct(a.g || b.g)), 4) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.g, b.g))::DOUBLE / len(list_distinct(a.g || b.g)) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        |p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    list_cosine_similarity(a.embedding, b.embedding) AS score
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT a, b, CAST(row_number() OVER (ORDER BY score DESC, a, b) AS INTEGER) AS rnk
+        |FROM p ORDER BY rnk LIMIT 20""".stripMargin,
+    "quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS n_chars_m,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n_words,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |      t -> len(t) > 1 AND NOT list_contains(
+        |        ['a','an','and','are','as','at','be','by','for','from','has','he','in','is','it','its','of','on','or','that','the','to','was','were','will','with','this','but','they','have','had','what','when','where','who','which','why','how'], t))) AS INTEGER) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS INTEGER) AS n_punct
+        |  FROM documents)
+        |SELECT doc_id, n_chars_m, n_words, n_tokens, n_punct,
+        |  round(n_punct::DOUBLE / n_chars_m, 4) AS punct_ratio,
+        |  round(n_chars_m::DOUBLE / greatest(n_words, 1), 4) AS avg_word_len
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1))::BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "chunk_documents" ->
+      """SELECT doc_id,
+        |  CAST((start_char - 1) // 150 AS INTEGER) AS chunk_index,
+        |  CAST(start_char AS INTEGER) AS start_char,
+        |  chunk_text,
+        |  CAST(length(chunk_text) AS INTEGER) AS chunk_len
+        |FROM (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, greatest(length(text), 1), 150)) AS start_char,
+        |    unnest(list_transform(generate_series(1, greatest(length(text), 1), 150),
+        |      s -> substr(text, s, 200))) AS chunk_text
+        |  FROM documents)
+        |WHERE length(chunk_text) > 0
+        |ORDER BY doc_id, chunk_index""".stripMargin,
+    "retrieve_scroll" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents WHERE lang = 'en')
+        |WHERE rn BETWEEN 41 AND 60 ORDER BY doc_id""".stripMargin,
+    "collection_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_degree" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |o AS (SELECT src AS node_id, count(*) AS out_degree FROM e GROUP BY 1),
+        |i AS (SELECT dst AS node_id, count(*) AS in_degree FROM e GROUP BY 1)
+        |SELECT coalesce(o.node_id, i.node_id) AS node_id,
+        |  coalesce(out_degree, 0) AS out_degree,
+        |  coalesce(in_degree, 0) AS in_degree
+        |FROM o FULL OUTER JOIN i ON o.node_id = i.node_id
+        |ORDER BY node_id""".stripMargin,
+    "streaming_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

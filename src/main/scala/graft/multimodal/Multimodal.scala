@@ -1,0 +1,79 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal column plumbing: opaque `binary` payloads with typed
+  * metadata, decoded/feature-extracted per partition.
+  *
+  * The container has no image/audio codecs, so `decodeFeatures` uses a
+  * clearly-marked deterministic fake decoder; the Spark-side plumbing —
+  * binary column, metadata struct, mapPartitions batch shape, schema —
+  * is real and is what a production pipeline would keep while swapping
+  * the decoder body for (e.g.) a JNI/ONNX call.
+  */
+object Multimodal {
+
+  /** Synthesize an assets table: every document's text bytes stand in
+    * for an encoded media blob, with typed metadata derived from the
+    * payload (what a real pipeline reads from the container header).
+    */
+  def assets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("asset_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          lit("fake/blob").as("mime"),
+          length(col("text")).as("n_bytes"),
+          (pmod(xxhash64(col("text")), lit(1024L)) + 16L).cast("int").as("width"),
+          (pmod(xxhash64(col("text"), lit(1)), lit(768L)) + 16L).cast("int").as("height"))
+          .as("meta"))
+
+  /** Feature-extraction schema: fixed-size float vector + dims. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** "Decode" each asset and emit a fixed-size feature vector.
+    *
+    * FAKE DECODER: a real deployment replaces the body of `extract`
+    * with the actual codec/model call; the mapPartitions shape (batch
+    * iterator in, batch iterator out, no driver involvement) is the
+    * production pattern.
+    */
+  def decodeFeatures(spark: SparkSession, dir: String, dim: Int = 16): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
+    val in = assets(spark, dir).select(col("asset_id"), col("payload"),
+      col("meta.width").as("width"), col("meta.height").as("height"))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        // extract: deterministic byte-histogram features in [0, 1)
+        val feats = new Array[Float](dim)
+        var i = 0
+        while (i < payload.length) {
+          feats(java.lang.Byte.toUnsignedInt(payload(i)) % dim) += 1f
+          i += 1
+        }
+        val total = math.max(payload.length, 1).toFloat
+        Row(id, r.getInt(2), r.getInt(3), feats.map(_ / total).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Per-asset feature summary as a verifiable DataFrame (counts and
+    * exact-rational ratios only).
+    */
+  def featureSummary(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(spark, dir)
+      .select(col("asset_id"), col("width"), col("height"),
+        size(col("features")).as("n_features"))
+      .orderBy(col("asset_id"))
+}

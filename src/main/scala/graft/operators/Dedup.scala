@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for an LLM training-data pipeline, over the
+  * `documents` (text) and `embeddings` (vector) corpora.
+  *
+  * The reference dedups at ingest via content hashing
+  * (`src/rust/common/src/hashing.rs` — document_id from content digest);
+  * the near-dup family (MinHash/SimHash/Jaccard/embedding-cosine) is the
+  * scale-path extension a 100 TB pipeline needs.
+  *
+  * Scale posture: every candidate-generation step is a key-equality
+  * join (hash group, LSH band bucket, simhash chunk block) — shuffles
+  * are proportional to candidate pairs, never |corpus|².
+  */
+object Dedup {
+
+  /** Exact dedup via content hash: every doc maps to the min doc_id of
+    * its md5 group. One groupBy shuffle on a 16-byte key.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("canonical_id", min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
+      .select(col("doc_id"), col("content_hash"), col("canonical_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+
+  /** Distinct character 3-gram shingles (the granularity at which this
+    * corpus actually has near-dup structure; word shingles are a
+    * parameter swap). `substr` needs a column position, so this is an
+    * `expr` — still fully codegen'd.
+    */
+  private val shinglesExpr: Column =
+    expr("array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substr(text, i, 3)))")
+
+  /** One MinHash value: min over shingle base-hashes of
+    * (a*h + b) mod p — the classic universal-hash family, seeded
+    * deterministically per signature position. The base hash is reduced
+    * mod p BEFORE the multiply so a ≤ 10^6 keeps the product < 2^62
+    * (Spark 4 runs ANSI mode: long overflow throws).
+    */
+  private def minhashCol(sh: Column, a: Long, b: Long): Column = {
+    val p = 2147483647L // 2^31 - 1
+    array_min(transform(sh, s => pmod(pmod(xxhash64(s), lit(p)) * a + b, lit(p))))
+  }
+
+  /** MinHash + LSH near-dup pairs: `bands` bands of `rows` signature
+    * positions each; docs sharing any band bucket are candidates;
+    * candidates are verified with true shingle-set Jaccard.
+    *
+    * The band join shuffles on (band, bucket-hash) — at 100 TB the
+    * candidate volume, not n², drives cost (GPL-free standard MinHash
+    * LSH as in Broder '97 / MMDS ch.3).
+    */
+  def dedupMinhash(spark: SparkSession, dir: String,
+                   bands: Int = 16, rowsPerBand: Int = 2,
+                   jaccardThreshold: Double = 0.6): DataFrame = {
+    val rng = new java.util.Random(7)
+    val coeffs = Array.fill(bands * rowsPerBand)((math.abs(rng.nextLong()) % 999983L + 1L,
+      math.abs(rng.nextLong()) % 999983L))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shinglesExpr.as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val sig = docs.withColumn("bandsig", array(
+      (0 until bands).map { bIdx =>
+        struct(lit(bIdx).as("band"),
+          hash((0 until rowsPerBand).map { r =>
+            val (a, b) = coeffs(bIdx * rowsPerBand + r)
+            minhashCol(col("sh"), a, b)
+          }: _*).as("bucket"))
+      }: _*))
+
+    val exploded = sig.select(col("doc_id"), col("sh"), explode(col("bandsig")).as("bs"))
+      .select(col("doc_id"), col("sh"), col("bs.band").as("band"), col("bs.bucket").as("bucket"))
+
+    val left = exploded.select(col("band"), col("bucket"),
+      col("doc_id").as("a"), col("sh").as("sh_a"))
+    val right = exploded.select(col("band"), col("bucket"),
+      col("doc_id").as("b"), col("sh").as("sh_b"))
+
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** 64-bit SimHash from token hashes (Charikar '02): per bit position,
+    * sum ±1 over tokens' xxhash64 bits; near-dups = pairs within
+    * `maxHamming`, blocked by 8-bit chunks (pigeonhole: hamming ≤ 7
+    * implies at least one of 8 chunks equal) so the join is
+    * key-equality — complete for the default threshold, never n².
+    */
+  def dedupSimhash(spark: SparkSession, dir: String,
+                   maxHamming: Int = 7): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenizeSimple(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+
+    // simhash bit j = sign of sum over tokens of (bit j of hash ? 1 : -1)
+    val bitCols = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+    }
+    val hashed = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val sims = hashed.groupBy(col("doc_id"))
+      .agg(bitCols.head.as("b0"), bitCols.tail.zipWithIndex.map { case (c, i) => c.as(s"b${i + 1}") }: _*)
+      .select(col("doc_id") +: (0 until 64).map(j =>
+        (when(col(s"b$j") > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)).as(s"w$j")): _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j => col(s"w$j")).reduce(_ + _).as("simhash"))
+
+    // Block on 8-bit chunks; hamming ≤ 7 < 8 chunks ⇒ at least one chunk equal.
+    val chunks = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 8).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 8).bitwiseAND(lit(255L)).as("ck"))): _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
+
+    val l = chunks.select(col("chunk"), col("ck"), col("doc_id").as("a"), col("simhash").as("sh_a"))
+    val r = chunks.select(col("chunk"), col("ck"), col("doc_id").as("b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("chunk", "ck"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Character 3-gram Jaccard over a bounded probe set (doc_id below
+    * `probeMax` on both sides) — the exact-verification partner of the
+    * MinHash path, and an SQL-expressible oracle query. Jaccard is an
+    * exact rational (|∩|/|∪|), so cross-engine hashing is stable.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   probeMax: Long = 50L, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < probeMax)
+      .select(col("doc_id"), shinglesExpr.as("g"))
+    val l = docs.select(col("doc_id").as("a"), col("g").as("g_a"))
+    val r = docs.select(col("doc_id").as("b"), col("g").as("g_b"))
+    l.crossJoin(r)
+      .filter(col("a") < col("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Embedding-cosine near-dup: top-20 most similar pairs among the
+    * probe slice, ranks only (engine-stable). At scale the same query
+    * runs over LSH buckets (see VectorSearch.annLsh) instead of the
+    * bounded slice.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String,
+                     probeMax: Long = 100L, k: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < probeMax)
+    val l = emb.select(col("vec_id").as("a"), col("embedding").as("e_a"))
+    val r = emb.select(col("vec_id").as("b"), col("embedding").as("e_b"))
+    val pairs = l.crossJoin(r).filter(col("a") < col("b"))
+      .withColumn("score", cosine(asDouble(col("e_a")), asDouble(col("e_b"))))
+    pairs
+      .orderBy(col("score").desc, col("a"), col("b"))
+      .limit(k)
+      .select(col("a"), col("b"),
+        row_number().over(Window.orderBy(col("score").desc, col("a"), col("b"))).as("rnk"))
+      .orderBy(col("rnk"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for an LLM training-data pipeline: quality
+  * features, token accounting, fingerprints, and language ID.
+  *
+  * (The reference computes comparable per-document metadata during
+  * ingest — keyword_extraction/quality signals and content hashing in
+  * src/rust/common/src/hashing.rs.)
+  *
+  * Every operator is a single projected scan of `documents` — map-only
+  * at 100 TB except where a tiny profile table is built and broadcast.
+  */
+object TextAnalysis {
+
+  /** Quality features: exact integer counts and exact-rational ratios
+    * (safe to hash cross-engine after rounding).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = tokenizeSimple(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(split(col("text"), "\\s+")).as("n_words"),
+      size(toks).as("n_tokens"),
+      length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).as("n_punct"))
+      .withColumn("punct_ratio", round(col("n_punct").cast("double") / col("n_chars_m"), 4))
+      .withColumn("avg_word_len",
+        round(col("n_chars_m").cast("double") / greatest(col("n_words"), lit(1)), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish segmentation
+    * (letter runs, single digits, punctuation singles — a deterministic
+    * proxy for subword tokenizers).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    // NB: must go through the typed function, not expr(...) — a SQL
+    // string literal would swallow the \s escape in the char class.
+    val bpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprints: md5 digest plus a 31-base rolling polynomial
+    * hash mod 1e9+7 (exact integer math, engine-stable).
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        expr("""aggregate(
+                  transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))),
+                  0L, (acc, c) -> pmod(acc * 31 + c, 1000000007L))""").as("rolling_hash"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID via character-trigram profiles: build a top-trigram
+    * profile per language from a labelled sample (broadcast), score
+    * each document by profile overlap, predict the argmax.
+    *
+    * Deterministic self-trained n-gram classifier (the test corpus has
+    * synthetic text, so the spec asserts determinism + coverage, not
+    * linguistic accuracy).
+    */
+  def langId(spark: SparkSession, dir: String, topGrams: Int = 40): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select(col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substr(text, i, 3))")).as("g"))
+
+    // Per-language profile: top trigrams by frequency (deterministic tiebreak).
+    val profile = grams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("g"))))
+      .filter(col("rn") <= topGrams)
+      .select(col("lang").as("p_lang"), col("g"), (lit(topGrams + 1) - col("rn")).as("weight"))
+
+    // Score each doc against each profile by summed weight of matching grams.
+    val scored = grams.select(col("doc_id"), col("g")).distinct()
+      .join(broadcast(profile), Seq("g"))
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(sum(col("weight")).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("p_lang").as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Dense vector search re-expressed as Spark batch operators.
+  *
+  * Mirrors the reference's Qdrant query surface (reference:
+  * src/rust/daemon/core/src/storage/search.rs — dense cosine top-k with
+  * optional payload filter; qdrant recommend API = avg(positive) −
+  * avg(negative) query vector) but as scan-based ranking over an
+  * embedding corpus: the 100 TB posture is a single pruned parquet scan
+  * + broadcast of the (tiny) query side + TakeOrderedAndProject — no
+  * shuffle of the big side at all for single-query top-k, and one
+  * bucket-join shuffle for the LSH/IVF approximate paths.
+  *
+  * All query outputs are integer-only (ids + ranks); float scores order
+  * internally at full double precision, so results are hash-stable
+  * across engines.
+  */
+object VectorSearch {
+
+  /** The query side: one row holding the embedding of `queryId`. */
+  private def queryVec(emb: DataFrame, queryId: Long): DataFrame =
+    emb.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+
+  /** Brute-force cosine top-k against one stored vector, excluding it.
+    * Plan: pruned scan → broadcast-nested-loop with a 1-row side →
+    * TakeOrderedAndProject(k). Scales linearly; no shuffle.
+    */
+  def denseTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+                k: Int = 20, label: Option[Int] = None): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = label.fold(emb)(l => emb.filter(col("label") === l))
+    val scored = base
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(queryVec(emb, queryId)))
+      .withColumn("score", cosine(asDouble(col("embedding")), asDouble(col("q_emb"))))
+    scored
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("vec_id"))).as("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Qdrant-style recommend: query vector = avg(positive) − avg(negative),
+    * computed declaratively (posexplode → per-position avg → re-packed
+    * array) so the whole thing is one plan; examples are excluded from
+    * the candidates as Qdrant does.
+    */
+  def recommend(spark: SparkSession, dir: String,
+                positive: Seq[Long] = Seq(1L, 2L, 3L),
+                negative: Seq[Long] = Seq(4L, 5L),
+                k: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val examples = positive ++ negative
+    val perPos = emb
+      .filter(col("vec_id").isin(examples: _*))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .groupBy(col("pos"))
+      .agg((coalesce(avg(when(col("vec_id").isin(positive: _*), col("v"))), lit(0.0)) -
+            coalesce(avg(when(col("vec_id").isin(negative: _*), col("v"))), lit(0.0))).as("qv"))
+    // Re-pack positions into an ordered array: sort (pos, qv) structs by
+    // pos, then project the qv field.
+    val qdf = perPos
+      .agg(array_sort(collect_list(struct(col("pos"), col("qv")))).as("pairs"))
+      .select(transform(col("pairs"), p => p.getField("qv")).as("q_emb"))
+    val scored = emb
+      .filter(!col("vec_id").isin(examples: _*))
+      .crossJoin(broadcast(qdf))
+      .withColumn("score", cosine(asDouble(col("embedding")), col("q_emb")))
+    scored
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("vec_id"))).as("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Exact k-NN join: every probe (small side, broadcast) against the
+    * full corpus; per-probe top-k via window over (score desc, id).
+    * This is the brute-force baseline the ANN paths are measured
+    * against. One scan of the big side, no shuffle of it (broadcast
+    * probes), then a shuffle of only the k·|probes| survivors.
+    */
+  def knnJoin(spark: SparkSession, dir: String, probeMax: Long = 10L,
+              k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id"))
+    emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("score", cosine(asDouble(col("embedding")), asDouble(col("p_emb"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------------
+  // Approximate paths — the 100 TB designs
+  // ------------------------------------------------------------------
+
+  /** Deterministic random hyperplanes: L tables × b planes × dim, seeded
+    * so Spark-side and test-side agree run-to-run.
+    */
+  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)(rng.nextGaussian())
+  }
+
+  /** Bucket signature for one LSH table: interpret the sign bits of the
+    * projections onto `planes` as an integer bucket id. Pure Column
+    * expression (sequence + aggregate) — codegen'd per row.
+    */
+  private def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
+    val planesLit = typedLit(planes.map(_.toSeq).toSeq)
+    aggregate(
+      sequence(lit(0), lit(planes.length - 1)),
+      lit(0L),
+      (acc, m) => acc * 2 + when(dot(emb, element_at(planesLit, (m + 1).cast("int"))) >= 0, 1L).otherwise(0L))
+  }
+
+  /** Random-hyperplane LSH ANN: candidates = union over L tables of
+    * same-bucket vectors; rank candidates by true cosine; top-k.
+    *
+    * Scale path: the corpus is exploded to (table, bucket) keys and the
+    * join shuffles only on those keys — work is proportional to matched
+    * buckets, never n². (Reference capability: approximate recall of
+    * Qdrant's HNSW serving, re-expressed as batch LSH.)
+    */
+  def annLsh(spark: SparkSession, dir: String, probeMax: Long = 5L, k: Int = 10,
+             tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(tables, bits, dim)
+    val emb = Tables.embeddings(spark, dir)
+
+    def withBuckets(df: DataFrame): DataFrame = {
+      val e = asDouble(col("embedding"))
+      val buckets = array(planes.indices.map(l => lshBucket(e, planes(l))): _*)
+      df.withColumn("buckets", buckets)
+    }
+
+    val corpus = withBuckets(emb)
+      .select(col("vec_id"), col("embedding"), posexplode(col("buckets")).as(Seq("tbl", "bkt")))
+    val probes = withBuckets(emb.filter(col("vec_id") < probeMax))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        posexplode(col("buckets")).as(Seq("tbl", "bkt")))
+
+    val candidates = corpus
+      .join(probes, Seq("tbl", "bkt"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("embedding"), col("p_emb"))
+      .dropDuplicates("probe_id", "vec_id")
+
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id"))
+    candidates
+      .withColumn("score", cosine(asDouble(col("embedding")), asDouble(col("p_emb"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** IVF ANN: coarse quantizer = stored vectors sampled by id (stable),
+    * every vector assigned to its nearest centroid (broadcast centroids,
+    * rank-1 window), probes scan only the `nprobe` nearest inverted
+    * lists. At scale the assignment is a map-only pass and the probe
+    * join touches only matched clusters.
+    */
+  def annIvf(spark: SparkSession, dir: String, probeMax: Long = 5L, k: Int = 10,
+             centroidEvery: Long = 50L, nprobe: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+
+    def assign(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("c_dist"), col("c_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("c_dist", l2Distance(asDouble(col(embCol)), asDouble(col("c_emb"))))
+        .withColumn("c_rnk", row_number().over(w))
+        .filter(col("c_rnk") <= n)
+        .drop("c_emb", "c_dist", "c_rnk")
+    }
+
+    val corpus = assign(emb, "vec_id", "embedding", 1)
+    val probes = assign(
+      emb.filter(col("vec_id") < probeMax)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")),
+      "probe_id", "p_emb", nprobe)
+
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id"))
+    corpus.join(probes, Seq("c_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .dropDuplicates("probe_id", "vec_id")
+      .withColumn("score", cosine(asDouble(col("embedding")), asDouble(col("p_emb"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+}

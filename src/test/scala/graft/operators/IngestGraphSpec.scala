@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class IngestGraphSpec extends SparkSpec {
+
+  test("chunk_documents covers every document with overlapping windows") {
+    val chunks = Ingest.chunkDocuments(spark, sfDir).collect()
+    val texts = Tables.documents(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(chunks.map(_.getLong(0)).toSet == texts.keySet)
+    chunks.groupBy(_.getLong(0)).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getInt(1))
+      // chunks reassemble the doc: stride 150, size 200 → 50-char overlap
+      assert(sorted.head.getInt(2) == 1)
+      sorted.foreach { c =>
+        val start = c.getInt(2)
+        val expected = texts(id).substring(start - 1,
+          math.min(start - 1 + 200, texts(id).length))
+        assert(c.getString(3) == expected, s"doc $id chunk ${c.getInt(1)}")
+      }
+    }
+  }
+
+  test("store_points yields one point per chunk with deterministic ids") {
+    val points = Ingest.storePoints(spark, sfDir).collect()
+    val nChunks = Ingest.chunkDocuments(spark, sfDir).count()
+    assert(points.length == nChunks)
+    assert(points.map(_.getString(0)).distinct.length == points.length)
+    points.foreach { r =>
+      assert(r.getSeq[Double](3).length == 8)
+      assert(r.getString(0).length == 32)
+    }
+  }
+
+  test("retrieve_scroll returns the requested keyset page") {
+    val page = Ingest.retrieveScroll(spark, sfDir).collect()
+    assert(page.length <= 20)
+    val ids = page.map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted)
+    page.foreach(r => assert(r.getString(1) == "en"))
+  }
+
+  test("collection_stats aggregates per source") {
+    val stats = Ingest.collectionStats(spark, sfDir).collect()
+    assert(stats.nonEmpty)
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == 500)
+  }
+
+  test("graph_degree is consistent with the edge list") {
+    val e = GraphAlgorithms.edges(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val deg = GraphAlgorithms.degree(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val outExp = e.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val inExp = e.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    outExp.foreach { case (n, d) => assert(deg(n)._1 == d, s"out($n)") }
+    inExp.foreach { case (n, d) => assert(deg(n)._2 == d, s"in($n)") }
+  }
+
+  test("graph_pagerank scores sum to ~1 and dangling mass is preserved") {
+    val pr = GraphAlgorithms.pageRank(spark, sfDir, iterations = 10).collect()
+    val total = pr.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < 0.01, s"rank mass $total")
+    assert(pr.forall(_.getDouble(1) > 0))
+  }
+
+  test("graph_communities groups connected nodes deterministically") {
+    val a = GraphAlgorithms.communities(spark, sfDir, iterations = 5).collect()
+    val b = GraphAlgorithms.communities(spark, sfDir, iterations = 5).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.nonEmpty)
+  }
+
+  test("graph_betweenness normalises to [0,1] with max 1") {
+    val bw = GraphAlgorithms.betweenness(spark, sfDir, maxSamples = 32).collect()
+    val scores = bw.map(_.getDouble(1))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(math.abs(scores.max - 1.0) < 1e-6)
+  }
+}

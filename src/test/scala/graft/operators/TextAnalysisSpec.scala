@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("quality_score counts match a driver-side recomputation on a sample") {
+    val rows = TextAnalysis.qualityScore(spark, sfDir)
+      .filter(col("doc_id") < 10).collect()
+    val texts = Tables.documents(spark, sfDir).filter(col("doc_id") < 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("n_chars_m") == t.length)
+      assert(r.getAs[Int]("n_words") == t.split("\\s+").length)
+      assert(r.getAs[Int]("n_punct") == t.count(c => !c.isLetterOrDigit && !c.isWhitespace))
+    }
+  }
+
+  test("token_count ws and bpe-ish counts are consistent") {
+    val rows = TextAnalysis.tokenCount(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getInt(1) > 0)
+      assert(r.getInt(2) >= r.getInt(1)) // subword segmentation is finer
+    }
+  }
+
+  test("doc_fingerprint rolling hash matches a driver-side recomputation") {
+    val rows = TextAnalysis.docFingerprint(spark, sfDir)
+      .filter(col("doc_id") < 10).collect()
+    val texts = Tables.documents(spark, sfDir).filter(col("doc_id") < 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val expected = t.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+      assert(r.getAs[Long]("rolling_hash") == expected)
+      assert(r.getAs[String]("content_md5").length == 32)
+    }
+  }
+
+  test("lang_id is deterministic and covers every document") {
+    val a = TextAnalysis.langId(spark, sfDir).collect()
+    val b = TextAnalysis.langId(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == 500)
+    val langs = Tables.documents(spark, sfDir).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    a.foreach(r => assert(langs.contains(r.getString(1))))
+  }
+}
