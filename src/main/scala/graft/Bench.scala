@@ -10,11 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-22s $sec%8.2fs  rows=$n")
+      // Drop caches/checkpoints a query left behind so heap pressure
+      // doesn't compound into later queries' timings.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      name -> sec
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

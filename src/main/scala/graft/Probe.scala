@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time one query twice (cold + warm) and print its physical
+  * plan. `runMain graft.Probe <name> [sfDir]`.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    for (round <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      System.err.println(f"[probe] $name round $round: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    }
+    System.err.println(fn(spark, sfDir).queryExecution.executedPlan.toString.take(6000))
+    spark.stop()
+  }
+}

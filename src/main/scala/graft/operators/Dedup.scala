@@ -41,15 +41,15 @@ object Dedup {
   private val shinglesExpr: Column =
     expr("array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substr(text, i, 3)))")
 
-  /** One MinHash value: min over shingle base-hashes of
+  /** One MinHash value over PRE-HASHED shingles: min of
     * (a*h + b) mod p — the classic universal-hash family, seeded
-    * deterministically per signature position. The base hash is reduced
-    * mod p BEFORE the multiply so a ≤ 10^6 keeps the product < 2^62
+    * deterministically per signature position. Hashes are reduced mod p
+    * BEFORE the multiply so a ≤ 10^6 keeps the product < 2^62
     * (Spark 4 runs ANSI mode: long overflow throws).
     */
-  private def minhashCol(sh: Column, a: Long, b: Long): Column = {
+  private def minhashCol(hashes: Column, a: Long, b: Long): Column = {
     val p = 2147483647L // 2^31 - 1
-    array_min(transform(sh, s => pmod(pmod(xxhash64(s), lit(p)) * a + b, lit(p))))
+    array_min(transform(hashes, h => pmod(pmod(h, lit(p)) * a + b, lit(p))))
   }
 
   /** MinHash + LSH near-dup pairs: `bands` bands of `rows` signature
@@ -61,38 +61,71 @@ object Dedup {
     * LSH as in Broder '97 / MMDS ch.3).
     */
   def dedupMinhash(spark: SparkSession, dir: String,
-                   bands: Int = 16, rowsPerBand: Int = 2,
+                   bands: Int = 12, rowsPerBand: Int = 3,
                    jaccardThreshold: Double = 0.6): DataFrame = {
     val rng = new java.util.Random(7)
     val coeffs = Array.fill(bands * rowsPerBand)((math.abs(rng.nextLong()) % 999983L + 1L,
       math.abs(rng.nextLong()) % 999983L))
+    // Shingles are hashed to longs up front: the minhash family and the
+    // exact-Jaccard verification both run on int arrays (≈10× cheaper
+    // than string sets; hash collisions are vanishingly rare and
+    // deterministic).
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shinglesExpr.as("sh"))
+      .select(col("doc_id"),
+        array_distinct(transform(shinglesExpr, s => xxhash64(s))).as("sh"))
       .filter(size(col("sh")) > 0)
 
-    val sig = docs.withColumn("bandsig", array(
-      (0 until bands).map { bIdx =>
-        struct(lit(bIdx).as("band"),
-          hash((0 until rowsPerBand).map { r =>
-            val (a, b) = coeffs(bIdx * rowsPerBand + r)
-            minhashCol(col("sh"), a, b)
-          }: _*).as("bucket"))
-      }: _*))
+    val sigCols = (0 until bands * rowsPerBand).map { i =>
+      val (a, b) = coeffs(i)
+      minhashCol(col("sh"), a, b)
+    }
+    val sig = docs
+      .withColumn("sig", array(sigCols: _*))
+      .withColumn("bandsig", array(
+        (0 until bands).map { bIdx =>
+          struct(lit(bIdx).as("band"),
+            hash((0 until rowsPerBand).map(r =>
+              col("sig")(bIdx * rowsPerBand + r)): _*).as("bucket"))
+        }: _*))
+      .localCheckpoint() // signatures computed once, reused by 3 joins
 
-    val exploded = sig.select(col("doc_id"), col("sh"), explode(col("bandsig")).as("bs"))
-      .select(col("doc_id"), col("sh"), col("bs.band").as("band"), col("bs.bucket").as("bucket"))
+    // Candidate generation shuffles ONLY (band, bucket, id); signature
+    // and shingle arrays come back via BROADCAST joins against the
+    // narrow per-doc side, so candidate pairs never re-shuffle. (At a
+    // scale where the doc side itself can't broadcast, these become
+    // bucketed joins — the pair volume still never exceeds candidates.)
+    val exploded = sig.select(col("doc_id"), explode(col("bandsig")).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bucket").as("bucket"))
 
-    val left = exploded.select(col("band"), col("bucket"),
-      col("doc_id").as("a"), col("sh").as("sh_a"))
-    val right = exploded.select(col("band"), col("bucket"),
-      col("doc_id").as("b"), col("sh").as("sh_b"))
+    val candidates = exploded
+      .join(exploded.select(col("band"), col("bucket"), col("doc_id").as("b")),
+        Seq("band", "bucket"))
+      .filter(col("doc_id") < col("b"))
+      .select(col("doc_id").as("a"), col("b"))
+      .distinct()
 
-    left.join(right, Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
+    // Stage 1: cheap signature-agreement estimate (E[matches/k] = J)
+    // discards the long tail of low-similarity candidates before the
+    // exact set intersection.
+    val nSig = bands * rowsPerBand
+    val estThreshold = jaccardThreshold - 0.15
+    val estimated = candidates
+      .join(broadcast(sig.select(col("doc_id").as("a"), col("sig").as("sig_a"))), Seq("a"))
+      .join(broadcast(sig.select(col("doc_id").as("b"), col("sig").as("sig_b"))), Seq("b"))
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast("double") / nSig)
+      .filter(col("est") >= estThreshold)
+      .select(col("a"), col("b"))
+
+    // Stage 2: exact Jaccard on the survivors.
+    // |A ∪ B| = |A| + |B| − |A ∩ B| — one intersect, no union pass.
+    estimated
+      .join(broadcast(docs.select(col("doc_id").as("a"), col("sh").as("sh_a"))), Seq("a"))
+      .join(broadcast(docs.select(col("doc_id").as("b"), col("sh").as("sh_b"))), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("a"), col("b"))

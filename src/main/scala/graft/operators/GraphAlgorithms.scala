@@ -63,21 +63,25 @@ object GraphAlgorithms {
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (i <- 1 to iterations) {
-      val withDeg = ranks.join(outDeg, ranks("node_id") === outDeg("src"), "left")
-      // Mass from dangling nodes (no outgoing edges) spreads uniformly.
-      val danglingMass = withDeg.filter(col("out_deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
+    for (_ <- 1 to iterations) {
+      // Mass from dangling nodes (no outgoing edges) spreads uniformly;
+      // computed as a broadcast 1-row aggregate, NOT a driver collect,
+      // so each iteration is a single job with no action barrier.
+      val dangling = ranks.join(outDeg, ranks("node_id") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))
       val contribs = e
         .join(ranks, e("src") === ranks("node_id"))
         .join(outDeg, "src")
         .select(col("dst").as("node_id"), (col("rank") / col("out_deg")).as("contrib"))
         .groupBy(col("node_id")).agg(sum(col("contrib")).as("in_contrib"))
+      // Eager per-iteration checkpoint: without it iteration i recomputes
+      // the full lineage of i-1, i-2, ... (quadratic blowup).
       ranks = nodes.join(contribs, Seq("node_id"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node_id"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("in_contrib"), lit(0.0)) + lit(danglingMass / n))).as("rank"))
-      if (i % 5 == 0) ranks = ranks.localCheckpoint()
+            (coalesce(col("in_contrib"), lit(0.0)) + col("dangling_mass") / n)).as("rank"))
+        .localCheckpoint()
     }
     ranks.select(col("node_id"), round(col("rank"), 6).as("score"))
       .orderBy(col("node_id"))
@@ -99,7 +103,7 @@ object GraphAlgorithms {
 
     // Initial label = stable per-node integer (dense hash of the id).
     var labels = nodes.withColumn("label", xxhash64(col("node_id")))
-    for (i <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
       // Each node votes its label to neighbours; self-vote stabilizes.
       val votes = undirected
         .join(labels, undirected("b") === labels("node_id"))
@@ -111,7 +115,7 @@ object GraphAlgorithms {
       labels = counted.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("node_id"), col("label"))
-      if (i % 5 == 0) labels = labels.localCheckpoint()
+        .localCheckpoint() // eager: bound lineage, avoid quadratic recompute
     }
     // Normalize community ids to the minimum member node id; drop tiny ones.
     val sized = labels

@@ -41,6 +41,13 @@ object SparseSearch {
   def docFreq(tf: DataFrame): DataFrame =
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
+  /** tf table with a per-term df column via one window pass — a single
+    * tokenize scan instead of recomputing termFreq for the stats side.
+    */
+  private def tfWithDf(docs: DataFrame): DataFrame =
+    termFreq(docs).withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+
   /** BM25 IDF: ln((N-df+0.5)/(df+0.5)) floored at 0. */
   private def idfCol(n: Long): org.apache.spark.sql.Column =
     greatest(log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)), lit(0.0))
@@ -57,10 +64,8 @@ object SparseSearch {
     val queryTerms = query.toLowerCase.split("[^a-z0-9_]+").toSeq
       .filter(t => t.length > 1 && !EnglishStopwords.contains(t)).distinct
 
-    val tf = termFreq(docs).filter(col("term").isin(queryTerms: _*))
-    val df = docFreq(termFreq(docs)).filter(col("term").isin(queryTerms: _*))
-
-    val scored = tf.join(broadcast(df), "term")
+    val scored = tfWithDf(docs)
+      .filter(col("term").isin(queryTerms: _*))
       .withColumn("idf", idfCol(n))
       .withColumn("contrib", col("idf") * (lit(K1) * col("tf")) / (col("tf") + lit(K1)))
       .groupBy(col("doc_id"))
@@ -80,9 +85,7 @@ object SparseSearch {
   def sparseVectors(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = docs.count()
-    val tf = termFreq(docs)
-    val df = docFreq(tf)
-    tf.join(broadcast(df), "term")
+    tfWithDf(docs)
       .withColumn("idf", idfCol(n))
       .withColumn("w", col("idf") * (lit(K1) * col("tf")) / (col("tf") + lit(K1)))
       .filter(col("w") > 0)
@@ -167,9 +170,7 @@ object SparseSearch {
   def keywordTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = docs.count()
-    val tf = termFreq(docs)
-    val df = docFreq(tf)
-    val scored = tf.join(broadcast(df), "term")
+    val scored = tfWithDf(docs)
       .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
     scored
