@@ -63,6 +63,12 @@ object SparkEntry {
     // Streaming + multimodal
     "streaming_window"    -> ((s, d) => graft.streaming.StreamOps.streamingWindowOnce(s, d)),
     "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.featureSummary(s, d)),
+    // Payload filtering / cross-collection / lexicon
+    "payload_filter"     -> ((s, d) => PayloadOps.payloadFilter(s, d)),
+    "cross_collection"   -> ((s, d) => PayloadOps.crossCollection(s, d)),
+    "hapax_terms"        -> ((s, d) => PayloadOps.hapaxTerms(s, d)),
+    "cooccurrence"       -> ((s, d) => PayloadOps.cooccurrence(s, d)),
+    "session_window_agg" -> ((s, d) => PayloadOps.sessionWindowAgg(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -359,5 +365,51 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "payload_filter" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE event_type IN ('click', 'view')
+        |  AND CAST(json_extract_string(props, '$.k') AS INTEGER) IN (1, 2, 3, 4, 5)
+        |ORDER BY event_id""".stripMargin,
+    "cross_collection" ->
+      s"""$tokenStatsCte,
+         |$bm25ScoredCte,
+         |ranked AS (
+         |  SELECT d.source, s.doc_id,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY d.source ORDER BY s.score DESC, s.doc_id) AS INTEGER) AS rnk
+         |  FROM sscored s JOIN documents d USING (doc_id))
+         |SELECT source, doc_id, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY source, rnk""".stripMargin,
+    "hapax_terms" ->
+      s"""$tokenStatsCte
+         |SELECT term, min(doc_id) AS only_doc
+         |FROM tfc GROUP BY term HAVING count(*) = 1
+         |ORDER BY term""".stripMargin,
+    "cooccurrence" ->
+      s"""$tokenStatsCte,
+         |dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks)
+         |SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs
+         |FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+         |GROUP BY 1, 2 HAVING count(*) >= 50
+         |ORDER BY 1, 2""".stripMargin,
+    "session_window_agg" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 4) AS session_value
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

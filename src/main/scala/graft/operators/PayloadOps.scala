@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Payload filtering, cross-collection search, and lexicon maintenance —
+  * the remaining query surfaces of the reference.
+  *
+  *  - Qdrant filter maps (reference storage/search.rs:38
+  *    `build_filter_from_json`): flat field→value maps become `must`
+  *    equality conditions; arrays become match-any. Payloads here live
+  *    in the events table's JSON `props` column.
+  *  - Cross-collection search (reference
+  *    storage/cross_collection_search.rs): per-collection top-k then a
+  *    global merge, collections = `source`.
+  *  - Hapax eviction (reference embedding/bm25.rs `evict_hapax`):
+  *    the lexicon terms with document_frequency == 1.
+  *  - Keyword co-occurrence graph (reference
+  *    keyword_extraction/cooccurrence_graph.rs): doc-level term-pair
+  *    counts.
+  *  - Session windows via Spark's native `session_window` — the same
+  *    operator Structured Streaming uses for stateful sessionization,
+  *    here exercised in batch under the oracle.
+  */
+object PayloadOps {
+
+  /** A Qdrant-style filter condition: field equals value, or field
+    * matches any of several values.
+    */
+  sealed trait Match { def toColumn: Column }
+  final case class MatchValue(field: Column, value: Any) extends Match {
+    def toColumn: Column = field === lit(value)
+  }
+  final case class MatchAny(field: Column, values: Seq[Any]) extends Match {
+    def toColumn: Column = field.isin(values: _*)
+  }
+
+  /** AND-combine `must` conditions (Filter::must semantics). */
+  def mustFilter(conditions: Seq[Match]): Column =
+    conditions.map(_.toColumn).reduce(_ && _)
+
+  /** OR-combine `should` conditions (Filter::should semantics). */
+  def shouldFilter(conditions: Seq[Match]): Column =
+    conditions.map(_.toColumn).reduce(_ || _)
+
+  /** Filtered event scan: must(event_type ∈ {click, view},
+    * props.k ∈ {1..5}) — the JSON payload field is extracted and the
+    * whole predicate is codegen'd into the scan stage.
+    */
+  def payloadFilter(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val events = Tables.events(spark, dir).withColumn("k", k)
+    events
+      .filter(mustFilter(Seq(
+        MatchAny(col("event_type"), Seq("click", "view")),
+        MatchAny(col("k"), Seq(1, 2, 3, 4, 5)))))
+      .select(col("event_id"), col("event_type"), col("k"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Per-collection (source) BM25 top-3 for a fixed query, then a
+    * global merge ordered by collection — the cross-collection search
+    * shape: local top-k limits what each collection ships to the merge.
+    */
+  def crossCollection(spark: SparkSession, dir: String,
+                      query: String = "spark query filter join", k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val queryTerms = query.toLowerCase.split("[^a-z0-9_]+").toSeq
+      .filter(t => t.length > 1 && !EnglishStopwords.contains(t)).distinct
+
+    val tf = SparseSearch.termFreq(docs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .filter(col("term").isin(queryTerms: _*))
+      .withColumn("idf",
+        greatest(log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)), lit(0.0)))
+      .withColumn("contrib",
+        col("idf") * (lit(SparseSearch.K1) * col("tf")) / (col("tf") + lit(SparseSearch.K1)))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("score"))
+
+    val scored = tf.join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
+    val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("doc_id"), col("rnk"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  /** Lexicon hapax legomena: terms appearing in exactly one document
+    * (the eviction set of the reference's lexicon compaction).
+    */
+  def hapaxTerms(spark: SparkSession, dir: String): DataFrame =
+    SparseSearch.termFreq(Tables.documents(spark, dir))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("only_doc"))
+      .filter(col("df") === 1)
+      .select(col("term"), col("only_doc"))
+      .orderBy(col("term"))
+
+  /** Term co-occurrence graph: distinct term pairs per document,
+    * counted across the corpus, thresholded. One explode + one groupBy;
+    * the pair space is bounded by per-doc distinct terms, not corpus
+    * size.
+    */
+  def cooccurrence(spark: SparkSession, dir: String, minCount: Long = 50L): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(tokenizeSimple(col("text"))).as("ts"))
+    val pairs = toks
+      .select(col("doc_id"), explode(col("ts")).as("term_a"), col("ts"))
+      .select(col("doc_id"), col("term_a"), explode(col("ts")).as("term_b"))
+      .filter(col("term_a") < col("term_b"))
+    pairs.groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minCount)
+      .orderBy(col("term_a"), col("term_b"))
+  }
+
+  /** Native session-window aggregation (30-minute gap) — Spark's
+    * streaming-stateful operator exercised in batch; row-for-row
+    * equivalent to the lag/cumsum `sessionize` operator.
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Plan-shape assertions: the properties that make these operators hold
+  * up at 100 TB, checked against the actual physical plans.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("single-table scans push their filters into parquet") {
+    val p = plan("retrieve_scroll")
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]")
+      || p.contains("EqualTo(lang,en)"), p.take(2000))
+  }
+
+  test("scans prune columns (grep reads only doc_id + text)") {
+    val p = plan("grep_search")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(2000))
+  }
+
+  test("star joins broadcast every dimension") {
+    val p = plan("q5_join_agg")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the star join")
+  }
+
+  test("LSH candidate generation is a key-equality join, not a cross product") {
+    val p = plan("ann_lsh")
+    assert(!p.contains("CartesianProduct"), "LSH must not cross-join")
+  }
+
+  test("minhash pair generation is a key-equality join, not a cross product") {
+    val p = plan("dedup_minhash")
+    assert(!p.contains("CartesianProduct"), "minhash must not cross-join")
+  }
+
+  test("simhash blocking is a key-equality join, not a cross product") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("CartesianProduct"), "simhash must not cross-join")
+  }
+
+  test("top-k plans use TakeOrderedAndProject, not a global sort") {
+    assert(plan("q3_join").contains("TakeOrderedAndProject"))
+    assert(plan("dense_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("dense search broadcasts the query side") {
+    val p = plan("dense_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("aggregations partial-aggregate before the shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(1500))
+  }
+}

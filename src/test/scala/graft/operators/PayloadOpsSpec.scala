@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class PayloadOpsSpec extends SparkSpec {
+
+  test("payload_filter applies must + match-any semantics on JSON payloads") {
+    val rows = PayloadOps.payloadFilter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set("click", "view").contains(r.getString(1)))
+      assert((1 to 5).contains(r.getInt(2)))
+    }
+  }
+
+  test("cross_collection returns at most k per collection, ranked") {
+    val rows = PayloadOps.crossCollection(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val ranks = rs.map(_.getInt(2)).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"collection $src")
+      assert(ranks.length <= 3)
+    }
+  }
+
+  test("hapax_terms only contains df=1 terms") {
+    val hapax = PayloadOps.hapaxTerms(spark, sfDir).collect().map(_.getString(0)).toSet
+    val df = SparseSearch.docFreq(SparseSearch.termFreq(Tables.documents(spark, sfDir)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    hapax.foreach(t => assert(df(t) == 1L, s"term $t"))
+    df.filter(_._2 == 1L).keys.foreach(t => assert(hapax.contains(t)))
+  }
+
+  test("cooccurrence pairs are ordered and thresholded") {
+    val rows = PayloadOps.cooccurrence(spark, sfDir, minCount = 10L).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) >= 10L)
+    }
+  }
+
+  test("session_window_agg matches the lag/cumsum sessionize row counts") {
+    val sw = PayloadOps.sessionWindowAgg(spark, sfDir).collect()
+    val manual = CoreAnalytics.sessionize(spark, sfDir).collect()
+    assert(sw.length == manual.length, "same number of sessions")
+    val swByUser = sw.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sorted.toSeq)
+    val mByUser = manual.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sorted.toSeq)
+    assert(swByUser.toMap == mByUser.toMap, "same per-user session sizes")
+  }
+}
