@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import org.apache.spark.sql.graft.CosineSimilarity
+
+/** Session extension entry point: register graft's native expressions.
+  *
+  * Users opt in with
+  * `spark.sql.extensions=graft.GraftExtensions` (the supported Spark
+  * mechanism for third-party Catalyst extensions), or imperatively via
+  * [[GraftFunctions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      CosineSimilarity.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(children(0), children(1))))
+  }
+}
+
+object GraftFunctions {
+  /** Idempotently register graft functions for SQL use on a session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(children(0), children(1)),
+      "built-in")
+
+  /** Cosine similarity via the fused native expression. Bit-identical
+    * to VectorFunctions.cosine but one codegen'd loop per row, no
+    * intermediate arrays (float inputs cast implicitly).
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      CosineSimilarity(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+}

@@ -207,7 +207,7 @@ object Dedup {
     val l = emb.select(col("vec_id").as("a"), col("embedding").as("e_a"))
     val r = emb.select(col("vec_id").as("b"), col("embedding").as("e_b"))
     val pairs = l.crossJoin(r).filter(col("a") < col("b"))
-      .withColumn("score", cosine(asDouble(col("e_a")), asDouble(col("e_b"))))
+      .withColumn("score", graft.GraftFunctions.cosine(col("e_a"), col("e_b")))
     pairs
       .orderBy(col("score").desc, col("a"), col("b"))
       .limit(k)

@@ -39,7 +39,7 @@ object VectorSearch {
     val scored = base
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(queryVec(emb, queryId)))
-      .withColumn("score", cosine(asDouble(col("embedding")), asDouble(col("q_emb"))))
+      .withColumn("score", graft.GraftFunctions.cosine(col("embedding"), col("q_emb")))
     scored
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
@@ -74,7 +74,7 @@ object VectorSearch {
     val scored = emb
       .filter(!col("vec_id").isin(examples: _*))
       .crossJoin(broadcast(qdf))
-      .withColumn("score", cosine(asDouble(col("embedding")), col("q_emb")))
+      .withColumn("score", graft.GraftFunctions.cosine(col("embedding"), col("q_emb")))
     scored
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
@@ -96,7 +96,7 @@ object VectorSearch {
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id"))
     emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("score", cosine(asDouble(col("embedding")), asDouble(col("p_emb"))))
+      .withColumn("score", graft.GraftFunctions.cosine(col("embedding"), col("p_emb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"))
@@ -160,7 +160,7 @@ object VectorSearch {
 
     val w = Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id"))
     candidates
-      .withColumn("score", cosine(asDouble(col("embedding")), asDouble(col("p_emb"))))
+      .withColumn("score", graft.GraftFunctions.cosine(col("embedding"), col("p_emb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"))
@@ -198,7 +198,7 @@ object VectorSearch {
     corpus.join(probes, Seq("c_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .dropDuplicates("probe_id", "vec_id")
-      .withColumn("score", cosine(asDouble(col("embedding")), asDouble(col("p_emb"))))
+      .withColumn("score", graft.GraftFunctions.cosine(col("embedding"), col("p_emb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"))
