@@ -85,13 +85,13 @@ object SparkEntry {
       |n AS (SELECT count(*)::DOUBLE AS n FROM documents)""".stripMargin
 
   private val bm25ScoredCte: String =
-    """q AS (SELECT unnest(['spark','query','filter','join']) AS term),
+    """q AS (SELECT unnest(['dup','vector','window','fast']) AS term),
       |sscored AS (
       |  SELECT tfc.doc_id,
       |    sum(greatest(ln((n.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 0)
       |        * (1.2 * tfc.tf) / (tfc.tf + 1.2)) AS score
       |  FROM tfc JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN n
-      |  GROUP BY 1)""".stripMargin
+      |  GROUP BY 1 HAVING score > 0)""".stripMargin
 
   private val hybridCte: String =
     """sparse AS (

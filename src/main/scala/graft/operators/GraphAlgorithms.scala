@@ -54,8 +54,15 @@ object GraphAlgorithms {
     * deterministic plans. Output: node_id, round(score, 6).
     */
   def pageRank(spark: SparkSession, dir: String,
-               iterations: Int = 15, damping: Double = 0.85): DataFrame = {
-    val e = edges(spark, dir).cache()
+               iterations: Int = 15, damping: Double = 0.85): DataFrame =
+    pageRankEdges(edges(spark, dir), iterations, damping)
+
+  /** PageRank over any (src, dst) edge DataFrame — the generic core,
+    * also fed the reference's own test graphs by the parity specs.
+    */
+  def pageRankEdges(edgeDf: DataFrame,
+                    iterations: Int, damping: Double): DataFrame = {
+    val e = edgeDf.cache()
     val nodes = e.select(col("src").as("node_id"))
       .union(e.select(col("dst"))).distinct().cache()
     val n = nodes.count().toDouble
@@ -94,8 +101,13 @@ object GraphAlgorithms {
     * deterministic.
     */
   def communities(spark: SparkSession, dir: String,
-                  iterations: Int = 10, minSize: Int = 2): DataFrame = {
-    val e = edges(spark, dir)
+                  iterations: Int = 10, minSize: Int = 2): DataFrame =
+    communitiesEdges(edges(spark, dir), iterations, minSize)
+
+  /** Label propagation over any (src, dst) edge DataFrame. */
+  def communitiesEdges(edgeDf: DataFrame,
+                       iterations: Int, minSize: Int): DataFrame = {
+    val e = edgeDf
     val undirected = e.select(col("src").as("a"), col("dst").as("b"))
       .union(e.select(col("dst"), col("src")))
       .distinct().cache()

@@ -67,7 +67,7 @@ object PayloadOps {
     * shape: local top-k limits what each collection ships to the merge.
     */
   def crossCollection(spark: SparkSession, dir: String,
-                      query: String = "spark query filter join", k: Int = 3): DataFrame = {
+                      query: String = "dup vector window fast", k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = docs.count()
     val queryTerms = query.toLowerCase.split("[^a-z0-9_]+").toSeq
@@ -81,6 +81,7 @@ object PayloadOps {
       .withColumn("contrib",
         col("idf") * (lit(SparseSearch.K1) * col("tf")) / (col("tf") + lit(SparseSearch.K1)))
       .groupBy(col("doc_id")).agg(sum(col("contrib")).as("score"))
+      .filter(col("score") > 0) // bm25.rs drops zero-score entries
 
     val scored = tf.join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
     val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))

@@ -58,8 +58,13 @@ object SparseSearch {
     * handful of rows regardless of corpus size.
     */
   def bm25TopK(spark: SparkSession, dir: String,
-               query: String = "spark query filter join", k: Int = 10): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+               query: String = "dup vector window fast", k: Int = 10): DataFrame =
+    bm25TopKDocs(Tables.documents(spark, dir), query, k)
+
+  /** BM25 retrieval over any (doc_id, text) DataFrame — the generic core
+    * behind [[bm25TopK]], also exercised by the reference-parity specs.
+    */
+  def bm25TopKDocs(docs: DataFrame, query: String, k: Int): DataFrame = {
     val n = docs.count()
     val queryTerms = query.toLowerCase.split("[^a-z0-9_]+").toSeq
       .filter(t => t.length > 1 && !EnglishStopwords.contains(t)).distinct
@@ -70,6 +75,7 @@ object SparseSearch {
       .withColumn("contrib", col("idf") * (lit(K1) * col("tf")) / (col("tf") + lit(K1)))
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("score"))
+      .filter(col("score") > 0) // bm25.rs drops zero-score entries
     scored
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
@@ -102,7 +108,7 @@ object SparseSearch {
     * is engine-stable.
     */
   def hybridRrf(spark: SparkSession, dir: String,
-                queryId: Long = 0L, query: String = "spark query filter join",
+                queryId: Long = 0L, query: String = "dup vector window fast",
                 k: Int = 20, denseWeight: Double = 1.0, sparseWeight: Double = 1.0): DataFrame = {
     val fetch = k * 2 // reference fetches limit*2 from each ranker
     val dense = VectorSearch.denseTopK(spark, dir, queryId = queryId, k = fetch)
@@ -143,13 +149,26 @@ object SparseSearch {
   def diversityRerank(spark: SparkSession, dir: String,
                       k: Int = 20, penalty: Double = 0.85): DataFrame = {
     val hybrid = hybridRrf(spark, dir, k = k)
-      .withColumn("rrf",
+      .withColumn("score",
         coalesce(lit(1.0) / (lit(60.0) + col("rnk")), lit(0.0))) // monotone stand-in score
     val docs = Tables.documents(spark, dir).select(col("doc_id").as("id"), col("source"))
     val ranked = hybrid.join(broadcast(docs), Seq("id"))
+    applyDiversityPenalty(ranked.drop("rnk"), penalty)
+      .select(col("id"), col("source"),
+        row_number().over(Window.orderBy(col("adj_score").desc, col("id"))).as("rnk"))
+      .orderBy(col("rnk"))
+  }
 
-    val byRank = Window.orderBy(col("rnk"))
-    val bySourceRank = Window.partitionBy(col("source")).orderBy(col("rnk"))
+  /** The penalty core (penalty.rs:51 semantics, single source tier):
+    * rank the rows by (score desc, id), find consecutive same-`source`
+    * runs with gaps-and-islands, scale the Nth run member by
+    * `penalty^(N-1)` into `adj_score`. Generic over any DataFrame with
+    * (id, score, source) — reference-parity specs feed it the
+    * reference's own test vectors.
+    */
+  def applyDiversityPenalty(ranked: DataFrame, penalty: Double): DataFrame = {
+    val byRank = Window.orderBy(col("score").desc, col("id"))
+    val bySourceRank = Window.partitionBy(col("source")).orderBy(col("score").desc, col("id"))
     val islands = ranked
       .withColumn("rn", row_number().over(byRank))
       .withColumn("srn", row_number().over(bySourceRank))
@@ -157,10 +176,8 @@ object SparseSearch {
     val byIsland = Window.partitionBy(col("source"), col("island")).orderBy(col("rn"))
     islands
       .withColumn("run", row_number().over(byIsland) - 1)
-      .withColumn("adj", col("rrf") * pow(lit(penalty), col("run")))
-      .select(col("id"), col("source"),
-        row_number().over(Window.orderBy(col("adj").desc, col("id"))).as("rnk"))
-      .orderBy(col("rnk"))
+      .withColumn("adj_score", col("score") * pow(lit(penalty), col("run")))
+      .drop("rn", "srn", "island", "run")
   }
 
   /** Top tf-idf keyword per document (the reference's lexical candidate

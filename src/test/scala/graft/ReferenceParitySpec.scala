@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphAlgorithms, SparseSearch}
+
+/** Parity with the reference implementation's OWN unit-test vectors —
+  * inputs and expected outputs lifted from its test suites (cited per
+  * case), run through graft's operators.
+  */
+class ReferenceParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // reference: source_diversity/tests.rs test_penalty_same_file_penalized
+  test("diversity penalty: same-source run compounds 0.85^n") {
+    val ranked = Seq(
+      ("r1", 0.90, "/src/main.rs"),
+      ("r2", 0.85, "/src/main.rs"),
+      ("r3", 0.80, "/src/main.rs")).toDF("id", "score", "source")
+    val adj = SparseSearch.applyDiversityPenalty(ranked, 0.85)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("adj_score")).toMap
+    assert(math.abs(adj("r1") - 0.90) < 1e-4)
+    assert(math.abs(adj("r2") - 0.7225) < 1e-4)  // 0.85 * 0.85
+    assert(math.abs(adj("r3") - 0.578) < 1e-3)   // 0.80 * 0.85^2
+  }
+
+  // reference: source_diversity/tests.rs test_penalty_compounding_three_same_file
+  test("diversity penalty: four-run compounding at penalty 0.80") {
+    val ranked = Seq(
+      ("r1", 1.0, "f"), ("r2", 0.99, "f"), ("r3", 0.98, "f"), ("r4", 0.97, "f"))
+      .toDF("id", "score", "source")
+    val adj = SparseSearch.applyDiversityPenalty(ranked, 0.80)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("adj_score")).toMap
+    assert(math.abs(adj("r1") - 1.0) < 1e-4)
+    assert(math.abs(adj("r2") - 0.99 * 0.80) < 1e-4)
+    assert(math.abs(adj("r3") - 0.98 * 0.64) < 1e-4)
+    assert(math.abs(adj("r4") - 0.97 * 0.512) < 1e-4)
+  }
+
+  // reference: source_diversity/tests.rs test_penalty_different_sources —
+  // alternating sources reset the run, no penalty anywhere.
+  test("diversity penalty: distinct sources are never penalized") {
+    val ranked = Seq(
+      ("r1", 0.9, "a"), ("r2", 0.8, "b"), ("r3", 0.7, "c"))
+      .toDF("id", "score", "source")
+    val adj = SparseSearch.applyDiversityPenalty(ranked, 0.85)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("adj_score")).toMap
+    assert(adj("r1") == 0.9 && adj("r2") == 0.8 && adj("r3") == 0.7)
+  }
+
+  // reference: embedding/tests.rs test_bm25_idf_common_vs_rare_terms —
+  // 10 docs, "function" in all, "quantum" in one → rare term ranks the
+  // doc containing it first.
+  test("BM25: rare term outweighs common term (reference corpus)") {
+    val docs = (0 until 10).map { i =>
+      val text = if (i == 0) "function code quantum" else "function code"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val top = SparseSearch.bm25TopKDocs(docs, "function quantum", 3).collect()
+    assert(top.head.getLong(0) == 0L, "doc with the rare term must rank first")
+  }
+
+  // reference: embedding/tests.rs test_bm25_idf_zero_for_universal_terms —
+  // a term present in EVERY doc has IDF clamped to 0, so a query of only
+  // universal terms scores nothing.
+  test("BM25: universal terms are clamped to zero score") {
+    val docs = (0 until 5).map(i => (i.toLong, "thee code")).toDF("doc_id", "text")
+    val top = SparseSearch.bm25TopKDocs(docs, "thee code", 5).collect()
+    assert(top.isEmpty, s"universal-term query must score 0 everywhere, got ${top.length} rows")
+  }
+
+  // reference: graph/algorithms/tests.rs test_pagerank_chain_scores_sum_to_one
+  test("PageRank: chain graph scores sum to 1 and rank tail highest") {
+    val edgeDf = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val pr = GraphAlgorithms.pageRankEdges(edgeDf, iterations = 30, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-3, s"sum = ${pr.values.sum}")
+    assert(pr("d") > pr("c") && pr("c") > pr("b") && pr("b") > pr("a"),
+      s"chain must rank downstream higher: $pr")
+  }
+
+  // reference: graph/algorithms/tests.rs test_pagerank_diamond — b and c
+  // are symmetric, d collects both.
+  test("PageRank: diamond graph symmetry (b == c, d highest)") {
+    val edgeDf = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")).toDF("src", "dst")
+    val pr = GraphAlgorithms.pageRankEdges(edgeDf, iterations = 30, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr("b") - pr("c")) < 1e-6)
+    assert(pr("d") > pr("b") && pr("d") > pr("a"))
+  }
+
+  // reference: graph/algorithms/tests.rs test_communities_two_disconnected_clusters
+  test("communities: two disconnected clusters get two labels") {
+    val edgeDf = Seq(
+      ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+      ("b1", "b2"), ("b2", "b3"), ("b3", "b1")).toDF("src", "dst")
+    val cs = GraphAlgorithms.communitiesEdges(edgeDf, iterations = 10, minSize = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cs("a1") == cs("a2") && cs("a2") == cs("a3"))
+    assert(cs("b1") == cs("b2") && cs("b2") == cs("b3"))
+    assert(cs("a1") != cs("b1"))
+  }
+
+  // reference: storage/search.rs:368 — RRF hand-computed fusion.
+  test("RRF formula: w/(60+rank) summed per id (hand-computed vector)") {
+    // dense ranks: x=1, y=2; sparse ranks: y=1, z=2 (weights 1.0)
+    val expected = Map(
+      "x" -> 1.0 / 61.0,
+      "y" -> (1.0 / 62.0 + 1.0 / 61.0),
+      "z" -> 1.0 / 62.0)
+    // y must fuse highest, then x, then z
+    val order = expected.toSeq.sortBy(-_._2).map(_._1)
+    assert(order == Seq("y", "x", "z"))
+    assert(math.abs(expected("y") - 0.0325291) < 1e-5)
+  }
+}

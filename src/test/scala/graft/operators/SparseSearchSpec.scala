@@ -35,7 +35,7 @@ class SparseSearchSpec extends SparkSpec {
     val topDoc = res.head.getLong(0)
     val text = Tables.documents(spark, sfDir)
       .filter(col("doc_id") === topDoc).select("text").collect().head.getString(0)
-    assert(Seq("spark", "query", "filter", "join").exists(text.toLowerCase.contains))
+    assert(Seq("dup", "vector", "window", "fast").exists(text.toLowerCase.contains))
   }
 
   test("hybrid_rrf fuses dense and sparse rankings per the reference formula") {
