@@ -34,6 +34,7 @@ object SparkEntry {
     "ann_ivf"             -> ((s, d) => VectorSearch.annIvf(s, d)),
     // Sparse / text search
     "bm25_topk"        -> ((s, d) => SparseSearch.bm25TopK(s, d)),
+    "bm25_expanded"    -> ((s, d) => SparseSearch.bm25TopKExpanded(s, d)),
     "sparse_vectors"   -> ((s, d) => SparseSearch.sparseVectors(s, d)),
     "hybrid_rrf"       -> ((s, d) => SparseSearch.hybridRrf(s, d)),
     "grep_search"      -> ((s, d) => SparseSearch.grepSearch(s, d)),
@@ -226,6 +227,19 @@ object SparkEntry {
          |$bm25ScoredCte
          |SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
          |FROM sscored ORDER BY rnk LIMIT 10""".stripMargin,
+    "bm25_expanded" ->
+      s"""$tokenStatsCte,
+         |qw AS (SELECT * FROM (VALUES
+         |  ('dup', 1.0::DOUBLE), ('vector', 1.0::DOUBLE),
+         |  ('window', 0.5::DOUBLE), ('fast', 0.5::DOUBLE), ('line', 0.5::DOUBLE)) AS t(term, tw)),
+         |escored AS (
+         |  SELECT tfc.doc_id,
+         |    sum(greatest(ln((n.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 0)
+         |        * (1.2 * tfc.tf) / (tfc.tf + 1.2) * qw.tw) AS score
+         |  FROM tfc JOIN dfreq USING (term) JOIN qw USING (term) CROSS JOIN n
+         |  GROUP BY 1 HAVING score > 0)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+         |FROM escored ORDER BY rnk LIMIT 10""".stripMargin,
     "sparse_vectors" ->
       s"""$tokenStatsCte,
          |w AS (

@@ -84,6 +84,51 @@ object SparseSearch {
       .orderBy(col("rnk"))
   }
 
+  /** Sparse query expansion (reference:
+    * client/src/search/expansion.rs:16 `merge_sparse_vectors` +
+    * search_tests_score.rs DEFAULT_EXPANSION_WEIGHT = 0.5): expansion
+    * terms contribute at `weight`, and ONLY if they are not already
+    * query terms (add-if-absent merge). Pure map function. */
+  def mergeSparseVectors(original: Map[String, Double],
+                         expansion: Map[String, Double],
+                         weight: Double = 0.5): Map[String, Double] =
+    expansion.foldLeft(original) { case (acc, (t, v)) =>
+      if (acc.contains(t)) acc else acc + (t -> v * weight)
+    }
+
+  /** BM25 retrieval with expansion keywords merged at `weight` — the
+    * search tool's tag-basket expansion path, as one plan: per-term
+    * weights ride a broadcast dimension into the scoring join.
+    */
+  def bm25TopKExpanded(spark: SparkSession, dir: String,
+                       query: String = "dup vector",
+                       expansion: Seq[String] = Seq("window", "fast", "line"),
+                       weight: Double = 0.5, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val qTerms = query.toLowerCase.split("[^a-z0-9_]+").toSeq
+      .filter(t => t.length > 1 && !EnglishStopwords.contains(t)).distinct
+    val weights = mergeSparseVectors(
+      qTerms.map(_ -> 1.0).toMap, expansion.map(_ -> 1.0).toMap, weight)
+
+    import spark.implicits._
+    val weightDf = weights.toSeq.toDF("term", "tw")
+    val scored = tfWithDf(docs)
+      .join(broadcast(weightDf), "term")
+      .withColumn("idf", idfCol(n))
+      .withColumn("contrib",
+        col("idf") * (lit(K1) * col("tf")) / (col("tf") + lit(K1)) * col("tw"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .filter(col("score") > 0)
+    scored
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).as("rnk"))
+      .orderBy(col("rnk"))
+  }
+
   /** Per-document sparse-vector summary (the reference materializes one
     * sparse BM25 vector per chunk — `embedding/bm25.rs:162`): number of
     * non-zero terms and the L2 norm of the BM25 weights.

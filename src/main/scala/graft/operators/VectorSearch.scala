@@ -174,18 +174,35 @@ object VectorSearch {
     * join touches only matched clusters.
     */
   def annIvf(spark: SparkSession, dir: String, probeMax: Long = 5L, k: Int = 10,
-             centroidEvery: Long = 50L, nprobe: Int = 3): DataFrame = {
+             centroidEvery: Long = 50L, nprobe: Int = 3,
+             lloydIters: Int = 1): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val centroids = emb.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    var centroids = emb.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
 
     def assign(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("c_dist"), col("c_id"))
       df.crossJoin(broadcast(centroids))
-        .withColumn("c_dist", l2Distance(asDouble(col(embCol)), asDouble(col("c_emb"))))
+        .withColumn("c_dist", l2Distance(asDouble(col(embCol)), col("c_emb")))
         .withColumn("c_rnk", row_number().over(w))
         .filter(col("c_rnk") <= n)
         .drop("c_emb", "c_dist", "c_rnk")
+    }
+
+    // Lloyd refinement: reassign, recompute centroids as per-dimension
+    // means (posexplode → groupBy(c_id, pos) → avg → re-pack). Each step
+    // is one shuffle on (c_id, pos); centroids stay a broadcast dim.
+    for (_ <- 1 to lloydIters) {
+      val assigned = assign(emb, "vec_id", "embedding", 1)
+      centroids = assigned
+        .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+        .select(col("c_id"), transform(col("pairs"), p => p.getField("m")).as("c_emb"))
+        .localCheckpoint()
     }
 
     val corpus = assign(emb, "vec_id", "embedding", 1)

@@ -101,6 +101,14 @@ class ReferenceParitySpec extends SparkSpec {
     assert(cs("a1") != cs("b1"))
   }
 
+  // reference: client/src/search/expansion.rs merge_sparse_vectors —
+  // expansion entries only added when absent, scaled by the weight.
+  test("sparse expansion merge: add-if-absent at weight 0.5") {
+    val merged = SparseSearch.mergeSparseVectors(
+      Map("a" -> 1.0, "b" -> 2.0), Map("b" -> 9.0, "c" -> 4.0), 0.5)
+    assert(merged == Map("a" -> 1.0, "b" -> 2.0, "c" -> 2.0))
+  }
+
   // reference: storage/search.rs:368 — RRF hand-computed fusion.
   test("RRF formula: w/(60+rank) summed per id (hand-computed vector)") {
     // dense ranks: x=1, y=2; sparse ranks: y=1, z=2 (weights 1.0)
