@@ -70,6 +70,7 @@ object SparkEntry {
     "hapax_terms"        -> ((s, d) => PayloadOps.hapaxTerms(s, d)),
     "cooccurrence"       -> ((s, d) => PayloadOps.cooccurrence(s, d)),
     "session_window_agg" -> ((s, d) => PayloadOps.sessionWindowAgg(s, d)),
+    "rules_select"       -> ((s, d) => PayloadOps.rulesSelect(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -408,6 +409,19 @@ object SparkEntry {
          |FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
          |GROUP BY 1, 2 HAVING count(*) >= 50
          |ORDER BY 1, 2""".stripMargin,
+    "rules_select" ->
+      """WITH rules AS (
+        |  SELECT doc_id, CAST(doc_id % 10 AS INTEGER) AS priority,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents WHERE source = 'src0'),
+        |cum AS (
+        |  SELECT doc_id, priority, n_tokens,
+        |    CAST(sum(n_tokens) OVER (
+        |      ORDER BY priority DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM rules)
+        |SELECT doc_id, priority, n_tokens, cum_tokens
+        |FROM cum WHERE cum_tokens <= 500
+        |ORDER BY priority DESC, doc_id""".stripMargin,
     "session_window_agg" ->
       """WITH lagged AS (
         |  SELECT user_id, ts, value, event_id,

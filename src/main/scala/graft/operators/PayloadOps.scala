@@ -120,6 +120,27 @@ object PayloadOps {
       .orderBy(col("term_a"), col("term_b"))
   }
 
+  /** Memory-rule selection (reference: mcp-server/src/tools/rules/ +
+    * session_init — rules carry a `priority` and are injected in
+    * priority order until a token budget is exhausted): running-sum
+    * window over (priority desc, id), cut at the budget.
+    * Rules here = the `src0` collection; priority derived
+    * deterministically from the id.
+    */
+  def rulesSelect(spark: SparkSession, dir: String, budget: Long = 500L): DataFrame = {
+    val rules = Tables.documents(spark, dir)
+      .filter(col("source") === "src0")
+      .select(col("doc_id"),
+        (col("doc_id") % 10).cast("int").as("priority"),
+        size(split(col("text"), "\\s+")).as("n_tokens"))
+    val w = Window.orderBy(col("priority").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rules
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .orderBy(col("priority").desc, col("doc_id"))
+  }
+
   /** Native session-window aggregation (30-minute gap) — Spark's
     * streaming-stateful operator exercised in batch; row-for-row
     * equivalent to the lag/cumsum `sessionize` operator.

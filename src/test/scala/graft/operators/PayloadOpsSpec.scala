@@ -42,6 +42,16 @@ class PayloadOpsSpec extends SparkSpec {
     }
   }
 
+  test("rules_select packs rules by priority within the token budget") {
+    val rows = PayloadOps.rulesSelect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getAs[Long]("cum_tokens"))
+    assert(cums.forall(_ <= 500L))
+    assert(cums.toSeq == cums.sorted.toSeq, "cumulative sums increase in selection order")
+    val prios = rows.map(_.getAs[Int]("priority")).toSeq
+    assert(prios == prios.sorted.reverse, "higher-priority rules selected first")
+  }
+
   test("session_window_agg matches the lag/cumsum sessionize row counts") {
     val sw = PayloadOps.sessionWindowAgg(spark, sfDir).collect()
     val manual = CoreAnalytics.sessionize(spark, sfDir).collect()
