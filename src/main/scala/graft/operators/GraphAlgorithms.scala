@@ -70,7 +70,7 @@ object GraphAlgorithms {
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // Mass from dangling nodes (no outgoing edges) spreads uniformly;
       // computed as a broadcast 1-row aggregate, NOT a driver collect,
       // so each iteration is a single job with no action barrier.
@@ -81,14 +81,15 @@ object GraphAlgorithms {
         .join(outDeg, "src")
         .select(col("dst").as("node_id"), (col("rank") / col("out_deg")).as("contrib"))
         .groupBy(col("node_id")).agg(sum(col("contrib")).as("in_contrib"))
-      // Eager per-iteration checkpoint: without it iteration i recomputes
-      // the full lineage of i-1, i-2, ... (quadratic blowup).
+      // Eager checkpoint every 2 iterations: bounds lineage depth (the
+      // unchecked plan recomputes quadratically) while halving the
+      // materialization jobs vs per-iteration checkpointing.
       ranks = nodes.join(contribs, Seq("node_id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node_id"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("in_contrib"), lit(0.0)) + col("dangling_mass") / n)).as("rank"))
-        .localCheckpoint()
+      if (i % 2 == 0 || i == iterations) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node_id"), round(col("rank"), 6).as("score"))
       .orderBy(col("node_id"))
@@ -115,7 +116,7 @@ object GraphAlgorithms {
 
     // Initial label = stable per-node integer (dense hash of the id).
     var labels = nodes.withColumn("label", xxhash64(col("node_id")))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // Each node votes its label to neighbours; self-vote stabilizes.
       val votes = undirected
         .join(labels, undirected("b") === labels("node_id"))
@@ -127,7 +128,8 @@ object GraphAlgorithms {
       labels = counted.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("node_id"), col("label"))
-        .localCheckpoint() // eager: bound lineage, avoid quadratic recompute
+      // eager every 2: bound lineage without a job per iteration
+      if (i % 2 == 0 || i == iterations) labels = labels.localCheckpoint()
     }
     // Normalize community ids to the minimum member node id; drop tiny ones.
     val sized = labels
