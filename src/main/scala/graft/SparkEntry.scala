@@ -28,6 +28,7 @@ object SparkEntry {
     // Vector search
     "dense_topk"          -> ((s, d) => VectorSearch.denseTopK(s, d)),
     "dense_topk_filtered" -> ((s, d) => VectorSearch.denseTopK(s, d, label = Some(3))),
+    "dense_topk_threshold" -> ((s, d) => VectorSearch.denseTopK(s, d, threshold = Some(0.26))),
     "recommend"           -> ((s, d) => VectorSearch.recommend(s, d)),
     "knn_join"            -> ((s, d) => VectorSearch.knnJoin(s, d)),
     "ann_lsh"             -> ((s, d) => VectorSearch.annLsh(s, d)),
@@ -86,13 +87,36 @@ object SparkEntry {
       |dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
       |n AS (SELECT count(*)::DOUBLE AS n FROM documents)""".stripMargin
 
+  /** bm25.rs tokenize_for_bm25 (junk-filtering) CTE — the scoring
+    * tokenizer for every BM25-family oracle, mirroring
+    * TextFunctions.tokenizeBm25 1:1. */
+  private val bm25StatsCte: String =
+    """WITH btoks AS (
+      |  SELECT doc_id, list_filter(
+      |    list_transform(
+      |      list_filter(
+      |        list_transform(regexp_split_to_array(text, '[\s(){}\[\]<>;:,."''`~!@#$%^&*+=|\\]+'),
+      |          s -> regexp_replace(s, '^[-_/]+|[-_/]+$', '', 'g')),
+      |        s -> length(s) > 1),
+      |      s -> lower(s)),
+      |    s -> NOT regexp_matches(s, '^[a-f0-9]{8,}$')
+      |     AND NOT regexp_matches(s, '^v?[0-9]+\.[0-9]+')
+      |     AND NOT regexp_matches(s, '[/\\]')
+      |     AND NOT regexp_matches(s, '^0x[a-f0-9]+$')
+      |     AND NOT regexp_matches(s, '^[0-9]+$')) AS toks
+      |  FROM documents
+      |), btfx AS (SELECT doc_id, unnest(toks) AS term FROM btoks),
+      |btfc AS (SELECT doc_id, term, count(*) AS tf FROM btfx GROUP BY 1, 2),
+      |bdf AS (SELECT term, count(*) AS df FROM btfc GROUP BY 1),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM documents)""".stripMargin
+
   private val bm25ScoredCte: String =
     """q AS (SELECT unnest(['dup','vector','window','fast']) AS term),
       |sscored AS (
-      |  SELECT tfc.doc_id,
-      |    sum(greatest(ln((n.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 0)
-      |        * (1.2 * tfc.tf) / (tfc.tf + 1.2)) AS score
-      |  FROM tfc JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN n
+      |  SELECT btfc.doc_id,
+      |    sum(greatest(ln((n.n - bdf.df + 0.5) / (bdf.df + 0.5)), 0)
+      |        * (1.2 * btfc.tf) / (btfc.tf + 1.2)) AS score
+      |  FROM btfc JOIN bdf USING (term) JOIN q USING (term) CROSS JOIN n
       |  GROUP BY 1 HAVING score > 0)""".stripMargin
 
   private val hybridCte: String =
@@ -195,6 +219,14 @@ object SparkEntry {
         |FROM embeddings e, q
         |WHERE vec_id <> 0 AND label = 3
         |ORDER BY rnk LIMIT 20""".stripMargin,
+    "dense_topk_threshold" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, vec_id) AS INTEGER) AS rnk
+        |FROM embeddings e, q
+        |WHERE vec_id <> 0 AND list_cosine_similarity(e.embedding, q.q_emb) >= 0.26
+        |ORDER BY rnk LIMIT 20""".stripMargin,
     "recommend" ->
       """WITH pe AS (
         |  SELECT vec_id, i, embedding[i]::DOUBLE AS v
@@ -224,34 +256,34 @@ object SparkEntry {
         |SELECT probe_id, neighbor_id, rnk FROM s WHERE rnk <= 3
         |ORDER BY probe_id, rnk""".stripMargin,
     "bm25_topk" ->
-      s"""$tokenStatsCte,
+      s"""$bm25StatsCte,
          |$bm25ScoredCte
          |SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
          |FROM sscored ORDER BY rnk LIMIT 10""".stripMargin,
     "bm25_expanded" ->
-      s"""$tokenStatsCte,
+      s"""$bm25StatsCte,
          |qw AS (SELECT * FROM (VALUES
          |  ('dup', 1.0::DOUBLE), ('vector', 1.0::DOUBLE),
          |  ('window', 0.5::DOUBLE), ('fast', 0.5::DOUBLE), ('line', 0.5::DOUBLE)) AS t(term, tw)),
          |escored AS (
-         |  SELECT tfc.doc_id,
-         |    sum(greatest(ln((n.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 0)
-         |        * (1.2 * tfc.tf) / (tfc.tf + 1.2) * qw.tw) AS score
-         |  FROM tfc JOIN dfreq USING (term) JOIN qw USING (term) CROSS JOIN n
+         |  SELECT btfc.doc_id,
+         |    sum(greatest(ln((n.n - bdf.df + 0.5) / (bdf.df + 0.5)), 0)
+         |        * (1.2 * btfc.tf) / (btfc.tf + 1.2) * qw.tw) AS score
+         |  FROM btfc JOIN bdf USING (term) JOIN qw USING (term) CROSS JOIN n
          |  GROUP BY 1 HAVING score > 0)
          |SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
          |FROM escored ORDER BY rnk LIMIT 10""".stripMargin,
     "sparse_vectors" ->
-      s"""$tokenStatsCte,
+      s"""$bm25StatsCte,
          |w AS (
-         |  SELECT tfc.doc_id,
-         |    greatest(ln((n.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 0)
-         |      * (1.2 * tfc.tf) / (tfc.tf + 1.2) AS w
-         |  FROM tfc JOIN dfreq USING (term) CROSS JOIN n)
+         |  SELECT btfc.doc_id,
+         |    greatest(ln((n.n - bdf.df + 0.5) / (bdf.df + 0.5)), 0)
+         |      * (1.2 * btfc.tf) / (btfc.tf + 1.2) AS w
+         |  FROM btfc JOIN bdf USING (term) CROSS JOIN n)
          |SELECT doc_id, count(*) AS nnz, round(sqrt(sum(w * w)), 4) AS l2_norm
          |FROM w WHERE w > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "hybrid_rrf" ->
-      s"""$tokenStatsCte,
+      s"""$bm25StatsCte,
          |$bm25ScoredCte,
          |$hybridCte
          |SELECT id, rnk FROM hyb ORDER BY rnk""".stripMargin,
@@ -262,22 +294,43 @@ object SparkEntry {
         |WHERE len(regexp_extract_all(text, 'quer(y|ies)')) > 0
         |ORDER BY doc_id""".stripMargin,
     "diversity_rerank" ->
-      s"""$tokenStatsCte,
+      s"""$bm25StatsCte,
          |$bm25ScoredCte,
          |$hybridCte,
          |scored AS (
-         |  SELECT h.id, h.rnk, 1.0 / (60.0 + h.rnk) AS rrf, d.source
+         |  SELECT h.id, 1.0 / (60.0 + h.rnk) AS score, d.source AS file,
+         |    'p' || (CAST(substr(d.source, 4) AS INTEGER) % 5) AS project
          |  FROM hyb h JOIN documents d ON d.doc_id = h.id),
-         |isl AS (
-         |  SELECT *, row_number() OVER (ORDER BY rnk) AS rn,
-         |    row_number() OVER (PARTITION BY source ORDER BY rnk) AS srn
+         |walk AS (
+         |  SELECT *, row_number() OVER (ORDER BY score DESC, id) AS rn,
+         |    lag(file) OVER (ORDER BY score DESC, id) AS prev_file,
+         |    lag(project) OVER (ORDER BY score DESC, id) AS prev_project
          |  FROM scored),
+         |tiered AS (
+         |  SELECT *, CASE WHEN file = prev_file THEN 'F'
+         |                 WHEN project = prev_project THEN 'P' ELSE 'N' END AS tier
+         |  FROM walk),
+         |isl AS (
+         |  SELECT *, rn - row_number() OVER (PARTITION BY (tier = 'F') ORDER BY rn) AS f_isl,
+         |    sum(CASE WHEN tier = 'N' THEN 1 ELSE 0 END) OVER (ORDER BY rn) AS n_seg
+         |  FROM tiered),
          |runs AS (
-         |  SELECT *, row_number() OVER (PARTITION BY source, rn - srn ORDER BY rn) - 1 AS run
-         |  FROM isl)
+         |  SELECT *,
+         |    CASE WHEN tier = 'F'
+         |      THEN row_number() OVER (PARTITION BY tier, f_isl ORDER BY rn) ELSE 0 END AS file_run,
+         |    CASE WHEN tier = 'P'
+         |      THEN sum(CASE WHEN tier = 'P' THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY n_seg ORDER BY rn) ELSE 0 END AS project_run
+         |  FROM isl),
+         |adj AS (
+         |  SELECT id, file AS source,
+         |    score * CASE WHEN tier = 'F' THEN pow(0.85, file_run)
+         |                 WHEN tier = 'P' THEN pow(0.92, project_run)
+         |                 ELSE 1.0 END AS adj_score
+         |  FROM runs)
          |SELECT id, source,
-         |  CAST(row_number() OVER (ORDER BY rrf * pow(0.85, run) DESC, id) AS INTEGER) AS rnk
-         |FROM runs ORDER BY rnk""".stripMargin,
+         |  CAST(row_number() OVER (ORDER BY adj_score DESC, id) AS INTEGER) AS rnk
+         |FROM adj ORDER BY rnk""".stripMargin,
     "keyword_tfidf" ->
       s"""$tokenStatsCte,
          |kscored AS (
@@ -353,11 +406,9 @@ object SparkEntry {
         |WHERE length(chunk_text) > 0
         |ORDER BY doc_id, chunk_index""".stripMargin,
     "retrieve_scroll" ->
-      """SELECT doc_id, lang, source, n_chars FROM (
-        |  SELECT doc_id, lang, source, n_chars,
-        |    row_number() OVER (ORDER BY doc_id) AS rn
-        |  FROM documents WHERE lang = 'en')
-        |WHERE rn BETWEEN 41 AND 60 ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE lang = 'en' AND doc_id > 40
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
     "collection_stats" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -388,7 +439,7 @@ object SparkEntry {
         |  AND CAST(json_extract_string(props, '$.k') AS INTEGER) IN (1, 2, 3, 4, 5)
         |ORDER BY event_id""".stripMargin,
     "cross_collection" ->
-      s"""$tokenStatsCte,
+      s"""$bm25StatsCte,
          |$bm25ScoredCte,
          |ranked AS (
          |  SELECT d.source, s.doc_id,
@@ -399,9 +450,10 @@ object SparkEntry {
          |ORDER BY source, rnk""".stripMargin,
     "hapax_terms" ->
       s"""$tokenStatsCte
-         |SELECT term, min(doc_id) AS only_doc
-         |FROM tfc GROUP BY term HAVING count(*) = 1
-         |ORDER BY term""".stripMargin,
+         |SELECT d.source, tfc.term, min(tfc.doc_id) AS only_doc
+         |FROM tfc JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 HAVING count(*) = 1
+         |ORDER BY 1, 2""".stripMargin,
     "cooccurrence" ->
       s"""$tokenStatsCte,
          |dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks)

@@ -141,40 +141,82 @@ object GraphAlgorithms {
   }
 
   /** Brandes betweenness centrality with source sampling
-    * (betweenness.rs): the aggregated adjacency is broadcast, sample
-    * sources run in parallel across the cluster, per-node dependency
-    * sums are reduced, scores scaled by n/samples and normalised to
-    * [0, 1] like the reference.
+    * (betweenness.rs:49): the adjacency is AGGREGATED EXECUTOR-SIDE
+    * (groupBy node → collect_set — one compact row per node; the raw
+    * edge list is never materialized on the driver). Under
+    * `broadcastNodeCap` nodes, the compact arrays are broadcast and the
+    * sampled sources run Brandes in parallel across the cluster — the
+    * same export-then-compute shape as the reference, with distributed
+    * sources. Beyond the cap, [[betweennessFrontier]] runs the whole
+    * computation as DataFrame BFS frontiers + reverse dependency
+    * accumulation — nothing graph-sized ever leaves the executors.
+    *
+    * Scores are normalised exactly like the reference
+    * (betweenness.rs:103 normalize_betweenness): sample scale n/k, then
+    * divide by (n-1)(n-2)/2, clamp to 1.0; n ≤ 2 → normalizer 1.
     */
   def betweenness(spark: SparkSession, dir: String,
-                  maxSamples: Int = 64): DataFrame = {
-    import spark.implicits._
-    val e = edges(spark, dir)
-    val edgeList = e.collect().map(r => (r.getString(0), r.getString(1)))
-    val nodeIds = edgeList.flatMap(t => Seq(t._1, t._2)).distinct.sorted
-    val idx = nodeIds.zipWithIndex.toMap
-    val nNodes = nodeIds.length
+                  maxSamples: Int = 64,
+                  broadcastNodeCap: Long = 4000000L): DataFrame =
+    betweennessEdges(spark, edges(spark, dir), maxSamples, broadcastNodeCap)
+
+  /** Betweenness over any (src, dst) edge DataFrame — the generic core,
+    * also fed the reference's own test graphs by the parity specs. */
+  def betweennessEdges(spark: SparkSession, e: DataFrame,
+                       maxSamples: Int = 64,
+                       broadcastNodeCap: Long = 4000000L): DataFrame = {
     // Undirected expansion: the derived supplier→customer graph is
     // bipartite, so directed shortest paths have length 1 and every
     // betweenness would be 0; the reference's code graphs are mixed.
-    val adj = Array.fill(nNodes)(scala.collection.mutable.ArrayBuffer[Int]())
-    edgeList.foreach { case (s, d) => adj(idx(s)) += idx(d); adj(idx(d)) += idx(s) }
-    val adjArr = adj.map(_.distinct.sorted.toArray)
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst"), col("src")))
+      .distinct()
+    // Compact adjacency, built in the cluster: one row per node with a
+    // sorted neighbor array (dedup + sort executor-side).
+    val adjDf = und.groupBy(col("u"))
+      .agg(sort_array(collect_set(col("v"))).as("nbrs"))
+      .localCheckpoint()
+    val nNodes = adjDf.count()
+    if (nNodes <= broadcastNodeCap)
+      betweennessBroadcast(spark, adjDf, nNodes, maxSamples)
+    else
+      betweennessFrontier(spark, und, adjDf.select(col("u")), nNodes, maxSamples)
+  }
+
+  /** reference normalize_betweenness (betweenness.rs:103). */
+  private def normalizeScore(raw: Double, n: Long, samples: Long): Double = {
+    val normalizer = if (n > 2) (n - 1).toDouble * (n - 2).toDouble / 2.0 else 1.0
+    val sampleScale = if (samples < n) n.toDouble / samples else 1.0
+    math.min(raw * sampleScale / normalizer, 1.0)
+  }
+
+  /** Broadcast path: ship the per-node compact arrays (already
+    * aggregated in the cluster) and run sampled Brandes sources in
+    * parallel tasks. Driver holds one array row per node — never the
+    * raw edge list.
+    */
+  private def betweennessBroadcast(spark: SparkSession, adjDf: DataFrame,
+                                   nNodes: Long, maxSamples: Int): DataFrame = {
+    import spark.implicits._
+    val compact = adjDf.as[(String, Seq[String])].collect().sortBy(_._1)
+    val nodeIds = compact.map(_._1)
+    val idx = nodeIds.zipWithIndex.toMap
+    val adjArr = compact.map(_._2.map(idx).toArray)
     val bAdj = spark.sparkContext.broadcast(adjArr)
 
-    val samples = math.min(maxSamples, nNodes)
+    val nn = nodeIds.length
+    val samples = math.min(maxSamples, nn)
     val sources = (0 until samples) // first k in index order, like the reference
     val partial = spark.sparkContext.parallelize(sources, math.min(samples, 32))
       .mapPartitions { srcIter =>
         val a = bAdj.value
-        val nn = a.length
-        val acc = new Array[Double](nn)
+        val acc = new Array[Double](a.length)
         srcIter.foreach { s =>
           // Brandes single-source: BFS + dependency accumulation.
-          val dist = Array.fill(nn)(-1)
-          val sigma = new Array[Double](nn)
-          val delta = new Array[Double](nn)
-          val preds = Array.fill(nn)(scala.collection.mutable.ArrayBuffer[Int]())
+          val dist = Array.fill(a.length)(-1)
+          val sigma = new Array[Double](a.length)
+          val delta = new Array[Double](a.length)
+          val preds = Array.fill(a.length)(scala.collection.mutable.ArrayBuffer[Int]())
           val stack = scala.collection.mutable.ArrayBuffer[Int]()
           val queue = scala.collection.mutable.Queue[Int]()
           dist(s) = 0; sigma(s) = 1.0; queue.enqueue(s)
@@ -197,12 +239,77 @@ object GraphAlgorithms {
       }
       .reduce { (x, y) => var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x }
 
-    val scale = if (samples < nNodes) nNodes.toDouble / samples else 1.0
-    val maxScore = partial.map(_ * scale).foldLeft(0.0)(math.max)
     val rows = nodeIds.indices.map { i =>
-      val raw = partial(i) * scale
-      (nodeIds(i), if (maxScore > 0) BigDecimal(raw / maxScore).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0)
+      (nodeIds(i),
+        BigDecimal(normalizeScore(partial(i), nn, samples))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     rows.toDF("node_id", "score").orderBy(col("node_id"))
+  }
+
+  /** Fully-distributed Brandes (the over-cap path): all sampled sources
+    * advance together. Forward pass: BFS frontiers as DataFrames keyed
+    * (source, node), path counts sigma summed per layer. Backward pass:
+    * per-level dependency accumulation delta(v) = Σ_w σv/σw·(1+δw) as a
+    * join against the next level. State is hash-partitioned on
+    * (source, node) — no driver-side graph, no broadcast of anything
+    * graph-sized. Iterations = graph diameter (bounded by `maxDepth`).
+    */
+  def betweennessFrontier(spark: SparkSession, und: DataFrame, nodes: DataFrame,
+                          nNodes: Long, maxSamples: Int,
+                          maxDepth: Int = 32): DataFrame = {
+    val samples = math.min(maxSamples.toLong, nNodes)
+    val srcs = nodes.orderBy(col("u")).limit(samples.toInt) // first k in id order
+      .select(col("u").as("s"))
+    var frontier = srcs
+      .select(col("s"), col("s").as("node"), lit(0).as("dist"), lit(1.0).as("sigma"))
+      .localCheckpoint()
+    var visited = frontier
+    var depth = 0
+    var go = true
+    while (go && depth < maxDepth) {
+      val expanded = frontier.join(und, frontier("node") === und("u"))
+        .select(col("s"), und("v").as("node"), col("sigma"))
+      val next = expanded
+        .join(visited.select(col("s"), col("node")), Seq("s", "node"), "left_anti")
+        .groupBy(col("s"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .withColumn("dist", lit(depth + 1))
+        .select(col("s"), col("node"), col("dist"), col("sigma"))
+        .localCheckpoint()
+      if (next.isEmpty) go = false
+      else {
+        visited = visited.union(next).localCheckpoint()
+        frontier = next
+        depth += 1
+      }
+    }
+    // Backward sweep: levels depth → 1; delta flows down one level per step.
+    var lvlDf = visited.filter(col("dist") === depth).withColumn("delta", lit(0.0))
+    var acc: DataFrame = lvlDf.filter(col("dist") > 0)
+      .select(col("node"), col("delta"))
+    for (lvl <- depth - 1 to 0 by -1) {
+      val lower = visited.filter(col("dist") === lvl)
+      val contrib = und
+        .join(lvlDf.select(col("s"), col("node").as("w"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w")), und("v") === col("w"))
+        .select(col("s"), col("u").as("node"), col("sigma_w"), col("delta_w"))
+        .join(lower.select(col("s"), col("node"), col("sigma")), Seq("s", "node"))
+        .groupBy(col("s"), col("node"))
+        .agg(sum(col("sigma") / col("sigma_w") * (lit(1.0) + col("delta_w"))).as("delta"))
+      lvlDf = lower.join(contrib, Seq("s", "node"), "left")
+        .select(col("s"), col("node"), col("dist"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint()
+      if (lvl > 0) acc = acc.union(lvlDf.select(col("node"), col("delta")))
+    }
+    val normalizer = if (nNodes > 2) (nNodes - 1).toDouble * (nNodes - 2).toDouble / 2.0 else 1.0
+    val sampleScale = if (samples < nNodes) nNodes.toDouble / samples else 1.0
+    nodes.select(col("u").as("node_id"))
+      .join(acc.groupBy(col("node")).agg(sum(col("delta")).as("raw")),
+        col("node_id") === col("node"), "left")
+      .select(col("node_id"),
+        round(least(coalesce(col("raw"), lit(0.0)) * sampleScale / normalizer, lit(1.0)), 6).as("score"))
+      .orderBy(col("node_id"))
   }
 }

@@ -26,57 +26,68 @@ object Ingest {
     * chunk_text, chunk_len).
     */
   def chunkDocuments(spark: SparkSession, dir: String,
-                     chunkSize: Int = 200, overlap: Int = 50): DataFrame = {
+                     chunkSize: Int = 200, overlap: Int = 50): DataFrame =
+    chunkWithMeta(Tables.documents(spark, dir), chunkSize, overlap, Nil)
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** The chunking core: fixed char windows via posexplode, carrying any
+    * extra per-document columns (lang/source payload) through the
+    * explode so downstream never joins back to the corpus. */
+  private def chunkWithMeta(docs: DataFrame, chunkSize: Int, overlap: Int,
+                            extraCols: Seq[String]): DataFrame = {
     val stride = chunkSize - overlap
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
+    docs
+      .select(col("doc_id") +: extraCols.map(col) :+
         posexplode(expr(
           s"transform(sequence(1, greatest(length(text), 1), $stride), s -> struct(s AS start_char, substr(text, s, $chunkSize) AS chunk_text))"))
-          .as(Seq("chunk_index", "c")))
-      .select(col("doc_id"), col("chunk_index"),
-        col("c.start_char").as("start_char"),
-        col("c.chunk_text").as("chunk_text"))
+          .as(Seq("chunk_index", "c")): _*)
+      .select(col("doc_id") +: extraCols.map(col) :+ col("chunk_index") :+
+        col("c.start_char").as("start_char") :+
+        col("c.chunk_text").as("chunk_text"): _*)
       .withColumn("chunk_len", length(col("chunk_text")))
       .filter(col("chunk_len") > 0)
-      .orderBy(col("doc_id"), col("chunk_index"))
   }
 
   /** Full store pipeline: chunk → deterministic fake dense embedding
-    * (hash-derived unit vector — the real model is a service the
-    * container doesn't have; the Spark-side plumbing is real) → sparse
-    * BM25 stats per chunk → point rows with payload, point ids from
-    * content digest (reference: common/src/hashing.rs document ids).
+    * (hash-derived vector — the real model is a service the container
+    * doesn't have; the Spark-side plumbing is real) → sparse BM25 stats
+    * per chunk → point rows with payload, point ids from content digest
+    * (reference: common/src/hashing.rs document ids). lang/source ride
+    * the chunk explode from the same scan — no join back to the corpus.
+    * The dense vector is exported as a scalar digest + norm (verifiable
+    * columns); the array itself stays internal.
     */
   def storePoints(spark: SparkSession, dir: String,
                   dim: Int = 8): DataFrame = {
-    val chunks = chunkDocuments(spark, dir)
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("source"))
+    val chunks = chunkWithMeta(Tables.documents(spark, dir), 200, 50, Seq("lang", "source"))
     val denseCols = (0 until dim).map { j =>
       (pmod(xxhash64(col("chunk_text"), lit(j)), lit(2000L)).cast("double") / 1000.0 - 1.0)
     }
-    chunks.join(broadcast(docs), "doc_id")
+    chunks
       .withColumn("point_id", md5(concat_ws("#", col("doc_id"), col("chunk_index"), col("chunk_text"))))
       .withColumn("dense", array(denseCols: _*))
+      .withColumn("dense_digest", md5(concat_ws(",", col("dense").cast("array<string>"))))
+      .withColumn("dense_norm",
+        round(sqrt(aggregate(col("dense"), lit(0.0), (acc, x) => acc + x * x)), 4))
       .withColumn("sparse_nnz", size(array_distinct(tokenizeSimple(col("chunk_text")))))
       .select(col("point_id"), col("doc_id"), col("chunk_index"),
-        col("dense"), col("sparse_nnz"), col("lang"), col("source"), col("chunk_len"))
+        col("dense_digest"), col("dense_norm"), col("sparse_nnz"),
+        col("lang"), col("source"), col("chunk_len"))
       .orderBy(col("doc_id"), col("chunk_index"))
   }
 
   /** Keyset-paginated retrieve (Qdrant scroll): filter by payload field,
-    * order by id, return one page. The window is only for the bounded
-    * page — at scale the filter pushes to the scan and the page is a
-    * TakeOrdered.
+    * seek past the last-seen id, take one page — filter pushes to the
+    * scan and the page is a TakeOrderedAndProject (per-partition heap),
+    * never a global single-partition window.
     */
   def retrieveScroll(spark: SparkSession, dir: String,
-                     lang: String = "en", pageStart: Int = 41, pageEnd: Int = 60): DataFrame =
+                     lang: String = "en", lastSeen: Long = 40L, pageSize: Int = 20): DataFrame =
     Tables.documents(spark, dir)
-      .filter(col("lang") === lang)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
-      .filter(col("rn").between(pageStart, pageEnd))
+      .filter(col("lang") === lang && col("doc_id") > lastSeen)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
+      .limit(pageSize)
 
   /** Per-collection stats (the reference's list tool): document counts
     * and size aggregates grouped by `source`.

@@ -69,38 +69,37 @@ object PayloadOps {
   def crossCollection(spark: SparkSession, dir: String,
                       query: String = "dup vector window fast", k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = docs.count()
-    val queryTerms = query.toLowerCase.split("[^a-z0-9_]+").toSeq
-      .filter(t => t.length > 1 && !EnglishStopwords.contains(t)).distinct
-
-    val tf = SparseSearch.termFreq(docs)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
-      .filter(col("term").isin(queryTerms: _*))
-      .withColumn("idf",
-        greatest(log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)), lit(0.0)))
-      .withColumn("contrib",
-        col("idf") * (lit(SparseSearch.K1) * col("tf")) / (col("tf") + lit(SparseSearch.K1)))
-      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("score"))
-      .filter(col("score") > 0) // bm25.rs drops zero-score entries
-
-    val scored = tf.join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
+    // BM25 over the whole corpus (shared df stats — the reference keeps
+    // per-collection stats; a single-lexicon variant is a groupBy swap),
+    // then per-collection top-k. The join back to source is unhinted:
+    // the scored side is ≤ |matching docs| rows, so AQE broadcasts it
+    // while small and shuffles on doc_id beyond that — never a
+    // corpus-wide broadcast.
+    val scored = SparseSearch.bm25ScoresForQuery(spark, docs, query)
+    val withSource = docs.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
     val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    withSource.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("source"), col("doc_id"), col("rnk"))
       .orderBy(col("source"), col("rnk"))
   }
 
-  /** Lexicon hapax legomena: terms appearing in exactly one document
-    * (the eviction set of the reference's lexicon compaction).
+  /** Lexicon hapax legomena: terms appearing in exactly one document of
+    * a collection (the eviction set of the reference's lexicon
+    * compaction — the reference keeps one BM25 lexicon PER collection,
+    * so eviction is per-collection too). One groupBy on (source, term).
     */
-  def hapaxTerms(spark: SparkSession, dir: String): DataFrame =
-    SparseSearch.termFreq(Tables.documents(spark, dir))
-      .groupBy(col("term"))
+  def hapaxTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    SparseSearch.termFreq(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("only_doc"))
       .filter(col("df") === 1)
-      .select(col("term"), col("only_doc"))
-      .orderBy(col("term"))
+      .select(col("source"), col("term"), col("only_doc"))
+      .orderBy(col("source"), col("term"))
+  }
 
   /** Term co-occurrence graph: distinct term pairs per document,
     * counted across the corpus, thresholded. One explode + one groupBy;

@@ -31,15 +31,19 @@ object VectorSearch {
   /** Brute-force cosine top-k against one stored vector, excluding it.
     * Plan: pruned scan → broadcast-nested-loop with a 1-row side →
     * TakeOrderedAndProject(k). Scales linearly; no shuffle.
+    * `threshold` = the reference's `score_threshold` (search.rs:251):
+    * results scoring below it are dropped before ranking.
     */
   def denseTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
-                k: Int = 20, label: Option[Int] = None): DataFrame = {
+                k: Int = 20, label: Option[Int] = None,
+                threshold: Option[Double] = None): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val base = label.fold(emb)(l => emb.filter(col("label") === l))
-    val scored = base
+    val all = base
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(queryVec(emb, queryId)))
       .withColumn("score", graft.GraftFunctions.cosine(col("embedding"), col("q_emb")))
+    val scored = threshold.fold(all)(t => all.filter(col("score") >= t))
     scored
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)

@@ -11,41 +11,70 @@ import graft.operators.{GraphAlgorithms, SparseSearch}
 class ReferenceParitySpec extends SparkSpec {
   import spark.implicits._
 
-  // reference: source_diversity/tests.rs test_penalty_same_file_penalized
-  test("diversity penalty: same-source run compounds 0.85^n") {
-    val ranked = Seq(
-      ("r1", 0.90, "/src/main.rs"),
-      ("r2", 0.85, "/src/main.rs"),
-      ("r3", 0.80, "/src/main.rs")).toDF("id", "score", "source")
-    val adj = SparseSearch.applyDiversityPenalty(ranked, 0.85)
+  private def penaltyOf(rows: Seq[(String, Double, String, String)]): Map[String, Double] =
+    SparseSearch.applyDiversityPenalty(rows.toDF("id", "score", "project", "file")
+      .select(col("id"), col("score"), col("file"), col("project")))
       .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("adj_score")).toMap
+
+  // reference: source_diversity/tests.rs test_penalty_same_file_penalized
+  test("diversity penalty: same-file run compounds 0.85^n") {
+    val adj = penaltyOf(Seq(
+      ("r1", 0.90, "proj-a", "/src/main.rs"),
+      ("r2", 0.85, "proj-a", "/src/main.rs"),
+      ("r3", 0.80, "proj-a", "/src/main.rs")))
     assert(math.abs(adj("r1") - 0.90) < 1e-4)
     assert(math.abs(adj("r2") - 0.7225) < 1e-4)  // 0.85 * 0.85
     assert(math.abs(adj("r3") - 0.578) < 1e-3)   // 0.80 * 0.85^2
   }
 
-  // reference: source_diversity/tests.rs test_penalty_compounding_three_same_file
-  test("diversity penalty: four-run compounding at penalty 0.80") {
-    val ranked = Seq(
-      ("r1", 1.0, "f"), ("r2", 0.99, "f"), ("r3", 0.98, "f"), ("r4", 0.97, "f"))
-      .toDF("id", "score", "source")
-    val adj = SparseSearch.applyDiversityPenalty(ranked, 0.80)
-      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("adj_score")).toMap
-    assert(math.abs(adj("r1") - 1.0) < 1e-4)
-    assert(math.abs(adj("r2") - 0.99 * 0.80) < 1e-4)
-    assert(math.abs(adj("r3") - 0.98 * 0.64) < 1e-4)
-    assert(math.abs(adj("r4") - 0.97 * 0.512) < 1e-4)
+  // reference: source_diversity/tests.rs test_penalty_same_project_different_file
+  test("diversity penalty: same project, different file compounds 0.92^n") {
+    val adj = penaltyOf(Seq(
+      ("r1", 0.90, "proj-a", "/src/main.rs"),
+      ("r2", 0.85, "proj-a", "/src/lib.rs"),
+      ("r3", 0.80, "proj-a", "/src/utils.rs")))
+    assert(math.abs(adj("r1") - 0.90) < 1e-4)
+    assert(math.abs(adj("r2") - 0.782) < 1e-3)        // 0.85 * 0.92
+    assert(math.abs(adj("r3") - 0.80 * 0.8464) < 1e-3) // 0.80 * 0.92^2
   }
 
-  // reference: source_diversity/tests.rs test_penalty_different_sources —
-  // alternating sources reset the run, no penalty anywhere.
-  test("diversity penalty: distinct sources are never penalized") {
+  // reference: source_diversity/tests.rs test_penalty_different_projects_no_penalty
+  test("diversity penalty: distinct projects are never penalized") {
+    val adj = penaltyOf(Seq(
+      ("r1", 0.90, "proj-a", "/a/main.rs"),
+      ("r2", 0.85, "proj-b", "/b/main.rs"),
+      ("r3", 0.80, "proj-c", "/c/main.rs")))
+    assert(adj("r1") == 0.90 && adj("r2") == 0.85 && adj("r3") == 0.80)
+  }
+
+  // reference: source_diversity/tests.rs test_penalty_reorders_results —
+  // after penalties the list re-sorts: same1 > same2 > diff1 > same3.
+  test("diversity penalty: re-sort interleaves penalized runs") {
     val ranked = Seq(
-      ("r1", 0.9, "a"), ("r2", 0.8, "b"), ("r3", 0.7, "c"))
-      .toDF("id", "score", "source")
-    val adj = SparseSearch.applyDiversityPenalty(ranked, 0.85)
-      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("adj_score")).toMap
-    assert(adj("r1") == 0.9 && adj("r2") == 0.8 && adj("r3") == 0.7)
+      ("same1", 0.90, "proj-a", "/src/main.rs"),
+      ("same2", 0.89, "proj-a", "/src/main.rs"),
+      ("same3", 0.88, "proj-a", "/src/main.rs"),
+      ("diff1", 0.75, "proj-b", "/other/file.rs"))
+      .toDF("id", "score", "project", "file")
+      .select(col("id"), col("score"), col("file"), col("project"))
+    val order = SparseSearch.applyDiversityPenalty(ranked)
+      .orderBy(col("adj_score").desc, col("id"))
+      .collect().map(_.getAs[String]("id")).toSeq
+    assert(order == Seq("same1", "same2", "diff1", "same3"), order.mkString(","))
+  }
+
+  // penalty.rs state machine: a file-tier row does NOT reset the project
+  // run (same file implies same project), and the project run resumes on
+  // the next different-file same-project row.
+  test("diversity penalty: project run survives intervening file-tier rows") {
+    val adj = penaltyOf(Seq(
+      ("r1", 0.90, "proj-a", "/f1"),
+      ("r2", 0.85, "proj-a", "/f2"),   // P run 1 → 0.92
+      ("r3", 0.80, "proj-a", "/f2"),   // F run 1 → 0.85
+      ("r4", 0.75, "proj-a", "/f3")))  // P run 2 → 0.92^2
+    assert(math.abs(adj("r2") - 0.85 * 0.92) < 1e-6)
+    assert(math.abs(adj("r3") - 0.80 * 0.85) < 1e-6)
+    assert(math.abs(adj("r4") - 0.75 * 0.92 * 0.92) < 1e-6)
   }
 
   // reference: embedding/tests.rs test_bm25_idf_common_vs_rare_terms —
@@ -56,7 +85,7 @@ class ReferenceParitySpec extends SparkSpec {
       val text = if (i == 0) "function code quantum" else "function code"
       (i.toLong, text)
     }.toDF("doc_id", "text")
-    val top = SparseSearch.bm25TopKDocs(docs, "function quantum", 3).collect()
+    val top = SparseSearch.bm25TopKDocs(spark, docs, "function quantum", 3).collect()
     assert(top.head.getLong(0) == 0L, "doc with the rare term must rank first")
   }
 
@@ -65,7 +94,7 @@ class ReferenceParitySpec extends SparkSpec {
   // universal terms scores nothing.
   test("BM25: universal terms are clamped to zero score") {
     val docs = (0 until 5).map(i => (i.toLong, "thee code")).toDF("doc_id", "text")
-    val top = SparseSearch.bm25TopKDocs(docs, "thee code", 5).collect()
+    val top = SparseSearch.bm25TopKDocs(spark, docs, "thee code", 5).collect()
     assert(top.isEmpty, s"universal-term query must score 0 everywhere, got ${top.length} rows")
   }
 

@@ -30,8 +30,12 @@ class IngestGraphSpec extends SparkSpec {
     assert(points.length == nChunks)
     assert(points.map(_.getString(0)).distinct.length == points.length)
     points.foreach { r =>
-      assert(r.getSeq[Double](3).length == 8)
+      // dense vector exported as scalar digest + norm (verify-surface
+      // stays hashable); digest is a 32-char md5, norm non-negative
       assert(r.getString(0).length == 32)
+      assert(r.getAs[String]("dense_digest").length == 32)
+      assert(r.getAs[Double]("dense_norm") >= 0.0)
+      assert(r.getAs[Int]("sparse_nnz") >= 0)
     }
   }
 
