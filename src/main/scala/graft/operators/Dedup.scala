@@ -90,10 +90,11 @@ object Dedup {
       .localCheckpoint() // signatures computed once, reused by 3 joins
 
     // Candidate generation shuffles ONLY (band, bucket, id); signature
-    // and shingle arrays come back via BROADCAST joins against the
-    // narrow per-doc side, so candidate pairs never re-shuffle. (At a
-    // scale where the doc side itself can't broadcast, these become
-    // bucketed joins — the pair volume still never exceeds candidates.)
+    // and shingle arrays come back via plain equi-joins on doc id —
+    // deliberately UNHINTED so AQE broadcasts the per-doc side only
+    // while it fits, and falls back to a shuffle join beyond that. A
+    // forced broadcast here would ship the whole corpus's shingle
+    // table to every executor at 100 TB.
     val exploded = sig.select(col("doc_id"), explode(col("bandsig")).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bucket").as("bucket"))
 
@@ -110,8 +111,8 @@ object Dedup {
     val nSig = bands * rowsPerBand
     val estThreshold = jaccardThreshold - 0.15
     val estimated = candidates
-      .join(broadcast(sig.select(col("doc_id").as("a"), col("sig").as("sig_a"))), Seq("a"))
-      .join(broadcast(sig.select(col("doc_id").as("b"), col("sig").as("sig_b"))), Seq("b"))
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
       .withColumn("est",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
           .cast("double") / nSig)
@@ -121,8 +122,8 @@ object Dedup {
     // Stage 2: exact Jaccard on the survivors.
     // |A ∪ B| = |A| + |B| − |A ∩ B| — one intersect, no union pass.
     estimated
-      .join(broadcast(docs.select(col("doc_id").as("a"), col("sh").as("sh_a"))), Seq("a"))
-      .join(broadcast(docs.select(col("doc_id").as("b"), col("sh").as("sh_b"))), Seq("b"))
+      .join(docs.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))

@@ -40,6 +40,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "minhash must not cross-join")
   }
 
+  test("minhash join-backs carry no forced broadcast of the corpus") {
+    // The signature/shingle join-backs must be AQE-decided equi-joins on
+    // doc id: a broadcast() hint would ship the entire shingle table to
+    // every executor at 100 TB. Assert no broadcast strategy hint
+    // survives into the optimized plan (AQE is free to broadcast at
+    // runtime while the side is genuinely small — that's the point).
+    val q = SparkEntry.queries("dedup_minhash")(spark, sfDir)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("strategy=broadcast"),
+      "dedup_minhash must not hint broadcast:\n" + optimized.take(3000))
+  }
+
   test("simhash blocking is a key-equality join, not a cross product") {
     val p = plan("dedup_simhash")
     assert(!p.contains("CartesianProduct"), "simhash must not cross-join")

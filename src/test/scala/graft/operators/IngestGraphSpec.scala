@@ -78,10 +78,17 @@ class IngestGraphSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
-  test("graph_betweenness normalises to [0,1] with max 1") {
+  test("graph_betweenness normalises with the reference formula") {
+    // Reference normalizer (betweenness.rs:103): raw * (n/k) / ((n-1)(n-2)/2),
+    // clamped to 1. Scores land strictly inside (0, 1) on this graph — the
+    // old max==1.0 assert belonged to the max-normalization we replaced.
     val bw = GraphAlgorithms.betweenness(spark, sfDir, maxSamples = 32).collect()
     val scores = bw.map(_.getDouble(1))
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
-    assert(math.abs(scores.max - 1.0) < 1e-6)
+    assert(scores.max > 0.0, "some node lies on a shortest path")
+    assert(scores.max < 1.0, "reference normalizer divides by (n-1)(n-2)/2, not max")
+    // Deterministic across runs (fixed source sample = first k node ids).
+    val again = GraphAlgorithms.betweenness(spark, sfDir, maxSamples = 32).collect()
+    assert(bw.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 }

@@ -25,12 +25,19 @@ class PayloadOpsSpec extends SparkSpec {
     }
   }
 
-  test("hapax_terms only contains df=1 terms") {
-    val hapax = PayloadOps.hapaxTerms(spark, sfDir).collect().map(_.getString(0)).toSet
-    val df = SparseSearch.docFreq(SparseSearch.termFreq(Tables.documents(spark, sfDir)))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    hapax.foreach(t => assert(df(t) == 1L, s"term $t"))
-    df.filter(_._2 == 1L).keys.foreach(t => assert(hapax.contains(t)))
+  test("hapax_terms only contains per-collection df=1 terms") {
+    // Schema is (source, term, only_doc); hapax is per-collection, matching
+    // the reference's one-lexicon-per-collection eviction.
+    val hapax = PayloadOps.hapaxTerms(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hapax.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+    val df = SparseSearch.termFreq(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    hapax.foreach { st => assert(df(st) == 1L, s"pair $st") }
+    df.filter(_._2 == 1L).keys.foreach(st => assert(hapax.contains(st), s"missing $st"))
   }
 
   test("cooccurrence pairs are ordered and thresholded") {
