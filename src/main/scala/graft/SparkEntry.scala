@@ -54,6 +54,7 @@ object SparkEntry {
     "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
     // Ingestion pipeline
     "chunk_documents"  -> ((s, d) => Ingest.chunkDocuments(s, d)),
+    "chunk_paragraphs" -> ((s, d) => Ingest.chunkParagraphs(s, d)),
     "store_points"     -> ((s, d) => Ingest.storePoints(s, d)),
     "retrieve_scroll"  -> ((s, d) => Ingest.retrieveScroll(s, d)),
     "collection_stats" -> ((s, d) => Ingest.collectionStats(s, d)),
@@ -405,6 +406,50 @@ object SparkEntry {
         |  FROM documents)
         |WHERE length(chunk_text) > 0
         |ORDER BY doc_id, chunk_index""".stripMargin,
+    "chunk_paragraphs" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(generate_series(0, greatest((len(ws)-1)//8, 0)),
+        |      g -> trim(array_to_string(list_slice(ws, g*8+1, g*8+8), ' '))), p -> p <> '') AS ps
+        |  FROM ws),
+        |normed AS (
+        |  SELECT doc_id, ps, array_to_string(ps, chr(10)||chr(10)) AS norm FROM paras),
+        |folded AS (
+        |  SELECT doc_id, norm,
+        |    list_reduce(
+        |      list_prepend({'b': CAST('' AS VARCHAR), 'cs': 0::BIGINT, 'cl': 0::BIGINT},
+        |        list_transform(ps, p -> {'b': p, 'cs': 0::BIGINT, 'cl': 0::BIGINT})),
+        |      (acc, x) -> CASE
+        |        WHEN acc.cl > 0 AND acc.cl + length(x.b) + 2 > 120 THEN
+        |          {'b': acc.b || (CASE WHEN acc.b = '' THEN '' ELSE ';' END)
+        |                 || CAST(acc.cs AS VARCHAR) || ',' || CAST(acc.cs + acc.cl AS VARCHAR),
+        |           'cs': acc.cs + greatest(acc.cl - 30, 0),
+        |           'cl': acc.cl - greatest(acc.cl - 30, 0) + 2 + length(x.b)}
+        |        WHEN acc.cl > 0 THEN {'b': acc.b, 'cs': acc.cs, 'cl': acc.cl + 2 + length(x.b)}
+        |        ELSE {'b': acc.b, 'cs': acc.cs, 'cl': length(x.b)} END
+        |    ) AS st
+        |  FROM normed),
+        |bounds AS (
+        |  SELECT doc_id, norm,
+        |    CASE WHEN st.cl > 0 THEN st.b || (CASE WHEN st.b = '' THEN '' ELSE ';' END)
+        |           || CAST(st.cs AS VARCHAR) || ',' || CAST(st.cs + st.cl AS VARCHAR)
+        |         ELSE st.b END AS b
+        |  FROM folded),
+        |ex AS (
+        |  SELECT doc_id, norm,
+        |    unnest(list_transform(string_split(b, ';'),
+        |      p -> {'s': CAST(string_split(p, ',')[1] AS BIGINT),
+        |            'e': CAST(string_split(p, ',')[2] AS BIGINT)})) AS pr,
+        |    unnest(generate_series(1, len(string_split(b, ';')))) AS idx
+        |  FROM bounds WHERE b <> '')
+        |SELECT doc_id, CAST(idx - 1 AS INTEGER) AS chunk_index,
+        |  pr.s AS start_char,
+        |  substr(norm, CAST(pr.s + 1 AS INTEGER), CAST(pr.e - pr.s AS INTEGER)) AS content,
+        |  pr.e - pr.s AS chunk_len
+        |FROM ex ORDER BY doc_id, chunk_index""".stripMargin,
     "retrieve_scroll" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE lang = 'en' AND doc_id > 40

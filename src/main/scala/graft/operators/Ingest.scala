@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -73,6 +73,82 @@ object Ingest {
       .select(col("point_id"), col("doc_id"), col("chunk_index"),
         col("dense_digest"), col("dense_norm"), col("sparse_nnz"),
         col("lang"), col("source"), col("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+  }
+
+  /** Paragraphs from blank-line structure, the reference's default
+    * (chunking.rs:50 `text.split("\n\n")`, trimmed, empties dropped).
+    */
+  def paragraphsFromText(text: Column): Column =
+    filter(transform(split(text, "\n\n"), p => trim(p)), p => p =!= lit(""))
+
+  /** Synthesized paragraphs for corpora without blank-line structure
+    * (this test corpus is a flat word stream): fixed groups of
+    * `wordsPerPara` words. Deterministic and cheap — one split + one
+    * transform, no shuffle.
+    */
+  def wordGroupParagraphs(text: Column, wordsPerPara: Int = 8): Column = {
+    val ws = filter(split(text, " "), w => w =!= lit(""))
+    filter(
+      transform(
+        sequence(lit(0), greatest(((size(ws) - 1) / lit(wordsPerPara)).cast("int"), lit(0))),
+        g => trim(array_join(slice(ws, g * wordsPerPara + 1, lit(wordsPerPara)), " "))),
+      p => p =!= lit(""))
+  }
+
+  /** Paragraph-preserving chunking (chunking.rs:44 `chunk_by_paragraphs`):
+    * pack trimmed paragraphs into chunks joined by "\n\n"; when the next
+    * paragraph would push the chunk past `chunkSize` (+2 for the
+    * separator), flush it and carry back the last `overlap` chars as the
+    * start of the next chunk. For overlap > 0 every chunk is a slice of
+    * the normalized text (paragraphs joined by "\n\n"), so the fold only
+    * tracks integer boundaries — a per-row `aggregate` HOF, map-only at
+    * any scale — and content is cut with one substring at the end.
+    */
+  def chunkParagraphs(spark: SparkSession, dir: String,
+                      chunkSize: Int = 120, overlap: Int = 30,
+                      wordsPerPara: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), wordGroupParagraphs(col("text"), wordsPerPara).as("ps"))
+    chunkParagraphsOf(docs, chunkSize, overlap)
+  }
+
+  /** The packing fold over a (doc_id, ps: array<string>) frame.
+    * State is (emitted "start,end" pairs ";"-joined, cur_start, cur_len);
+    * the branch order is exactly the reference's: flush-then-append,
+    * append with separator, or start fresh.
+    */
+  def chunkParagraphsOf(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap > 0, "overlap must be > 0 for slice-of-normalized-text bookkeeping")
+    def emit(acc: Column): Column =
+      concat(acc("b"), when(acc("b") === "", lit("")).otherwise(lit(";")),
+        acc("cs").cast("string"), lit(","), (acc("cs") + acc("cl")).cast("string"))
+    val zero = struct(lit("").as("b"), lit(0L).as("cs"), lit(0L).as("cl"))
+    val folded = aggregate(col("ps"), zero,
+      (acc, p) => {
+        val lp = length(p).cast("long")
+        val ov = greatest(acc("cl") - lit(overlap.toLong), lit(0L))
+        when(acc("cl") > 0 && acc("cl") + lp + lit(2L) > lit(chunkSize.toLong),
+          struct(emit(acc).as("b"), (acc("cs") + ov).as("cs"),
+            (acc("cl") - ov + lit(2L) + lp).as("cl")))
+          .when(acc("cl") > 0,
+            struct(acc("b").as("b"), acc("cs").as("cs"), (acc("cl") + lit(2L) + lp).as("cl")))
+          .otherwise(struct(acc("b").as("b"), acc("cs").as("cs"), lp.as("cl")))
+      },
+      acc => when(acc("cl") > 0, emit(acc)).otherwise(acc("b")))
+
+    docs
+      .select(col("doc_id"), concat_ws("\n\n", col("ps")).as("norm"), folded.as("b"))
+      .filter(col("b") =!= "")
+      .select(col("doc_id"), col("norm"),
+        posexplode(split(col("b"), ";")).as(Seq("chunk_index", "pr")))
+      .select(col("doc_id"), col("chunk_index").cast("int").as("chunk_index"),
+        split(col("pr"), ",")(0).cast("long").as("start_char"),
+        col("norm"), split(col("pr"), ",")(1).cast("long").as("end_char"))
+      .select(col("doc_id"), col("chunk_index"), col("start_char"),
+        col("norm").substr(col("start_char").cast("int") + 1,
+          (col("end_char") - col("start_char")).cast("int")).as("content"),
+        (col("end_char") - col("start_char")).as("chunk_len"))
       .orderBy(col("doc_id"), col("chunk_index"))
   }
 

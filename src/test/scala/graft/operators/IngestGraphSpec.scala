@@ -24,6 +24,65 @@ class IngestGraphSpec extends SparkSpec {
     }
   }
 
+  /** Reference model of chunk_by_paragraphs (chunking.rs:44): the exact
+    * Rust fold — flush when cur+para+2 exceeds chunk_size, carry back the
+    * last `overlap` chars, join paragraphs with \n\n.
+    */
+  private def refParagraphChunks(text: String, chunkSize: Int,
+                                 overlap: Int): Seq[(Int, Int, String)] = {
+    val paragraphs = text.split("\n\n", -1).map(_.trim).filter(_.nonEmpty)
+    var cur = ""; var curStart = 0; var idx = 0
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
+    for (p <- paragraphs) {
+      if (cur.nonEmpty && cur.length + p.length + 2 > chunkSize) {
+        out += ((idx, curStart, cur)); idx += 1
+        val ov = math.max(cur.length - overlap, 0)
+        cur = cur.substring(ov); curStart += ov
+      }
+      if (cur.nonEmpty) cur += "\n\n"
+      cur += p
+    }
+    if (cur.nonEmpty) out += ((idx, curStart, cur))
+    out.toSeq
+  }
+
+  test("chunk_paragraphs matches the reference fold on \\n\\n-structured text") {
+    import spark.implicits._
+    val texts = Seq(
+      "alpha beta gamma\n\ndelta epsilon\n\nzeta eta theta iota kappa\n\nlambda mu",
+      "one tiny\n\npar\n\nanother paragraph that is rather longer than the rest\n\nend",
+      "single paragraph shorter than the chunk size",
+      "  padded  \n\n\n\n  trimmed  \n\nlast",
+      "a" * 90 // one oversize paragraph: emitted whole, never split
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"), Ingest.paragraphsFromText(col("text")).as("ps"))
+    val got = Ingest.chunkParagraphsOf(df, chunkSize = 40, overlap = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2).toInt, r.getString(3)))
+    val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+      refParagraphChunks(t, 40, 10).map { case (ci, s, c) => (i.toLong, ci, s, c) }
+    }
+    assert(got.toSeq == expected, s"got ${got.mkString("\n")}")
+  }
+
+  test("chunk_paragraphs on the corpus: contiguous slices of the normalized text") {
+    val rows = Ingest.chunkParagraphs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getInt(1))
+      assert(sorted.head.getInt(1) == 0, s"doc $id first index")
+      assert(sorted.head.getLong(2) == 0L, s"doc $id starts at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) > a.getLong(2), s"doc $id starts increase")
+          // overlap carry-back: next chunk starts inside the previous one
+          assert(b.getLong(2) < a.getLong(2) + a.getLong(4), s"doc $id overlaps")
+        case _ =>
+      }
+      cs.foreach(r => assert(r.getString(3).length == r.getLong(4), s"doc $id len"))
+    }
+  }
+
   test("store_points yields one point per chunk with deterministic ids") {
     val points = Ingest.storePoints(spark, sfDir).collect()
     val nChunks = Ingest.chunkDocuments(spark, sfDir).count()
