@@ -41,6 +41,7 @@ object SparkEntry {
     "grep_search"      -> ((s, d) => SparseSearch.grepSearch(s, d)),
     "diversity_rerank" -> ((s, d) => SparseSearch.diversityRerank(s, d)),
     "keyword_tfidf"    -> ((s, d) => SparseSearch.keywordTfidf(s, d)),
+    "idf_rebalance"    -> ((s, d) => SparseSearch.idfRebalance(s, d)),
     // Deduplication
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -226,7 +227,7 @@ object SparkEntry {
         |  CAST(row_number() OVER (
         |    ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, vec_id) AS INTEGER) AS rnk
         |FROM embeddings e, q
-        |WHERE vec_id <> 0 AND list_cosine_similarity(e.embedding, q.q_emb) >= 0.26
+        |WHERE vec_id <> 0 AND round(list_cosine_similarity(e.embedding, q.q_emb), 6) >= 0.26
         |ORDER BY rnk LIMIT 20""".stripMargin,
     "recommend" ->
       """WITH pe AS (
@@ -450,6 +451,52 @@ object SparkEntry {
         |  substr(norm, CAST(pr.s + 1 AS INTEGER), CAST(pr.e - pr.s AS INTEGER)) AS content,
         |  pr.e - pr.s AS chunk_len
         |FROM ex ORDER BY doc_id, chunk_index""".stripMargin,
+    "idf_rebalance" ->
+      s"""$bm25StatsCte,
+         |cnt AS (SELECT count(*)::DOUBLE AS new_n,
+         |  sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END)::DOUBLE AS old_n FROM documents),
+         |idfs AS (
+         |  SELECT term, df,
+         |    CASE WHEN df > old_n THEN 0.0
+         |         ELSE greatest(ln((old_n - df + 0.5) / (df + 0.5)), 0) END AS old_idf,
+         |    CASE WHEN df > new_n THEN 0.0
+         |         ELSE greatest(ln((new_n - df + 0.5) / (df + 0.5)), 0) END AS new_idf,
+         |    old_n, new_n
+         |  FROM bdf CROSS JOIN cnt)
+         |SELECT term, df,
+         |  CASE WHEN old_n = new_n THEN 1.0
+         |       WHEN old_idf < 1e-10 THEN 1.0
+         |       ELSE round(new_idf / old_idf, 4) END AS correction
+         |FROM idfs ORDER BY term""".stripMargin,
+    "store_points" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST((start_char - 1) // 150 AS INTEGER) AS chunk_index,
+        |    chunk_text,
+        |    CAST(length(chunk_text) AS INTEGER) AS chunk_len
+        |  FROM (
+        |    SELECT doc_id, lang, source,
+        |      unnest(generate_series(1, greatest(length(text), 1), 150)) AS start_char,
+        |      unnest(list_transform(generate_series(1, greatest(length(text), 1), 150),
+        |        s -> substr(text, s, 200))) AS chunk_text
+        |    FROM documents)
+        |  WHERE length(chunk_text) > 0),
+        |nib AS (
+        |  SELECT *, list_transform(generate_series(1, 8),
+        |    j -> strpos('0123456789abcdef', substr(md5(chunk_text), CAST(j AS INTEGER), 1)) - 1) AS nibs
+        |  FROM chunks)
+        |SELECT
+        |  md5(CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_index AS VARCHAR) || '#' || chunk_text) AS point_id,
+        |  doc_id, chunk_index,
+        |  md5(array_to_string(list_transform(nibs, v -> CAST(v AS VARCHAR)), ',')) AS dense_digest,
+        |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(nibs, v -> (v / 8.0 - 1.0) * (v / 8.0 - 1.0))),
+        |    (acc, x) -> acc + x)), 4) AS dense_norm,
+        |  CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(chunk_text), '[^a-z0-9_]+'),
+        |    t -> len(t) > 1 AND NOT list_contains(
+        |      ['a','an','and','are','as','at','be','by','for','from','has','he','in','is','it','its','of','on','or','that','the','to','was','were','will','with','this','but','they','have','had','what','when','where','who','which','why','how'], t)))) AS INTEGER) AS sparse_nnz,
+        |  lang, source, chunk_len
+        |FROM nib ORDER BY doc_id, chunk_index""".stripMargin,
     "retrieve_scroll" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE lang = 'en' AND doc_id > 40

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Reference nlp.rs ENGLISH_STOPWORDS (40 entries). */
+  /** Reference nlp.rs ENGLISH_STOPWORDS (38 entries). */
   val EnglishStopwords: Seq[String] = Seq(
     "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "has",
     "he", "in", "is", "it", "its", "of", "on", "or", "that", "the", "to",
@@ -28,7 +28,17 @@ object TextFunctions {
 
   private val stopwordsLit = typedLit(EnglishStopwords)
 
-  /** nlp.rs-style tokenizer. */
+  /** nlp.rs-style tokenizer.
+    *
+    * Deliberate deviation: nlp.rs:18 splits on Unicode
+    * `!is_alphanumeric()`, while this twin splits on ASCII
+    * `[^a-z0-9_]+` — so non-ASCII letters are split points here
+    * ('café' → 'caf') where the reference keeps them. The restriction
+    * is kept so the DuckDB oracle CTE (same ASCII regex) is 1:1 with
+    * this Column; the test corpus is pure ASCII, so the two tokenizers
+    * agree on every oracle input. A Unicode corpus would switch both
+    * sides to `[^\p{L}\p{N}_]+`.
+    */
   def tokenizeSimple(text: Column): Column = {
     val raw = split(lower(text), "[^a-z0-9_]+")
     filter(raw, t =>

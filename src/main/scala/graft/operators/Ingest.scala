@@ -54,19 +54,25 @@ object Ingest {
     * per chunk → point rows with payload, point ids from content digest
     * (reference: common/src/hashing.rs document ids). lang/source ride
     * the chunk explode from the same scan — no join back to the corpus.
-    * The dense vector is exported as a scalar digest + norm (verifiable
-    * columns); the array itself stays internal.
+    *
+    * The fake embedding components are the md5 hex digits of the chunk
+    * text (nibble j → integer 0..15 → j-th coordinate v/8−1 ∈ [−1,0.875])
+    * and the exported digest is md5 over the INTEGER nibble values — a
+    * format-stable encoding with no engine-specific double formatting,
+    * so the DuckDB oracle reproduces digest and norm exactly.
     */
   def storePoints(spark: SparkSession, dir: String,
                   dim: Int = 8): DataFrame = {
+    require(dim <= 32, "md5 supplies 32 hex nibbles")
     val chunks = chunkWithMeta(Tables.documents(spark, dir), 200, 50, Seq("lang", "source"))
-    val denseCols = (0 until dim).map { j =>
-      (pmod(xxhash64(col("chunk_text"), lit(j)), lit(2000L)).cast("double") / 1000.0 - 1.0)
+    val nibbles = (0 until dim).map { j =>
+      conv(substring(md5(col("chunk_text")), j + 1, 1), 16, 10)
     }
+    val denseCols = nibbles.map(n => n.cast("double") / 8.0 - 1.0)
     chunks
       .withColumn("point_id", md5(concat_ws("#", col("doc_id"), col("chunk_index"), col("chunk_text"))))
       .withColumn("dense", array(denseCols: _*))
-      .withColumn("dense_digest", md5(concat_ws(",", col("dense").cast("array<string>"))))
+      .withColumn("dense_digest", md5(concat_ws(",", nibbles: _*)))
       .withColumn("dense_norm",
         round(sqrt(aggregate(col("dense"), lit(0.0), (acc, x) => acc + x * x)), 4))
       .withColumn("sparse_nnz", size(array_distinct(tokenizeSimple(col("chunk_text")))))

@@ -296,6 +296,36 @@ object SparseSearch {
       .drop("rn", "tier", "f_isl", "n_seg", "file_run", "project_run")
   }
 
+  /** IDF drift correction factors (idf_rebalance.rs:73 `idf_correction`
+    * + `bm25_idf`): sparse weights stored at ingest time used the corpus
+    * size N of that moment; as the corpus grows, the correction
+    * `new_idf / old_idf` brings them to the current N. The "old"
+    * snapshot is a deterministic 80% slice (doc_id % 5 != 0 — standing
+    * in for `last_corrected_n` from the reference's state store). Same
+    * guards as the reference: df = 0 or df > n → idf 0 (corrupt-vocab
+    * guard, idf_rebalance.rs:63); old_idf < 1e-10 or no growth → factor
+    * 1. One groupBy over the tokenized corpus + a broadcast 1-row count
+    * dim — map-side at any scale.
+    */
+  def idfRebalance(spark: SparkSession, dir: String, oldMod: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dfStats = docFreq(termFreqBm25(docs))
+    val counts = docs.agg(
+      count(lit(1)).cast("double").as("new_n"),
+      sum(when(pmod(col("doc_id"), lit(oldMod)) =!= 0, 1).otherwise(0)).cast("double").as("old_n"))
+    def idf(n: Column): Column =
+      when(col("df") > n, lit(0.0))
+        .otherwise(greatest(log((n - col("df") + 0.5) / (col("df") + 0.5)), lit(0.0)))
+    dfStats.crossJoin(broadcast(counts))
+      .withColumn("old_idf", idf(col("old_n")))
+      .withColumn("new_idf", idf(col("new_n")))
+      .select(col("term"), col("df"),
+        when(col("old_n") === col("new_n"), lit(1.0))
+          .when(col("old_idf") < 1e-10, lit(1.0))
+          .otherwise(round(col("new_idf") / col("old_idf"), 4)).as("correction"))
+      .orderBy(col("term"))
+  }
+
   /** Top tf-idf keyword per document (the reference's lexical candidate
     * stage — keyword_extraction/lexical_candidates, which tokenizes with
     * nlp.rs). tf·ln(N/df), deterministic term-asc tiebreak. The tf⋈df

@@ -32,7 +32,10 @@ object VectorSearch {
     * Plan: pruned scan → broadcast-nested-loop with a 1-row side →
     * TakeOrderedAndProject(k). Scales linearly; no shuffle.
     * `threshold` = the reference's `score_threshold` (search.rs:251):
-    * results scoring below it are dropped before ranking.
+    * results scoring below it are dropped before ranking. The compare
+    * is on `round(score, 6)` so the in/out decision is stable across
+    * engines whose cosines differ in the last ulp (the oracle rounds
+    * identically); ranking still orders by the full-precision score.
     */
   def denseTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
                 k: Int = 20, label: Option[Int] = None,
@@ -43,7 +46,7 @@ object VectorSearch {
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(queryVec(emb, queryId)))
       .withColumn("score", graft.GraftFunctions.cosine(col("embedding"), col("q_emb")))
-    val scored = threshold.fold(all)(t => all.filter(col("score") >= t))
+    val scored = threshold.fold(all)(t => all.filter(round(col("score"), 6) >= t))
     scored
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)

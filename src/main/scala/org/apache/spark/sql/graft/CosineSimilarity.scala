@@ -12,9 +12,14 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * `aggregate(zip_with(...))` composition which materializes the product
   * array per row. Float inputs are implicitly cast.
   *
-  * Semantics match graft.functions.VectorFunctions.cosine bit-for-bit (identical
-  * left-to-right accumulation order), so the two are interchangeable
-  * under the correctness oracle.
+  * For equal-length `array<double>` inputs the semantics match
+  * graft.functions.VectorFunctions.cosine (same left-to-right
+  * accumulation order). They are NOT interchangeable in two corners:
+  * float arrays are implicitly cast to double BEFORE multiplying here,
+  * while the zip_with composition multiplies in float first; and a
+  * length mismatch truncates to the shorter array here, while zip_with
+  * null-pads to the longer one. The operators only ever feed either
+  * form equal-length double arrays, where the two agree exactly.
   *
   * (Reference capability: dense cosine scoring,
   * src/rust/daemon/core/src/storage/search.rs:243 — here as a custom
