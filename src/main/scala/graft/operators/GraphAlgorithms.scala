@@ -143,13 +143,19 @@ object GraphAlgorithms {
   /** Brandes betweenness centrality with source sampling
     * (betweenness.rs:49): the adjacency is AGGREGATED EXECUTOR-SIDE
     * (groupBy node → collect_set — one compact row per node; the raw
-    * edge list is never materialized on the driver). Under
-    * `broadcastNodeCap` nodes, the compact arrays are broadcast and the
-    * sampled sources run Brandes in parallel across the cluster — the
-    * same export-then-compute shape as the reference, with distributed
-    * sources. Beyond the cap, [[betweennessFrontier]] runs the whole
+    * edge list is never materialized on the driver). While the
+    * ESTIMATED BYTES of the compact adjacency fit inside
+    * `broadcastByteBudget`, the arrays are broadcast and the sampled
+    * sources run Brandes in parallel across the cluster — the same
+    * export-then-compute shape as the reference, with distributed
+    * sources. Beyond the budget, [[betweennessFrontier]] runs the whole
     * computation as DataFrame BFS frontiers + reverse dependency
     * accumulation — nothing graph-sized ever leaves the executors.
+    *
+    * The gate is a byte estimate, not a node count: real degree
+    * distributions make per-node adjacency size wildly variable, so the
+    * driver-collect is sized from (node count, neighbor-entry count,
+    * measured id bytes) — see [[estimatedAdjacencyBytes]].
     *
     * Scores are normalised exactly like the reference
     * (betweenness.rs:103 normalize_betweenness): sample scale n/k, then
@@ -157,14 +163,30 @@ object GraphAlgorithms {
     */
   def betweenness(spark: SparkSession, dir: String,
                   maxSamples: Int = 64,
-                  broadcastNodeCap: Long = 4000000L): DataFrame =
-    betweennessEdges(spark, edges(spark, dir), maxSamples, broadcastNodeCap)
+                  broadcastByteBudget: Long = 256L << 20): DataFrame =
+    betweennessEdges(spark, edges(spark, dir), maxSamples, broadcastByteBudget)
+
+  /** JVM-heap estimate of the collected compact adjacency
+    * ((String, Seq[String]) rows): ~48 bytes of object/array overhead
+    * per node row and per neighbor entry, plus 2 bytes per measured id
+    * char (String is UTF-16 on heap). Computed as one aggregate over
+    * the already-checkpointed adjacency — no extra scan of the data.
+    */
+  def estimatedAdjacencyBytes(adjDf: DataFrame): (Long, Long) = {
+    val r = adjDf.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(size(col("nbrs"))), lit(0L)).as("entries"),
+      coalesce(sum(length(col("u"))), lit(0L)).as("id_chars")).head
+    val n = r.getLong(0); val entries = r.getLong(1); val idChars = r.getLong(2)
+    val avgIdBytes = if (n > 0) 2L * idChars / n else 0L
+    (n, n * (48L + avgIdBytes) + entries * (48L + avgIdBytes))
+  }
 
   /** Betweenness over any (src, dst) edge DataFrame — the generic core,
     * also fed the reference's own test graphs by the parity specs. */
   def betweennessEdges(spark: SparkSession, e: DataFrame,
                        maxSamples: Int = 64,
-                       broadcastNodeCap: Long = 4000000L): DataFrame = {
+                       broadcastByteBudget: Long = 256L << 20): DataFrame = {
     // Undirected expansion: the derived supplier→customer graph is
     // bipartite, so directed shortest paths have length 1 and every
     // betweenness would be 0; the reference's code graphs are mixed.
@@ -176,8 +198,8 @@ object GraphAlgorithms {
     val adjDf = und.groupBy(col("u"))
       .agg(sort_array(collect_set(col("v"))).as("nbrs"))
       .localCheckpoint()
-    val nNodes = adjDf.count()
-    if (nNodes <= broadcastNodeCap)
+    val (nNodes, estBytes) = estimatedAdjacencyBytes(adjDf)
+    if (estBytes <= broadcastByteBudget)
       betweennessBroadcast(spark, adjDf, nNodes, maxSamples)
     else
       betweennessFrontier(spark, und, adjDf.select(col("u")), nNodes, maxSamples)

@@ -138,6 +138,52 @@ class ReferenceParitySpec extends SparkSpec {
     assert(merged == Map("a" -> 1.0, "b" -> 2.0, "c" -> 2.0))
   }
 
+  private def betweennessBothPaths(edges: Seq[(String, String)],
+                                   maxSamples: Int): (Map[String, Double], Map[String, Double]) = {
+    val e = edges.toDF("src", "dst")
+    def run(budget: Long) =
+      GraphAlgorithms.betweennessEdges(spark, e, maxSamples, budget)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // Large budget → broadcast path; zero budget → forces the
+    // fully-distributed frontier path on the same graph.
+    (run(256L << 20), run(0L))
+  }
+
+  // reference: betweenness.rs test_betweenness_chain_middle_higher —
+  // chain 0-1-2-3-4. Exact normalized scores: raw(n1)=raw(n3)=6,
+  // raw(n2)=8, normalizer (5-1)(5-2)/2=6, clamped at 1.0.
+  test("betweenness: chain parity — broadcast and frontier paths agree exactly") {
+    val chain = Seq("n0" -> "n1", "n1" -> "n2", "n2" -> "n3", "n3" -> "n4")
+    val (bc, fr) = betweennessBothPaths(chain, maxSamples = 64)
+    val expected = Map("n0" -> 0.0, "n1" -> 1.0, "n2" -> 1.0, "n3" -> 1.0, "n4" -> 0.0)
+    assert(bc == expected, s"broadcast path: $bc")
+    assert(fr == expected, s"frontier path: $fr")
+  }
+
+  // reference: betweenness.rs test_betweenness_with_sampling — k=2
+  // sources on the chain. Sample scale n/k=2.5: raw(n3)=2 →
+  // 2·2.5/6 = 0.833333 (un-clamped, so this pins the normalizer).
+  test("betweenness: sampled chain (k=2) applies the n/k sample scale on both paths") {
+    val chain = Seq("n0" -> "n1", "n1" -> "n2", "n2" -> "n3", "n3" -> "n4")
+    val (bc, fr) = betweennessBothPaths(chain, maxSamples = 2)
+    assert(bc == fr, s"paths disagree: broadcast=$bc frontier=$fr")
+    assert(bc("n3") == 0.833333, s"expected sample-scaled 0.833333, got ${bc("n3")}")
+    assert(bc("n0") == 0.0 && bc("n4") == 0.0)
+  }
+
+  // reference: betweenness.rs test_betweenness_bridge_node_higher — two
+  // triangles {0,1,2} and {3,4,5} with bridge 1-3.
+  test("betweenness: bridge nodes outrank triangle interiors on both paths") {
+    val tri = Seq(
+      "n0" -> "n1", "n0" -> "n2", "n1" -> "n2",
+      "n3" -> "n4", "n3" -> "n5", "n4" -> "n5",
+      "n1" -> "n3")
+    val (bc, fr) = betweennessBothPaths(tri, maxSamples = 64)
+    assert(bc == fr, s"paths disagree: broadcast=$bc frontier=$fr")
+    assert(bc("n1") > bc("n0") && bc("n3") > bc("n4"),
+      s"bridge endpoints must outrank interiors: $bc")
+  }
+
   // reference: storage/search.rs:368 — RRF hand-computed fusion.
   test("RRF formula: w/(60+rank) summed per id (hand-computed vector)") {
     // dense ranks: x=1, y=2; sparse ranks: y=1, z=2 (weights 1.0)
