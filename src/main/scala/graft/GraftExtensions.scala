@@ -31,9 +31,12 @@ object GraftFunctions {
         CosineSimilarity(children(0), children(1)),
       "built-in")
 
-  /** Cosine similarity via the fused native expression. Bit-identical
-    * to VectorFunctions.cosine but one codegen'd loop per row, no
-    * intermediate arrays (float inputs cast implicitly).
+  /** Cosine similarity via the fused native expression: one codegen'd
+    * loop per row, no intermediate arrays. Agrees exactly with
+    * VectorFunctions.cosine on equal-length double arrays (same
+    * accumulation order); float inputs are cast to double BEFORE the
+    * multiply here (vs float-multiply-first in the zip_with form) — see
+    * CosineSimilarity's scaladoc for the corner cases.
     */
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(

@@ -67,6 +67,7 @@ object SparkEntry {
     // Streaming + multimodal
     "streaming_window"    -> ((s, d) => graft.streaming.StreamOps.streamingWindowOnce(s, d)),
     "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.featureSummary(s, d)),
+    "multimodal_search"   -> ((s, d) => graft.multimodal.Multimodal.multimodalSearch(s, d)),
     // Payload filtering / cross-collection / lexicon
     "payload_filter"     -> ((s, d) => PayloadOps.payloadFilter(s, d)),
     "cross_collection"   -> ((s, d) => PayloadOps.crossCollection(s, d)),

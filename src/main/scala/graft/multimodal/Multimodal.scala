@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -76,4 +77,57 @@ object Multimodal {
       .select(col("asset_id"), col("width"), col("height"),
         size(col("features")).as("n_features"))
       .orderBy(col("asset_id"))
+
+  /** Text tower of the fake CLIP pair (clip/encoder.rs:130
+    * `encode_text`): the SAME deterministic byte-histogram as the image
+    * tower's `extract`, over the query's UTF-8 bytes — the honest
+    * stand-in for "both towers project into one shared embedding space"
+    * (encoder.rs: 512-dim ViT-B-32 towers; here a dim-16 fake). Queries
+    * are driver-held strings, so this runs driver-side, exactly
+    * mirroring the executor-side float math.
+    */
+  def encodeTextLocal(text: String, dim: Int = 16): Array[Float] = {
+    val bytes = text.getBytes("UTF-8")
+    val feats = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      feats(java.lang.Byte.toUnsignedInt(bytes(i)) % dim) += 1f
+      i += 1
+    }
+    val total = math.max(bytes.length, 1).toFloat
+    feats.map(_ / total)
+  }
+
+  /** Cross-modal text→asset search (clip/encoder.rs:171
+    * `cosine_similarity`; daemon/core/src/image_search.rs): text queries
+    * encoded by the text tower, scored by cosine against every asset's
+    * image-tower features, per-query top-k.
+    *
+    * Plan shape = knn_join: ONE scan of the asset side, the tiny
+    * encoded-query side broadcast, a per-query rank window over the
+    * k·|queries| survivors — no shuffle of the asset corpus at any
+    * scale.
+    */
+  def multimodalSearch(spark: SparkSession, dir: String,
+                       queries: Seq[String] = defaultQueries,
+                       k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val q = queries.zipWithIndex
+      .map { case (t, i) => (i.toLong, encodeTextLocal(t).toSeq) }
+      .toDF("query_id", "q_features")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("asset_id"))
+    decodeFeatures(spark, dir)
+      .crossJoin(broadcast(q))
+      .withColumn("score", graft.GraftFunctions.cosine(col("features"), col("q_features")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("asset_id"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Fixed cross-modal probe texts (sf-independent). */
+  val defaultQueries: Seq[String] = Seq(
+    "dup vector window fast",
+    "select count sum group by window",
+    "alpha beta gamma delta")
 }
