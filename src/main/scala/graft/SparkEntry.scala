@@ -42,6 +42,7 @@ object SparkEntry {
     "diversity_rerank" -> ((s, d) => SparseSearch.diversityRerank(s, d)),
     "keyword_tfidf"    -> ((s, d) => SparseSearch.keywordTfidf(s, d)),
     "idf_rebalance"    -> ((s, d) => SparseSearch.idfRebalance(s, d)),
+    "keyword_tags"     -> ((s, d) => KeywordTags.keywordTags(s, d)),
     // Deduplication
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -344,6 +345,51 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
          |  FROM kscored)
          |SELECT doc_id, term AS keyword FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "keyword_tags" ->
+      s"""$tokenStatsCte,
+         |rel AS (
+         |  SELECT tfc.doc_id, tfc.term, (tfc.tf::DOUBLE * (n.n - dfreq.df)) / (n.n * dfreq.df) AS rel
+         |  FROM tfc JOIN dfreq USING (term) CROSS JOIN n),
+         |cand AS (
+         |  SELECT doc_id, term, rel,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rel DESC, term) AS INTEGER) AS idx
+         |  FROM rel QUALIFY idx <= 12),
+         |vocab AS (SELECT DISTINCT term FROM cand),
+         |dt AS (SELECT DISTINCT tfc.doc_id, tfc.term FROM tfc JOIN vocab USING (term)),
+         |coocp AS (
+         |  SELECT x.term AS ta, y.term AS tb, count(*) AS c
+         |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term
+         |  GROUP BY 1, 2),
+         |simsp AS (
+         |  SELECT ta, tb, (c::DOUBLE * c) / (a.df::DOUBLE * b.df) AS s
+         |  FROM coocp JOIN dfreq a ON a.term = ta JOIN dfreq b ON b.term = tb),
+         |dp AS (
+         |  SELECT a.doc_id, {'ta': a.term, 'tb': b.term, 's': coalesce(s, 0.0)} AS p
+         |  FROM cand a JOIN cand b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  LEFT JOIN simsp ON simsp.ta = a.term AND simsp.tb = b.term),
+         |perdoc AS (
+         |  SELECT doc_id, list_sort(list({'idx': idx, 'term': term, 'rel': rel})) AS cands
+         |  FROM cand GROUP BY 1),
+         |persims AS (SELECT doc_id, list(p) AS sims FROM dp GROUP BY 1),
+         |folded AS (
+         |  SELECT perdoc.doc_id,
+         |    list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(generate_series(1, 5), g -> CAST([] AS VARCHAR[]))),
+         |      (sel, z) -> sel || list_transform(list_slice(list_reverse(list_sort(
+         |        list_transform(list_filter(
+         |          list_transform(list_filter(cands, c -> NOT list_contains(sel, c.term)),
+         |            c -> {'ms': coalesce(list_max(list_transform(sel, t ->
+         |                    coalesce(list_max(list_transform(list_filter(coalesce(persims.sims, []), p ->
+         |                      (p.ta = c.term AND p.tb = t) OR (p.ta = t AND p.tb = c.term)),
+         |                      p -> p.s)), 0.0))), 0.0),
+         |                  'idx': c.idx, 'term': c.term, 'rel': c.rel}),
+         |          e -> e.ms <= 0.64),
+         |        e -> {'m': 0.7 * e.rel - (1 - 0.7) * e.ms, 'ni': -e.idx, 'term': e.term}))), 1, 1),
+         |      b -> b.term)) AS selected
+         |  FROM perdoc LEFT JOIN persims USING (doc_id))
+         |SELECT doc_id, CAST(ti AS INTEGER) AS tag_rank, tag FROM (
+         |  SELECT doc_id, unnest(selected) AS tag, unnest(generate_series(1, len(selected))) AS ti
+         |  FROM folded WHERE len(selected) > 0)
+         |ORDER BY doc_id, tag_rank""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

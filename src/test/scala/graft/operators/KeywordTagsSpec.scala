@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Parity of the distributed MMR tag selection with a direct Scala
+  * model of tag_selector.rs:81 `select_tags` (greedy MMR, strict-`>`
+  * first-wins ties, inter-tag similarity cap), plus the reference's own
+  * select_tags unit-test scenarios re-expressed on the squared-cosine
+  * scale.
+  */
+case class Cand(idx: Int, term: String, rel: Double)
+case class SimP(ta: String, tb: String, s: Double)
+case class DocIn(doc_id: Long, cands: Seq[Cand], sims: Seq[SimP])
+
+class KeywordTagsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** tag_selector.rs select_tags, verbatim loop semantics. */
+  private def modelSelect(cands: Seq[(Int, String, Double)],
+                          sims: Map[(String, String), Double],
+                          maxTags: Int = 5, lambda: Double = 0.7,
+                          maxSimSq: Double = 0.64): Seq[String] = {
+    def simOf(a: String, b: String): Double =
+      sims.getOrElse((a, b), sims.getOrElse((b, a), 0.0))
+    val selected = scala.collection.mutable.ArrayBuffer[String]()
+    var go = true
+    while (selected.size < maxTags && go) {
+      var bestMmr = Double.NegativeInfinity
+      var best: Option[String] = None
+      for ((_, t, rel) <- cands.sortBy(_._1) if !selected.contains(t)) {
+        val ms = if (selected.isEmpty) 0.0 else selected.map(simOf(t, _)).max
+        if (ms <= maxSimSq) {
+          val mmr = lambda * rel - (1 - lambda) * ms
+          if (mmr > bestMmr) { bestMmr = mmr; best = Some(t) }
+        }
+      }
+      best match {
+        case Some(t) => selected += t
+        case None    => go = false
+      }
+    }
+    selected.toSeq
+  }
+
+  private def runDf(docs: Seq[DocIn], maxTags: Int = 5): Map[Long, Seq[String]] =
+    KeywordTags.selectTagsDf(docs.toDS.toDF, maxTags = maxTags)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq }
+
+  // reference: tag_selector.rs test_select_tags_basic — orthogonal
+  // candidates: all selected, highest relevance first.
+  test("MMR: orthogonal candidates all selected in relevance order") {
+    val in = DocIn(1L, Seq(Cand(1, "vector_search", 0.9), Cand(2, "database", 0.7),
+      Cand(3, "embedding", 0.6)), Nil)
+    assert(runDf(Seq(in), maxTags = 3)(1L) == Seq("vector_search", "database", "embedding"))
+  }
+
+  // reference: tag_selector.rs test_select_tags_diversity — the near
+  // duplicate of the top tag is rejected for the diverse third option.
+  test("MMR: near-duplicate rejected in favour of a diverse candidate") {
+    val in = DocIn(1L,
+      Seq(Cand(1, "vector_search", 0.9), Cand(2, "vector_indexing", 0.85),
+        Cand(3, "grpc_protocol", 0.6)),
+      Seq(SimP("vector_search", "vector_indexing", 0.98),
+        SimP("vector_search", "grpc_protocol", 0.0),
+        SimP("vector_indexing", "grpc_protocol", 0.0)))
+    assert(runDf(Seq(in), maxTags = 2)(1L) == Seq("vector_search", "grpc_protocol"))
+  }
+
+  // reference: tag_selector.rs test_select_tags_all_identical_vectors —
+  // only the first survives when everything is maximally similar.
+  test("MMR: identical candidates collapse to the top one") {
+    val in = DocIn(1L,
+      Seq(Cand(1, "tag_a", 0.9), Cand(2, "tag_b", 0.8), Cand(3, "tag_c", 0.7)),
+      Seq(SimP("tag_a", "tag_b", 1.0), SimP("tag_a", "tag_c", 1.0),
+        SimP("tag_b", "tag_c", 1.0)))
+    assert(runDf(Seq(in), maxTags = 3)(1L) == Seq("tag_a"))
+  }
+
+  test("keyword_tags on the corpus matches the Scala reference model per doc") {
+    val inputs = KeywordTags.keywordTagInputs(spark, sfDir).collect()
+    val expected = inputs.map { r =>
+      val cands = r.getSeq[Row](1).map(c => (c.getInt(0), c.getString(1), c.getDouble(2)))
+      val sims = r.getSeq[Row](2)
+        .map(p => (p.getString(0), p.getString(1)) -> p.getDouble(2)).toMap
+      r.getLong(0) -> modelSelect(cands, sims)
+    }.toMap.filter(_._2.nonEmpty)
+    val got = KeywordTags.keywordTags(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq }
+    assert(got.keySet == expected.keySet,
+      s"doc coverage differs: ${got.keySet.size} vs ${expected.keySet.size}")
+    val bad = expected.collect { case (id, exp) if got(id) != exp => (id, exp, got(id)) }
+    assert(bad.isEmpty, s"mismatched docs (first 3): ${bad.take(3)}")
+    assert(expected.nonEmpty && expected.values.exists(_.size > 1),
+      "corpus must produce multi-tag docs (non-vacuous)")
+  }
+}
