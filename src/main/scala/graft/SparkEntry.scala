@@ -65,6 +65,7 @@ object SparkEntry {
     "graph_pagerank"    -> ((s, d) => GraphAlgorithms.pageRank(s, d)),
     "graph_communities" -> ((s, d) => GraphAlgorithms.communities(s, d)),
     "graph_betweenness" -> ((s, d) => GraphAlgorithms.betweenness(s, d)),
+    "graph_leiden"      -> ((s, d) => Leiden.graphLeiden(s, d)),
     // Streaming + multimodal
     "streaming_window"    -> ((s, d) => graft.streaming.StreamOps.streamingWindowOnce(s, d)),
     "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.featureSummary(s, d)),

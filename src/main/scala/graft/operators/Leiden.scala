@@ -1,0 +1,407 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Leiden community detection over the order-derived relationship graph
+  * (reference: src/rust/daemon/core/src/graph/algorithms/leiden/mod.rs —
+  * CPM objective H = Σ_c [e_c − γ·(n_c choose 2)], three-phase loop
+  * local-move → refine → aggregate, plus the DOM-06 size-gated
+  * recursive split at γ' = γ·step; refine.rs — γ-well-connectedness
+  * merge guard; Traag, Waltman & van Eck 2019).
+  *
+  * Architecture mirrors [[GraphAlgorithms.betweenness]]: the heavy part
+  * at 100 TB — deduplicating and weight-summing the edge list out of
+  * the raw tables — runs in the cluster; the partition itself is
+  * inherently sequential (the reference mandates single-threaded
+  * BTreeMap determinism), so under [[GraphAlgorithms.estimatedAdjacencyBytes]]'
+  * byte budget the COMPACT weighted adjacency is collected and the
+  * faithful sequential algorithm runs on it. Beyond the budget,
+  * [[leidenFrontier]] runs bucketed synchronous CPM local-move rounds
+  * entirely as DataFrame joins — a documented single-level
+  * approximation (no refine/split), the standard distributed-Louvain
+  * trade-off — which the specs pin to the reference partitions on the
+  * reference's own test graphs.
+  *
+  * Output: (node_id, community), community = smallest member node id
+  * (the same stable labeling as [[GraphAlgorithms.communities]]).
+  */
+object Leiden {
+
+  /** CPM config, defaults = LeidenConfig::default (mod.rs:75). */
+  case class Config(resolution: Double = 1.0, resolutionStep: Double = 1.5,
+                    maxCommunityMembers: Int = 200, minCommunityMembers: Int = 4)
+
+  /** Weighted undirected edges from shared orders: weight = number of
+    * distinct orders linking the supplier and customer (the multi-edge
+    * count the reference sums when symmetrising, mod.rs:121).
+    */
+  def weightedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst"),
+        col("l_orderkey"))
+      .distinct()
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+  }
+
+  /** graph_leiden query: Leiden over the order graph. */
+  def graphLeiden(spark: SparkSession, dir: String,
+                  config: Config = Config(),
+                  broadcastByteBudget: Long = 256L << 20): DataFrame =
+    leidenEdges(spark, weightedEdges(spark, dir), config, broadcastByteBudget)
+
+  /** Leiden over any (src, dst, w) weighted edge DataFrame. `buckets`
+    * only affects the over-budget frontier path. */
+  def leidenEdges(spark: SparkSession, e: DataFrame, config: Config,
+                  broadcastByteBudget: Long = 256L << 20,
+                  buckets: Int = 8): DataFrame = {
+    // Symmetrise + weight-sum in the cluster (mod.rs:121
+    // build_undirected_adj; self-loops dropped).
+    val und = e.filter(col("src") =!= col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .union(e.filter(col("src") =!= col("dst"))
+        .select(col("dst"), col("src"), col("w")))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    val adjDf = und.groupBy(col("u"))
+      .agg(sort_array(collect_list(struct(col("v"), col("w")))).as("nbrs"))
+      .localCheckpoint()
+    val stats = adjDf.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(size(col("nbrs"))), lit(0L)).as("entries"),
+      coalesce(sum(length(col("u"))), lit(0L)).as("id_chars")).head
+    val nNodes = stats.getLong(0)
+    val avgId = if (nNodes > 0) 2L * stats.getLong(2) / nNodes else 0L
+    val estBytes = nNodes * (48L + avgId) + stats.getLong(1) * (56L + avgId)
+    if (estBytes <= broadcastByteBudget) leidenCompact(spark, adjDf, config)
+    else leidenFrontier(spark, und, config, buckets)
+  }
+
+  // ------------------------------------------------------------------
+  // Compact path: faithful sequential Leiden on the collected adjacency
+  // ------------------------------------------------------------------
+
+  private def leidenCompact(spark: SparkSession, adjDf: DataFrame,
+                            config: Config): DataFrame = {
+    import spark.implicits._
+    val rows = adjDf.as[(String, Seq[(String, Double)])].collect().sortBy(_._1)
+    val ids = rows.map(_._1)
+    val idx = ids.zipWithIndex.toMap
+    val adj: Array[Array[(Int, Double)]] =
+      rows.map(_._2.map { case (v, w) => (idx(v), w) }.sortBy(_._1).toArray)
+    val partition = detect(adj, config)
+    // community label = smallest member id
+    val byComm = partition.zipWithIndex.groupMap(_._1)(_._2)
+    val label = new Array[String](ids.length)
+    byComm.values.foreach { members =>
+      val lbl = ids(members.min)
+      members.foreach(m => label(m) = lbl)
+    }
+    ids.indices.map(i => (ids(i), label(i))).toDF("node_id", "community")
+      .orderBy(col("node_id"))
+  }
+
+  /** detect_communities_leiden (mod.rs:95): flat Leiden at γ, then the
+    * DOM-06 recursive size-gated split. Returns community id per node
+    * index.
+    */
+  def detect(adj: Array[Array[(Int, Double)]], config: Config): Array[Int] = {
+    val n = adj.length
+    if (n == 0) return Array.empty
+    val flat = flatLeiden(adj, config.resolution)
+    val out = new Array[Int](n)
+    var nextId = 0
+    (0 until n).groupBy(flat).toSeq.sortBy(_._2.min).foreach { case (_, nodes) =>
+      val members = nodes.toArray.sorted
+      splitCommunity(members, adj, config, config.resolution).foreach { comm =>
+        comm.foreach(m => out(m) = nextId)
+        nextId += 1
+      }
+    }
+    out
+  }
+
+  /** split_community (mod.rs:357): re-cluster an oversize community at
+    * γ' = γ·step on its induced subgraph; accept only a clean ≥2-way
+    * split whose parts all meet the min size, else keep whole.
+    */
+  private def splitCommunity(members: Array[Int], adj: Array[Array[(Int, Double)]],
+                             config: Config, resolution: Double): Seq[Array[Int]] = {
+    if (members.length < config.maxCommunityMembers ||
+        members.length < config.minCommunityMembers) return Seq(members)
+    val origToSub = members.zipWithIndex.toMap
+    val subAdj: Array[Array[(Int, Double)]] = members.map { orig =>
+      adj(orig).flatMap { case (j, w) => origToSub.get(j).map(sj => (sj, w)) }
+    }
+    val nextRes = resolution * config.resolutionStep
+    val subPart = flatLeiden(subAdj, nextRes)
+    val parts = subAdj.indices.groupBy(subPart).toSeq.sortBy(_._2.min)
+      .map { case (_, poss) => poss.map(members).toArray.sorted }
+    val clean = parts.length >= 2 && parts.forall(_.length >= config.minCommunityMembers)
+    if (!clean) Seq(members)
+    else parts.flatMap(p => splitCommunity(p, adj, config, nextRes))
+  }
+
+  /** flat_leiden (mod.rs:142): local-move → refine → aggregate loop to
+    * convergence. Returns community per node index (arbitrary ids).
+    */
+  def flatLeiden(adj: Array[Array[(Int, Double)]],
+                 resolution: Double): Array[Int] = {
+    val n = adj.length
+    if (n == 0) return Array.empty
+    if (n == 1) return Array(0)
+    var partition = Array.tabulate(n)(i => i)
+    var converged = false
+    var outer = 0
+    while (!converged && outer < 30) {
+      outer += 1
+      val moved = localMove(adj, partition, resolution)
+      val refined = refine(adj, partition, resolution)
+      // aggregate graph over refined sub-communities
+      val subIds = refined.distinct.sorted
+      val subIdx = subIds.zipWithIndex.toMap
+      val nodeToAgg = refined.map(subIdx)
+      val aggN = subIds.length
+      // Self-loops (intra-sub internal weight) are RETAINED (aggregate.rs:73)
+      // — they feed w_to_cur in the aggregate local-move and are what
+      // prevents re-merging split communities at higher resolution.
+      val aggAdjM = Array.fill(aggN)(mutable.TreeMap.empty[Int, Double])
+      var i = 0
+      while (i < n) {
+        val ai = nodeToAgg(i)
+        adj(i).foreach { case (j, w) =>
+          val aj = nodeToAgg(j)
+          if (ai == aj) aggAdjM(ai).updateWith(ai)(o => Some(o.getOrElse(0.0) + w / 2.0))
+          else {
+            aggAdjM(ai).updateWith(aj)(o => Some(o.getOrElse(0.0) + w / 2.0))
+            aggAdjM(aj).updateWith(ai)(o => Some(o.getOrElse(0.0) + w / 2.0))
+          }
+        }
+        i += 1
+      }
+      val aggAdj = aggAdjM.map(_.toArray)
+      // initial aggregate assignment = phase-1 community of constituents
+      val aggPart = new Array[Int](aggN)
+      java.util.Arrays.fill(aggPart, -1)
+      i = 0
+      while (i < n) {
+        if (aggPart(nodeToAgg(i)) < 0) aggPart(nodeToAgg(i)) = partition(i)
+        i += 1
+      }
+      val prevAgg = aggPart.clone()
+      val aggMoved = localMove(aggAdj, aggPart, resolution)
+      val lifted = Array.tabulate(n)(k => aggPart(nodeToAgg(k)))
+      if (!moved && !aggMoved) { partition = lifted; converged = true }
+      else {
+        partition = lifted
+        val prevLifted = Array.tabulate(n)(k => prevAgg(nodeToAgg(k)))
+        if (partition.sameElements(prevLifted)) converged = true
+      }
+    }
+    partition
+  }
+
+  /** local_move_phase (mod.rs:262): visit nodes in index order, move to
+    * the neighbouring community maximising CPM ΔH; zero-gain moves go to
+    * the lower community id (the reference's tie rule — it is what
+    * collapses unit-weight cliques at γ=1); repeat until stable.
+    */
+  def localMove(adj: Array[Array[(Int, Double)]], partition: Array[Int],
+                resolution: Double): Boolean = {
+    val n = adj.length
+    val commSize = mutable.HashMap.empty[Int, Int]
+    partition.foreach(c => commSize.updateWith(c)(o => Some(o.getOrElse(0) + 1)))
+    var anyMoved = false
+    var changed = true
+    var sweeps = 0
+    while (changed && sweeps < 100) {
+      changed = false; sweeps += 1
+      var node = 0
+      while (node < n) {
+        val cCur = partition(node)
+        val sizeCur = commSize(cCur)
+        val wToComm = mutable.TreeMap.empty[Int, Double]
+        adj(node).foreach { case (nb, w) =>
+          wToComm.updateWith(partition(nb))(o => Some(o.getOrElse(0.0) + w))
+        }
+        val wToCur = wToComm.getOrElse(cCur, 0.0)
+        val deltaRemove = -wToCur + resolution * (sizeCur - 1.0)
+        var bestComm = cCur
+        var bestGain = 0.0
+        wToComm.foreach { case (cCand, wCand) =>
+          if (cCand != cCur) {
+            val sizeCand = commSize.getOrElse(cCand, 0)
+            val gain = deltaRemove + (wCand - resolution * sizeCand)
+            if (gain > bestGain || (gain == bestGain && cCand < bestComm)) {
+              bestGain = gain; bestComm = cCand
+            }
+          }
+        }
+        if (bestComm != cCur) {
+          commSize.update(cCur, commSize(cCur) - 1)
+          commSize.updateWith(bestComm)(o => Some(o.getOrElse(0) + 1))
+          partition(node) = bestComm
+          changed = true; anyMoved = true
+        }
+        node += 1
+      }
+    }
+    anyMoved
+  }
+
+  /** refine_partition (refine.rs:30): within each phase-1 community,
+    * singleton sub-communities merge only into γ-well-connected
+    * partners (cut weight to the rest of the community must exceed
+    * γ·|T|·(|C|−|T|)) and only on a strict CPM gain.
+    */
+  def refine(adj: Array[Array[(Int, Double)]], partition: Array[Int],
+             resolution: Double): Array[Int] = {
+    val n = adj.length
+    val refined = Array.tabulate(n)(i => i)
+    partition.indices.groupBy(partition).toSeq.sortBy(_._1).foreach { case (_, membersSeq) =>
+      val members = membersSeq.toArray.sorted
+      val cSize = members.length
+      if (cSize > 1) {
+        val memberSet = members.toSet
+        // degC(x): weight from x to the rest of C — fixed per phase-1
+        // community, so the γ-well-connectedness cut of a sub T is
+        // w(T, C\T) = Σ_{m∈T} degC(m) − 2·W_int(T), maintained
+        // incrementally instead of rescanning members per candidate
+        // (the reference rescans, refine.rs:118 — O(|C|²·deg); this is
+        // the same quantity in O(deg) per visit).
+        val degC = mutable.HashMap.empty[Int, Double]
+        members.foreach { m =>
+          degC(m) = adj(m).iterator.collect {
+            case (nb, w) if nb != m && memberSet.contains(nb) => w
+          }.sum
+        }
+        val subSize = mutable.HashMap.empty[Int, Int]
+        val subDeg = mutable.HashMap.empty[Int, Double]
+        val subInt = mutable.HashMap.empty[Int, Double]
+        members.foreach { m => subSize(m) = 1; subDeg(m) = degC(m); subInt(m) = 0.0 }
+        var changed = true
+        var sweeps = 0
+        while (changed && sweeps < 50) {
+          changed = false; sweeps += 1
+          members.foreach { node =>
+            val curSub = refined(node)
+            val wToSub = mutable.TreeMap.empty[Int, Double]
+            adj(node).foreach { case (nb, w) =>
+              if (nb != node && memberSet.contains(nb))
+                wToSub.updateWith(refined(nb))(o => Some(o.getOrElse(0.0) + w))
+            }
+            val wToCurSub = wToSub.getOrElse(curSub, 0.0)
+            val deltaRemove = -wToCurSub + resolution * (subSize(curSub) - 1.0)
+            var bestSub = curSub
+            var bestGain = 0.0
+            var bestW = 0.0
+            wToSub.foreach { case (candSub, wCand) =>
+              if (candSub != curSub) {
+                val csz = subSize(candSub)
+                val cut = subDeg(candSub) - 2.0 * subInt(candSub)
+                val threshold = resolution * csz.toDouble * (cSize - csz).toDouble
+                if (cut > threshold) {
+                  val gain = deltaRemove + (wCand - resolution * csz)
+                  if (gain > bestGain || (gain == bestGain && candSub < bestSub)) {
+                    bestGain = gain; bestSub = candSub; bestW = wCand
+                  }
+                }
+              }
+            }
+            if (bestSub != curSub) {
+              subSize.update(curSub, subSize(curSub) - 1)
+              subSize.update(bestSub, subSize(bestSub) + 1)
+              subDeg.update(curSub, subDeg(curSub) - degC(node))
+              subDeg.update(bestSub, subDeg(bestSub) + degC(node))
+              subInt.update(curSub, subInt(curSub) - wToCurSub)
+              subInt.update(bestSub, subInt(bestSub) + bestW)
+              refined(node) = bestSub
+              changed = true
+            }
+          }
+        }
+      }
+    }
+    refined
+  }
+
+  // ------------------------------------------------------------------
+  // Distributed path: bucketed synchronous CPM local-move
+  // ------------------------------------------------------------------
+
+  /** Over-budget path: synchronous CPM local-move rounds where only one
+    * hash bucket of nodes moves per round (against stats frozen at the
+    * round start). Small buckets approach the reference's sequential
+    * visit order — with `buckets` ≥ node count each round moves at most
+    * a handful of nodes, eliminating the mutual-swap livelock of fully
+    * parallel rounds; larger graphs trade fidelity for rounds. A full
+    * sweep with no move stops early. Single level, no refine/split —
+    * the documented distributed-Louvain approximation.
+    */
+  def leidenFrontier(spark: SparkSession, und: DataFrame, config: Config,
+                     buckets: Int = 8, maxSweeps: Int = 4): DataFrame = {
+    val gamma = config.resolution
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var sweep = 0
+    var stable = false
+    while (sweep < maxSweeps && !stable) {
+      var movesThisSweep = 0L
+      for (b <- 0 until buckets) {
+        val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+        val wTo = und
+          .join(labels.withColumnRenamed("node", "v2"), col("v") === col("v2"))
+          .groupBy(col("u"), col("label"))
+          .agg(sum(col("w")).as("wc"))
+        val cur = labels.select(col("node"), col("label").as("cur_label"))
+          .join(sizes.select(col("label").as("cur_label"), col("csize").as("cur_size")), "cur_label")
+        val cand = wTo
+          .join(sizes, "label")
+          .select(col("u").as("node"), col("label").as("cand_label"),
+            col("wc"), col("csize"))
+        val scored = cur
+          .filter(pmod(xxhash64(col("node")), lit(buckets)) === b)
+          .join(cand, Seq("node"), "left")
+          .withColumn("w_cur",
+            max(when(col("cand_label") === col("cur_label"), col("wc")).otherwise(lit(0.0)))
+              .over(Window.partitionBy(col("node"))))
+          .filter(col("cand_label").isNotNull && col("cand_label") =!= col("cur_label"))
+          // candidate size excludes the node; current size includes it
+          .withColumn("gain",
+            (col("wc") - col("w_cur")) +
+              lit(gamma) * (col("cur_size") - 1 - col("csize")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("node"))
+              .orderBy(col("gain").desc, col("cand_label"))))
+          .filter(col("rn") === 1)
+          .filter(col("gain") > 0 ||
+            (col("gain") === 0 && col("cand_label") < col("cur_label")))
+          .select(col("node"), col("cand_label").as("new_label"))
+          .localCheckpoint()
+        val nMoves = scored.count()
+        if (nMoves > 0) {
+          labels = labels.join(scored, Seq("node"), "left")
+            .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+            .localCheckpoint()
+          movesThisSweep += nMoves
+        }
+      }
+      stable = movesThisSweep == 0
+      sweep += 1
+    }
+    labels
+      .withColumn("community", min(col("node")).over(Window.partitionBy(col("label"))))
+      .select(col("node").as("node_id"), col("community"))
+      .orderBy(col("node_id"))
+  }
+}
