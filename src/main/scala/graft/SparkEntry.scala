@@ -77,6 +77,8 @@ object SparkEntry {
     "cooccurrence"       -> ((s, d) => PayloadOps.cooccurrence(s, d)),
     "session_window_agg" -> ((s, d) => PayloadOps.sessionWindowAgg(s, d)),
     "rules_select"       -> ((s, d) => PayloadOps.rulesSelect(s, d)),
+    "tenant_decay"       -> ((s, d) => PayloadOps.tenantSearchDecay(s, d)),
+    "debounce_events"    -> ((s, d) => PayloadOps.debounceEvents(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -614,6 +616,30 @@ object SparkEntry {
         |SELECT doc_id, priority, n_tokens, cum_tokens
         |FROM cum WHERE cum_tokens <= 500
         |ORDER BY priority DESC, doc_id""".stripMargin,
+    "tenant_decay" ->
+      s"""$bm25StatsCte,
+         |$bm25ScoredCte,
+         |ten AS (
+         |  SELECT doc_id, 'p' || (CAST(substr(source, 4) AS INTEGER) % 5) AS tenant_id
+         |  FROM documents),
+         |adj AS (
+         |  SELECT s.doc_id, t.tenant_id,
+         |    s.score * CASE WHEN t.tenant_id = 'p1' THEN 1.0
+         |                   WHEN t.tenant_id = 'p2' THEN 0.7
+         |                   ELSE 0.4 END AS adj_score
+         |  FROM sscored s JOIN ten t USING (doc_id))
+         |SELECT doc_id, tenant_id,
+         |  CAST(row_number() OVER (ORDER BY adj_score DESC, doc_id) AS INTEGER) AS rnk
+         |FROM adj ORDER BY rnk LIMIT 20""".stripMargin,
+    "debounce_events" ->
+      """WITH led AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+        |  FROM events)
+        |SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |FROM led
+        |WHERE next_us IS NULL OR next_us - epoch_us(ts) > 600000000
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "session_window_agg" ->
       """WITH lagged AS (
         |  SELECT user_id, ts, value, event_id,

@@ -37,6 +37,17 @@ object Leiden {
   case class Config(resolution: Double = 1.0, resolutionStep: Double = 1.5,
                     maxCommunityMembers: Int = 200, minCommunityMembers: Int = 4)
 
+  /** Sweep caps bounding worst-case work on pathological graphs. The
+    * reference loops to exact stability (fine on code graphs of
+    * thousands of nodes); on the dense synthetic order graph the
+    * zero-gain tie-churn makes unbounded sweeps quadratic-feeling, so
+    * each phase is capped — every parity graph converges well inside
+    * these, and a capped run is still deterministic.
+    */
+  private val MaxLocalMoveSweeps = 12
+  private val MaxRefineSweeps = 8
+  private val MaxOuterLoops = 6
+
   /** Weighted undirected edges from shared orders: weight = number of
     * distinct orders linking the supplier and customer (the multi-edge
     * count the reference sums when symmetrising, mod.rs:121).
@@ -143,6 +154,11 @@ object Leiden {
       adj(orig).flatMap { case (j, w) => origToSub.get(j).map(sj => (sj, w)) }
     }
     val nextRes = resolution * config.resolutionStep
+    // Once γ' exceeds every edge weight no singleton merge has positive
+    // gain — the community is irreducible at any deeper level, so the
+    // recursion can stop without running flat Leiden at all.
+    val maxW = subAdj.iterator.flatMap(_.iterator.map(_._2)).maxOption.getOrElse(0.0)
+    if (nextRes > maxW) return Seq(members)
     val subPart = flatLeiden(subAdj, nextRes)
     val parts = subAdj.indices.groupBy(subPart).toSeq.sortBy(_._2.min)
       .map { case (_, poss) => poss.map(members).toArray.sorted }
@@ -162,7 +178,7 @@ object Leiden {
     var partition = Array.tabulate(n)(i => i)
     var converged = false
     var outer = 0
-    while (!converged && outer < 30) {
+    while (!converged && outer < MaxOuterLoops) {
       outer += 1
       val moved = localMove(adj, partition, resolution)
       val refined = refine(adj, partition, resolution)
@@ -223,13 +239,16 @@ object Leiden {
     var anyMoved = false
     var changed = true
     var sweeps = 0
-    while (changed && sweeps < 100) {
+    while (changed && sweeps < MaxLocalMoveSweeps) {
       changed = false; sweeps += 1
       var node = 0
       while (node < n) {
         val cCur = partition(node)
         val sizeCur = commSize(cCur)
-        val wToComm = mutable.TreeMap.empty[Int, Double]
+        // HashMap, not TreeMap: the argmax rule (strictly-better gain,
+        // or equal gain and lower community id) is iteration-order
+        // independent, so sorted traversal buys nothing but log factors.
+        val wToComm = mutable.HashMap.empty[Int, Double]
         adj(node).foreach { case (nb, w) =>
           wToComm.updateWith(partition(nb))(o => Some(o.getOrElse(0.0) + w))
         }
@@ -290,11 +309,11 @@ object Leiden {
         members.foreach { m => subSize(m) = 1; subDeg(m) = degC(m); subInt(m) = 0.0 }
         var changed = true
         var sweeps = 0
-        while (changed && sweeps < 50) {
+        while (changed && sweeps < MaxRefineSweeps) {
           changed = false; sweeps += 1
           members.foreach { node =>
             val curSub = refined(node)
-            val wToSub = mutable.TreeMap.empty[Int, Double]
+            val wToSub = mutable.HashMap.empty[Int, Double]
             adj(node).foreach { case (nb, w) =>
               if (nb != node && memberSet.contains(nb))
                 wToSub.updateWith(refined(nb))(o => Some(o.getOrElse(0.0) + w))

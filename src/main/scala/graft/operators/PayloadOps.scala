@@ -152,4 +152,58 @@ object PayloadOps {
         col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
       .orderBy(col("user_id"), col("session_start"))
+
+  /** Tenant-scoped search with cross-project relevance decay
+    * (reference cross_project_search.rs:134 `apply_relevance_decay`,
+    * RelevanceDecay defaults 1.0 / 0.7 / 0.4): the current project's
+    * results keep their score, grouped projects decay by 0.7, everything
+    * else by 0.4, then the list re-sorts by adjusted score. Tenants are
+    * the derived project grouping of `source` (the test corpus carries
+    * no tenant column — same derivation as diversity_rerank). The decay
+    * is one multiply on an already-scored list; integer-rank output
+    * keeps the oracle hash-stable.
+    */
+  def tenantSearchDecay(spark: SparkSession, dir: String,
+                        query: String = "dup vector window fast",
+                        currentTenant: String = "p1",
+                        groupTenants: Seq[String] = Seq("p2"),
+                        k: Int = 20,
+                        currentMul: Double = 1.0, groupMul: Double = 0.7,
+                        otherMul: Double = 0.4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = SparseSearch.bm25ScoresForQuery(spark, docs, query)
+    val tenants = docs.select(col("doc_id"),
+      concat(lit("p"), expr("cast(substring(source, 4) as int) % 5")).as("tenant_id"))
+    val adj = scored.join(tenants, "doc_id")
+      .withColumn("adj_score", col("score") *
+        when(col("tenant_id") === currentTenant, lit(currentMul))
+          .when(col("tenant_id").isin(groupTenants: _*), lit(groupMul))
+          .otherwise(lit(otherMul)))
+    adj
+      .orderBy(col("adj_score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("tenant_id"),
+        row_number().over(Window.orderBy(col("adj_score").desc, col("doc_id"))).as("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Batch twin of the file-watcher debouncer (watching_queue/types.rs:160
+    * `EventDebouncer`: per path only the LATEST event survives, and it is
+    * released once the path has been quiet for the debounce window). Over
+    * a closed log that is exactly: emit an event iff no later same-key
+    * event follows within `debounceSec` — one lead window, no state. The
+    * streaming twin with real incremental state is
+    * [[graft.streaming.StreamOps.debounceOnce]]; StreamOpsSpec asserts
+    * the two agree up to the watermark.
+    */
+  def debounceEvents(spark: SparkSession, dir: String,
+                     debounceSec: Long = 600L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("next_us").isNull ||
+        col("next_us") - unix_micros(col("ts")) > debounceSec * 1000000L)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
 }

@@ -2,8 +2,14 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
+
+/** One event inside the stateful debouncer: ts carried both as the
+  * watermark timestamp and as exact epoch micros for gap arithmetic.
+  */
+case class DebEvent(user_id: Long, event_id: Long, event_type: String,
+                    ts: java.sql.Timestamp, ts_us: Long)
 
 /** Structured Streaming twin of the batch event operators — the
   * reference's continuous ingest loop (memexd file watcher →
@@ -70,5 +76,71 @@ object StreamOps {
     q.awaitTermination()
     spark.table(name)
       .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Stateful per-key debouncer — the streaming twin of the reference's
+    * `EventDebouncer` (watching_queue/types.rs:160: per path only the
+    * latest event survives; it is released after `debounceSec` of
+    * quiet). Keys here are user ids standing in for watched paths.
+    *
+    * flatMapGroupsWithState semantics: state holds the pending (latest)
+    * event; a batch of arrivals emits every event followed within the
+    * batch by a gap > debounce, keeps the newest pending, and arms an
+    * event-time timeout at pending.ts + debounce — when the watermark
+    * passes it with no newer arrival, the pending event flushes. This
+    * is the genuinely incremental operator: state is one event per key,
+    * partitioned by key across the cluster.
+    */
+  def debounce(debounceSec: Long)(
+      key: Long, rows: Iterator[DebEvent],
+      state: GroupState[DebEvent]): Iterator[DebEvent] = {
+    val debounceUs = debounceSec * 1000000L
+    if (state.hasTimedOut) {
+      // timeout fired: the pending event has been quiet past the window
+      val out = state.getOption.toSeq
+      state.remove()
+      out.iterator
+    } else {
+      val all = (state.getOption.toSeq ++ rows.toSeq)
+        .sortBy(e => (e.ts_us, e.event_id))
+      val emitted = all.zip(all.tail).collect {
+        case (e, next) if next.ts_us - e.ts_us > debounceUs => e
+      }
+      val pending = all.last
+      state.update(pending)
+      state.setTimeoutTimestamp(pending.ts_us / 1000L + debounceSec * 1000L)
+      emitted.iterator
+    }
+  }
+
+  /** Run the debouncing stream to completion over the static events
+    * file; returns what flushed before the final watermark. Each key's
+    * still-pending tail event stays in state by design — the batch twin
+    * [[graft.operators.PayloadOps.debounceEvents]] closes the log and
+    * so also emits the tails; StreamOpsSpec reconciles the two.
+    */
+  def debounceOnce(spark: SparkSession, dir: String,
+                   debounceSec: Long = 600L): DataFrame = {
+    import spark.implicits._
+    val name = "graft_debounce"
+    val evs = eventsStream(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("ts_us"))
+      .as[DebEvent]
+    val q = evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        debounce(debounceSec))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.operators.CoreAnalytics
+import graft.operators.{CoreAnalytics, PayloadOps}
 
 class StreamOpsSpec extends SparkSpec {
 
@@ -21,5 +21,26 @@ class StreamOpsSpec extends SparkSpec {
       assert(streamed(k)._1 == n, s"count at $k")
       assert(math.abs(streamed(k)._2 - s) < 1e-6, s"sum at $k")
     }
+  }
+
+  test("stateful debounce stream equals the closed-log twin up to the watermark") {
+    val debounceMs = 600L * 1000L
+    val batch = PayloadOps.debounceEvents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val streamed = StreamOps.debounceOnce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val maxTsMs = graft.Tables.events(spark, sfDir)
+      .agg(max(col("ts"))).head.getTimestamp(0).getTime
+    // Each user's final event is in the closed-log result unconditionally,
+    // but the stream only flushes it when the final watermark passed its
+    // quiet window — reconcile exactly at the ms-precision timeout rule.
+    val tails = batch.groupBy(_._1).values
+      .map(rs => rs.maxBy(r => (r._2.getTime, r._3))).toSet
+    val expected = batch.filter(r =>
+      !tails.contains(r) || r._2.getTime + debounceMs < maxTsMs).toSet
+    assert(streamed.nonEmpty, "debounced stream must emit rows")
+    assert(streamed.toSet == expected,
+      s"stream (${streamed.length}) vs expected (${expected.size}); " +
+        s"missing=${(expected -- streamed.toSet).take(3)} extra=${(streamed.toSet -- expected).take(3)}")
   }
 }
