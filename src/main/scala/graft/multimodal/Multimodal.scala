@@ -56,7 +56,9 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        // extract: deterministic byte-histogram features in [0, 1)
+        // extract: deterministic byte-histogram features in [0, 1),
+        // primitive loops + in-place normalize, the array wrapped
+        // without copying — no per-element boxing in the hot path.
         val feats = new Array[Float](dim)
         var i = 0
         while (i < payload.length) {
@@ -64,7 +66,10 @@ object Multimodal {
           i += 1
         }
         val total = math.max(payload.length, 1).toFloat
-        Row(id, r.getInt(2), r.getInt(3), feats.map(_ / total).toSeq)
+        var j = 0
+        while (j < dim) { feats(j) /= total; j += 1 }
+        Row(id, r.getInt(2), r.getInt(3),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(feats))
       }
     }(enc)
   }

@@ -27,6 +27,24 @@ import graft.Tables
   */
 object GraphAlgorithms {
 
+  /** Run `f` with a shuffle-partition count sized to the iterated
+    * graph, restoring the session default after. The iterative
+    * algorithms materialize (localCheckpoint) inside the loop, so the
+    * setting applies to every per-iteration shuffle — on a derived
+    * entity graph orders smaller than the raw data, the session default
+    * is pure task-scheduling overhead per iteration, the dominant cost
+    * the round-2 bench measured. Sizing: one partition per ~50k nodes,
+    * floor 8, never above the session default (a billion-node graph
+    * keeps full parallelism).
+    */
+  def withGraphSizedShuffle[T](spark: SparkSession, nNodes: Long)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val sized = math.max(8L, nNodes / 50000L).min(prev.toLong)
+    spark.conf.set(key, sized.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Distinct supplier→customer edges via shared orders. */
   def edges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
@@ -66,7 +84,13 @@ object GraphAlgorithms {
     val nodes = e.select(col("src").as("node_id"))
       .union(e.select(col("dst"))).distinct().cache()
     val n = nodes.count().toDouble
+    withGraphSizedShuffle(edgeDf.sparkSession, n.toLong) {
+      pageRankEdgesImpl(e, nodes, n, iterations, damping)
+    }
+  }
 
+  private def pageRankEdgesImpl(e: DataFrame, nodes: DataFrame, n: Double,
+                                iterations: Int, damping: Double): DataFrame = {
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
@@ -112,6 +136,14 @@ object GraphAlgorithms {
     val undirected = e.select(col("src").as("a"), col("dst").as("b"))
       .union(e.select(col("dst"), col("src")))
       .distinct().cache()
+    val nEntries = undirected.count()
+    withGraphSizedShuffle(edgeDf.sparkSession, nEntries) {
+      communitiesEdgesImpl(undirected, iterations, minSize)
+    }
+  }
+
+  private def communitiesEdgesImpl(undirected: DataFrame,
+                                   iterations: Int, minSize: Int): DataFrame = {
     val nodes = undirected.select(col("a").as("node_id")).distinct()
 
     // Initial label = stable per-node integer (dense hash of the id).
