@@ -43,6 +43,7 @@ object SparkEntry {
     "keyword_tfidf"    -> ((s, d) => SparseSearch.keywordTfidf(s, d)),
     "idf_rebalance"    -> ((s, d) => SparseSearch.idfRebalance(s, d)),
     "keyword_tags"     -> ((s, d) => KeywordTags.keywordTags(s, d)),
+    "keyword_baskets"  -> ((s, d) => KeywordTags.keywordBaskets(s, d)),
     // Deduplication
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -125,6 +126,55 @@ object SparkEntry {
       |        * (1.2 * btfc.tf) / (btfc.tf + 1.2)) AS score
       |  FROM btfc JOIN bdf USING (term) JOIN q USING (term) CROSS JOIN n
       |  GROUP BY 1 HAVING score > 0)""".stripMargin
+
+  /** Shared keyword-pipeline CTE: candidates (top-12 by the rational
+    * relevance), candidate-vocab pair similarities (squared incidence
+    * cosine), per-doc sorted candidate/sim arrays, and the greedy MMR
+    * fold producing `folded.selected` — the prefix of both the
+    * keyword_tags and keyword_baskets oracles, mirroring
+    * KeywordTags.keywordTagInputs + mmrSelection 1:1.
+    */
+  private val keywordPipelineCte: String =
+    s"""$tokenStatsCte,
+       |rel AS (
+       |  SELECT tfc.doc_id, tfc.term, (tfc.tf::DOUBLE * (n.n - dfreq.df)) / (n.n * dfreq.df) AS rel
+       |  FROM tfc JOIN dfreq USING (term) CROSS JOIN n),
+       |cand AS (
+       |  SELECT doc_id, term, rel,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rel DESC, term) AS INTEGER) AS idx
+       |  FROM rel QUALIFY idx <= 12),
+       |vocab AS (SELECT DISTINCT term FROM cand),
+       |dt AS (SELECT DISTINCT tfc.doc_id, tfc.term FROM tfc JOIN vocab USING (term)),
+       |coocp AS (
+       |  SELECT x.term AS ta, y.term AS tb, count(*) AS c
+       |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term
+       |  GROUP BY 1, 2),
+       |simsp AS (
+       |  SELECT ta, tb, (c::DOUBLE * c) / (a.df::DOUBLE * b.df) AS s
+       |  FROM coocp JOIN dfreq a ON a.term = ta JOIN dfreq b ON b.term = tb),
+       |dp AS (
+       |  SELECT a.doc_id, {'ta': a.term, 'tb': b.term, 's': coalesce(s, 0.0)} AS p
+       |  FROM cand a JOIN cand b ON a.doc_id = b.doc_id AND a.term < b.term
+       |  LEFT JOIN simsp ON simsp.ta = a.term AND simsp.tb = b.term),
+       |perdoc AS (
+       |  SELECT doc_id, list_sort(list({'idx': idx, 'term': term, 'rel': rel})) AS cands
+       |  FROM cand GROUP BY 1),
+       |persims AS (SELECT doc_id, list(p) AS sims FROM dp GROUP BY 1),
+       |folded AS (
+       |  SELECT perdoc.doc_id,
+       |    list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(generate_series(1, 5), g -> CAST([] AS VARCHAR[]))),
+       |      (sel, z) -> sel || list_transform(list_slice(list_reverse(list_sort(
+       |        list_transform(list_filter(
+       |          list_transform(list_filter(cands, c -> NOT list_contains(sel, c.term)),
+       |            c -> {'ms': coalesce(list_max(list_transform(sel, t ->
+       |                    coalesce(list_max(list_transform(list_filter(coalesce(persims.sims, []), p ->
+       |                      (p.ta = c.term AND p.tb = t) OR (p.ta = t AND p.tb = c.term)),
+       |                      p -> p.s)), 0.0))), 0.0),
+       |                  'idx': c.idx, 'term': c.term, 'rel': c.rel}),
+       |          e -> e.ms <= 0.64),
+       |        e -> {'m': 0.7 * e.rel - (1 - 0.7) * e.ms, 'ni': -e.idx, 'term': e.term}))), 1, 1),
+       |      b -> b.term)) AS selected
+       |  FROM perdoc LEFT JOIN persims USING (doc_id))""".stripMargin
 
   private val hybridCte: String =
     """sparse AS (
@@ -348,47 +398,34 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
          |  FROM kscored)
          |SELECT doc_id, term AS keyword FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "keyword_baskets" ->
+      s"""$keywordPipelineCte,
+         |tagsx AS (
+         |  SELECT doc_id, unnest(selected) AS tag,
+         |    CAST(unnest(generate_series(1, len(selected))) AS INTEGER) AS tag_rank
+         |  FROM folded WHERE len(selected) > 0),
+         |kwx AS (
+         |  SELECT c.doc_id, c.term AS keyword
+         |  FROM cand c LEFT JOIN folded f ON c.doc_id = f.doc_id
+         |  WHERE NOT coalesce(list_contains(f.selected, c.term), FALSE)),
+         |simx AS (
+         |  SELECT doc_id, p.ta AS ta, p.tb AS tb, p.s AS s
+         |  FROM (SELECT doc_id, unnest(sims) AS p FROM persims)),
+         |scoredb AS (
+         |  SELECT k.doc_id, k.keyword, t.tag, t.tag_rank, coalesce(s.s, 0.0) AS s
+         |  FROM kwx k
+         |  LEFT JOIN tagsx t ON k.doc_id = t.doc_id
+         |  LEFT JOIN simx s ON k.doc_id = s.doc_id
+         |    AND least(k.keyword, t.tag) = s.ta AND greatest(k.keyword, t.tag) = s.tb),
+         |best AS (
+         |  SELECT doc_id, keyword, tag, s,
+         |    row_number() OVER (PARTITION BY doc_id, keyword ORDER BY s DESC, tag_rank) AS rn
+         |  FROM scoredb)
+         |SELECT doc_id, keyword,
+         |  CASE WHEN tag IS NULL OR s < 0.16 THEN 'misc' ELSE tag END AS basket
+         |FROM best WHERE rn = 1 ORDER BY doc_id, keyword""".stripMargin,
     "keyword_tags" ->
-      s"""$tokenStatsCte,
-         |rel AS (
-         |  SELECT tfc.doc_id, tfc.term, (tfc.tf::DOUBLE * (n.n - dfreq.df)) / (n.n * dfreq.df) AS rel
-         |  FROM tfc JOIN dfreq USING (term) CROSS JOIN n),
-         |cand AS (
-         |  SELECT doc_id, term, rel,
-         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rel DESC, term) AS INTEGER) AS idx
-         |  FROM rel QUALIFY idx <= 12),
-         |vocab AS (SELECT DISTINCT term FROM cand),
-         |dt AS (SELECT DISTINCT tfc.doc_id, tfc.term FROM tfc JOIN vocab USING (term)),
-         |coocp AS (
-         |  SELECT x.term AS ta, y.term AS tb, count(*) AS c
-         |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term
-         |  GROUP BY 1, 2),
-         |simsp AS (
-         |  SELECT ta, tb, (c::DOUBLE * c) / (a.df::DOUBLE * b.df) AS s
-         |  FROM coocp JOIN dfreq a ON a.term = ta JOIN dfreq b ON b.term = tb),
-         |dp AS (
-         |  SELECT a.doc_id, {'ta': a.term, 'tb': b.term, 's': coalesce(s, 0.0)} AS p
-         |  FROM cand a JOIN cand b ON a.doc_id = b.doc_id AND a.term < b.term
-         |  LEFT JOIN simsp ON simsp.ta = a.term AND simsp.tb = b.term),
-         |perdoc AS (
-         |  SELECT doc_id, list_sort(list({'idx': idx, 'term': term, 'rel': rel})) AS cands
-         |  FROM cand GROUP BY 1),
-         |persims AS (SELECT doc_id, list(p) AS sims FROM dp GROUP BY 1),
-         |folded AS (
-         |  SELECT perdoc.doc_id,
-         |    list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(generate_series(1, 5), g -> CAST([] AS VARCHAR[]))),
-         |      (sel, z) -> sel || list_transform(list_slice(list_reverse(list_sort(
-         |        list_transform(list_filter(
-         |          list_transform(list_filter(cands, c -> NOT list_contains(sel, c.term)),
-         |            c -> {'ms': coalesce(list_max(list_transform(sel, t ->
-         |                    coalesce(list_max(list_transform(list_filter(coalesce(persims.sims, []), p ->
-         |                      (p.ta = c.term AND p.tb = t) OR (p.ta = t AND p.tb = c.term)),
-         |                      p -> p.s)), 0.0))), 0.0),
-         |                  'idx': c.idx, 'term': c.term, 'rel': c.rel}),
-         |          e -> e.ms <= 0.64),
-         |        e -> {'m': 0.7 * e.rel - (1 - 0.7) * e.ms, 'ni': -e.idx, 'term': e.term}))), 1, 1),
-         |      b -> b.term)) AS selected
-         |  FROM perdoc LEFT JOIN persims USING (doc_id))
+      s"""$keywordPipelineCte
          |SELECT doc_id, CAST(ti AS INTEGER) AS tag_rank, tag FROM (
          |  SELECT doc_id, unnest(selected) AS tag, unnest(generate_series(1, len(selected))) AS ti
          |  FROM folded WHERE len(selected) > 0)

@@ -134,4 +134,54 @@ object KeywordTags {
                   maxCandidates: Int = 12, maxTags: Int = 5,
                   lambda: Double = 0.7, maxSimSq: Double = 0.64): DataFrame =
     selectTagsDf(keywordTagInputs(spark, dir, maxCandidates), maxTags, lambda, maxSimSq)
+
+  /** Keyword basket assignment (basket_assignment.rs:75
+    * `assign_baskets`): every non-tag keyword goes to its most similar
+    * selected tag — ties keep the earlier tag in selection order
+    * (find_nearest_tag's strict `>`) — or to the `misc` basket when the
+    * best similarity is under the floor. The reference's 0.40 cosine
+    * floor becomes 0.16 on this pipeline's squared-cosine scale.
+    *
+    * Relational shape: per-doc keywords × per-doc tags is a ≤ M×T
+    * key-equality join (doc_id), the similarity lookup rides the same
+    * doc-local pair structs the MMR fold used, and the nearest tag is a
+    * rank-1 window — no new corpus-wide state at any scale.
+    */
+  def keywordBaskets(spark: SparkSession, dir: String,
+                     maxCandidates: Int = 12, maxTags: Int = 5,
+                     lambda: Double = 0.7, maxSimSq: Double = 0.64,
+                     minSimSq: Double = 0.16): DataFrame = {
+    val perDoc = keywordTagInputs(spark, dir, maxCandidates).localCheckpoint()
+    val tags = selectTagsDf(perDoc, maxTags, lambda, maxSimSq)
+    val cands = perDoc
+      .select(col("doc_id"), explode(col("cands")).as("c"))
+      .select(col("doc_id"), col("c.term").as("keyword"))
+    val sims = perDoc
+      .select(col("doc_id"), explode(col("sims")).as("p"))
+      .select(col("doc_id"), col("p.ta").as("ta"), col("p.tb").as("tb"), col("p.s").as("s"))
+    val kws = cands.join(tags.select(col("doc_id"), col("tag").as("keyword")),
+      Seq("doc_id", "keyword"), "left_anti")
+    // least/greatest normalizes the lookup to the ta < tb convention of
+    // the stored doc-local pairs; explicit aliases keep the shared
+    // perDoc lineage unambiguous
+    val scored = kws.as("k")
+      .join(tags.as("t"), col("k.doc_id") === col("t.doc_id"), "left")
+      .join(sims.as("sm"),
+        col("k.doc_id") === col("sm.doc_id") &&
+          least(col("k.keyword"), col("t.tag")) === col("sm.ta") &&
+          greatest(col("k.keyword"), col("t.tag")) === col("sm.tb"),
+        "left")
+      .select(col("k.doc_id").as("doc_id"), col("k.keyword").as("keyword"),
+        col("t.tag").as("tag"), col("t.tag_rank").as("tag_rank"),
+        coalesce(col("sm.s"), lit(0.0)).as("s"))
+    val w = Window.partitionBy(col("doc_id"), col("keyword"))
+      .orderBy(col("s").desc, col("tag_rank"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("keyword"),
+        when(col("tag").isNull || col("s") < minSimSq, lit("misc"))
+          .otherwise(col("tag")).as("basket"))
+      .orderBy(col("doc_id"), col("keyword"))
+  }
 }

@@ -80,6 +80,69 @@ class KeywordTagsSpec extends SparkSpec {
     assert(runDf(Seq(in), maxTags = 3)(1L) == Seq("tag_a"))
   }
 
+  /** basket_assignment.rs:75 assign_baskets / find_nearest_tag, on the
+    * squared-similarity scale: nearest tag by strict `>` (ties keep the
+    * earlier tag), under-floor keywords go to misc.
+    */
+  private def modelBaskets(cands: Seq[(Int, String, Double)],
+                           sims: Map[(String, String), Double],
+                           tags: Seq[String],
+                           minSimSq: Double = 0.16): Map[String, String] = {
+    def simOf(a: String, b: String): Double =
+      sims.getOrElse((a, b), sims.getOrElse((b, a), 0.0))
+    cands.map(_._2).filterNot(tags.contains).map { kw =>
+      if (tags.isEmpty) kw -> "misc"
+      else {
+        var bestSim = Double.NegativeInfinity
+        var best = tags.head
+        tags.foreach { t =>
+          val s = simOf(kw, t)
+          if (s > bestSim) { bestSim = s; best = t }
+        }
+        kw -> (if (bestSim >= minSimSq) best else "misc")
+      }
+    }.toMap
+  }
+
+  test("keyword_baskets: under-floor keyword lands in misc, others on nearest tag") {
+    val in = DocIn(1L,
+      Seq(Cand(1, "tag_a", 0.9), Cand(2, "tag_b", 0.8),
+        Cand(3, "kw_near_a", 0.5), Cand(4, "kw_orphan", 0.4)),
+      Seq(SimP("tag_a", "tag_b", 0.0),
+        SimP("kw_near_a", "tag_a", 0.5), SimP("kw_near_a", "tag_b", 0.2),
+        SimP("kw_orphan", "tag_a", 0.05), SimP("kw_orphan", "tag_b", 0.1)))
+    // with orthogonal tags both are selected; the two keywords remain
+    val perDoc = Seq(in).toDS.toDF
+    val tags = KeywordTags.selectTagsDf(perDoc, maxTags = 2).collect()
+      .sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+    assert(tags == Seq("tag_a", "tag_b"))
+    val expected = modelBaskets(
+      in.cands.map(c => (c.idx, c.term, c.rel)),
+      in.sims.map(p => (p.ta, p.tb) -> p.s).toMap, tags)
+    assert(expected == Map("kw_near_a" -> "tag_a", "kw_orphan" -> "misc"))
+  }
+
+  test("keyword_baskets on the corpus matches the Scala reference model per doc") {
+    val inputs = KeywordTags.keywordTagInputs(spark, sfDir).collect()
+    val tagsByDoc = KeywordTags.keywordTags(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq }
+    val expected = inputs.flatMap { r =>
+      val id = r.getLong(0)
+      val cands = r.getSeq[Row](1).map(c => (c.getInt(0), c.getString(1), c.getDouble(2)))
+      val sims = r.getSeq[Row](2)
+        .map(p => (p.getString(0), p.getString(1)) -> p.getDouble(2)).toMap
+      modelBaskets(cands, sims, tagsByDoc.getOrElse(id, Nil))
+        .map { case (kw, b) => (id, kw) -> b }
+    }.toMap
+    val got = KeywordTags.keywordBaskets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got.keySet == expected.keySet,
+      s"coverage differs: got ${got.size} vs ${expected.size}")
+    val bad = expected.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(bad.isEmpty, s"mismatches (first 3): ${bad.take(3)}")
+  }
+
   test("keyword_tags on the corpus matches the Scala reference model per doc") {
     val inputs = KeywordTags.keywordTagInputs(spark, sfDir).collect()
     val expected = inputs.map { r =>
