@@ -71,4 +71,22 @@ class PlanSpec extends SparkSpec {
     val p = plan("q1_agg")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(1500))
   }
+
+  test("cross-modal search broadcasts the encoded query side, never the assets") {
+    val p = plan("multimodal_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), "asset side must stream past the queries")
+  }
+
+  test("keyword tag pipeline joins are key-equality, never cross products") {
+    assert(!plan("keyword_tags").contains("CartesianProduct"))
+    assert(!plan("keyword_baskets").contains("CartesianProduct"))
+  }
+
+  test("debounce is one partitioned window over a single scan — no join, no cross") {
+    val p = plan("debounce_events")
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("Join"), "debounce must not join:\n" + p.take(1500))
+  }
 }
