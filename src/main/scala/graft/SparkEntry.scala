@@ -69,6 +69,7 @@ object SparkEntry {
     "graph_leiden"      -> ((s, d) => Leiden.graphLeiden(s, d)),
     // Streaming + multimodal
     "streaming_window"    -> ((s, d) => graft.streaming.StreamOps.streamingWindowOnce(s, d)),
+    "streaming_sessions"  -> ((s, d) => graft.streaming.StreamOps.sessionWindowOnce(s, d)),
     "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.featureSummary(s, d)),
     "multimodal_search"   -> ((s, d) => graft.multimodal.Multimodal.multimodalSearch(s, d)),
     // Payload filtering / cross-collection / lexicon

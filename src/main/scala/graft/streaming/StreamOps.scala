@@ -78,6 +78,32 @@ object StreamOps {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Streaming sessionization: Spark's native `session_window` (30-min
+    * gap) under a watermark, run to completion over the static events
+    * file — the stream twin of the batch `session_window_agg` operator,
+    * same column expressions, so the two agree row-for-row wherever the
+    * final watermark closed the session (asserted in StreamOpsSpec).
+    */
+  def sessionWindowOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_streaming_sessions"
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Stateful per-key debouncer — the streaming twin of the reference's
     * `EventDebouncer` (watching_queue/types.rs:160: per path only the
     * latest event survives; it is released after `debounceSec` of

@@ -23,6 +23,46 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming session windows equal the batch twin for watermark-closed sessions") {
+    val gapMs = 1800L * 1000L
+    val streamed = StreamOps.sessionWindowOnce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = PayloadOps.sessionWindowAgg(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.nonEmpty, "stream must emit closed sessions")
+    // every emitted session matches the batch twin exactly
+    streamed.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v), s"session $k: stream=$v batch=${batch.get(k)}")
+    }
+    // sessions the stream withheld are exactly those still open at the
+    // final watermark (last event + gap past maxTs - watermark delay)
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val maxTsMs = events.map(_._2).max
+    val wmMs = maxTsMs - gapMs
+    // session_window semantics: an event at exactly last+gap starts a
+    // NEW session, so the split condition is >= gap
+    val lastBySession: Map[(Long, Long), Long] = events.groupBy(_._1).flatMap {
+      case (uid, rows) =>
+        val ts = rows.map(_._2).sorted
+        val out = scala.collection.mutable.Map[(Long, Long), Long]()
+        var start = ts.head
+        ts.zip(ts.head +: ts.init).foreach { case (t, prev) =>
+          if (t - prev >= gapMs) start = t
+          out((uid, start)) = t
+        }
+        out
+    }
+    val missing = batch.keySet -- streamed.keySet
+    missing.foreach { case (uid, startTs) =>
+      val last = lastBySession((uid, startTs.getTime))
+      assert(last + gapMs > wmMs - 1000,
+        s"withheld session ($uid, $startTs) closed at ${last + gapMs} " +
+          s"well before watermark $wmMs — it should have been emitted")
+    }
+  }
+
   test("stateful debounce stream equals the closed-log twin up to the watermark") {
     val debounceMs = 600L * 1000L
     val batch = PayloadOps.debounceEvents(spark, sfDir).collect()
