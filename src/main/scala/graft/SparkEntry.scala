@@ -74,6 +74,7 @@ object SparkEntry {
     "multimodal_search"   -> ((s, d) => graft.multimodal.Multimodal.multimodalSearch(s, d)),
     // Payload filtering / cross-collection / lexicon
     "payload_filter"     -> ((s, d) => PayloadOps.payloadFilter(s, d)),
+    "payload_should"     -> ((s, d) => PayloadOps.payloadShould(s, d)),
     "cross_collection"   -> ((s, d) => PayloadOps.crossCollection(s, d)),
     "hapax_terms"        -> ((s, d) => PayloadOps.hapaxTerms(s, d)),
     "cooccurrence"       -> ((s, d) => PayloadOps.cooccurrence(s, d)),
@@ -617,6 +618,13 @@ object SparkEntry {
         |FROM events
         |WHERE event_type IN ('click', 'view')
         |  AND CAST(json_extract_string(props, '$.k') AS INTEGER) IN (1, 2, 3, 4, 5)
+        |ORDER BY event_id""".stripMargin,
+    "payload_should" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE event_type = 'error'
+        |   OR CAST(json_extract_string(props, '$.k') AS INTEGER) = 7
         |ORDER BY event_id""".stripMargin,
     "cross_collection" ->
       s"""$bm25StatsCte,

@@ -208,7 +208,7 @@ object GraphAlgorithms {
     val r = adjDf.agg(
       count(lit(1)).as("n"),
       coalesce(sum(size(col("nbrs"))), lit(0L)).as("entries"),
-      coalesce(sum(length(col("u"))), lit(0L)).as("id_chars")).head
+      coalesce(sum(length(col("u"))), lit(0L)).as("id_chars")).head()
     val n = r.getLong(0); val entries = r.getLong(1); val idChars = r.getLong(2)
     val avgIdBytes = if (n > 0) 2L * idChars / n else 0L
     (n, n * (48L + avgIdBytes) + entries * (48L + avgIdBytes))

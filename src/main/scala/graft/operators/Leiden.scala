@@ -89,7 +89,7 @@ object Leiden {
     val stats = adjDf.agg(
       count(lit(1)).as("n"),
       coalesce(sum(size(col("nbrs"))), lit(0L)).as("entries"),
-      coalesce(sum(length(col("u"))), lit(0L)).as("id_chars")).head
+      coalesce(sum(length(col("u"))), lit(0L)).as("id_chars")).head()
     val nNodes = stats.getLong(0)
     val avgId = if (nNodes > 0) 2L * stats.getLong(2) / nNodes else 0L
     val estBytes = nNodes * (48L + avgId) + stats.getLong(1) * (56L + avgId)

@@ -153,6 +153,21 @@ object PayloadOps {
         col("n_events"), col("session_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** `should` (OR) payload filter — the other half of the Qdrant filter
+    * map (storage/search.rs:38: `should` conditions OR-combine, the tag
+    * OR-filter shape): match events that are errors OR carry payload
+    * k = 7. Same codegen'd-into-the-scan posture as [[payloadFilter]].
+    */
+  def payloadShould(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.events(spark, dir).withColumn("k", k)
+      .filter(shouldFilter(Seq(
+        MatchValue(col("event_type"), "error"),
+        MatchValue(col("k"), 7))))
+      .select(col("event_id"), col("event_type"), col("k"))
+      .orderBy(col("event_id"))
+  }
+
   /** Tenant-scoped search with cross-project relevance decay
     * (reference cross_project_search.rs:134 `apply_relevance_decay`,
     * RelevanceDecay defaults 1.0 / 0.7 / 0.4): the current project's
