@@ -55,6 +55,7 @@ object SparkEntry {
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
+    "quasi_summary"   -> ((s, d) => TextAnalysis.quasiSummary(s, d)),
     // Ingestion pipeline
     "chunk_documents"  -> ((s, d) => Ingest.chunkDocuments(s, d)),
     "chunk_paragraphs" -> ((s, d) => Ingest.chunkParagraphs(s, d)),
@@ -482,6 +483,49 @@ object SparkEntry {
         |      list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1))::BIGINT)),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "quasi_summary" ->
+      """WITH chunksq AS (
+        |  SELECT doc_id,
+        |    CAST((start_char - 1) // 150 AS INTEGER) AS chunk_index, chunk_text
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(generate_series(1, greatest(length(text), 1), 150)) AS start_char,
+        |      unnest(list_transform(generate_series(1, greatest(length(text), 1), 150),
+        |        s -> substr(text, s, 200))) AS chunk_text
+        |    FROM documents)
+        |  WHERE length(chunk_text) > 0),
+        |ctoks AS (
+        |  SELECT doc_id, chunk_index, unnest(list_filter(
+        |    regexp_split_to_array(lower(chunk_text), '[^a-z0-9_]+'),
+        |    t -> len(t) > 1 AND NOT list_contains(
+        |      ['a','an','and','are','as','at','be','by','for','from','has','he','in','is','it','its','of','on','or','that','the','to','was','were','will','with','this','but','they','have','had','what','when','where','who','which','why','how'], t))) AS term
+        |  FROM chunksq),
+        |ctf AS (SELECT doc_id, chunk_index, term, count(*) AS tf FROM ctoks GROUP BY 1, 2, 3),
+        |clen0 AS (SELECT doc_id, chunk_index, CAST(sum(tf) AS BIGINT) AS len_t FROM ctf GROUP BY 1, 2),
+        |lens AS (
+        |  SELECT c.doc_id, c.chunk_index, coalesce(l.len_t, 0) AS len_t
+        |  FROM chunksq c LEFT JOIN clen0 l USING (doc_id, chunk_index)),
+        |dstats AS (SELECT doc_id, count(*)::DOUBLE AS n_chunks, avg(len_t) AS avg_len FROM lens GROUP BY 1),
+        |ccdf AS (SELECT doc_id, term, count(*) AS cdf FROM ctf GROUP BY 1, 2),
+        |wsum AS (
+        |  SELECT t.doc_id, t.chunk_index,
+        |    greatest(sum(
+        |      greatest(ln((s.n_chunks - d.cdf + 0.5) / (d.cdf + 0.5)), 0) *
+        |      (t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (l.len_t / s.avg_len)))
+        |    ), 0.01) AS w
+        |  FROM ctf t
+        |  JOIN ccdf d USING (doc_id, term)
+        |  JOIN lens l USING (doc_id, chunk_index)
+        |  JOIN dstats s USING (doc_id)
+        |  GROUP BY 1, 2),
+        |allw AS (
+        |  SELECT l.doc_id, l.chunk_index, coalesce(w.w, 1.0) AS w
+        |  FROM lens l LEFT JOIN wsum w USING (doc_id, chunk_index))
+        |SELECT doc_id, CAST(gist_rank AS INTEGER) AS gist_rank, chunk_index, round(w, 4) AS weight
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY w DESC, chunk_index) AS gist_rank FROM allw)
+        |WHERE gist_rank <= 3
+        |ORDER BY doc_id, gist_rank""".stripMargin,
     "chunk_documents" ->
       """SELECT doc_id,
         |  CAST((start_char - 1) // 150 AS INTEGER) AS chunk_index,

@@ -98,4 +98,63 @@ object TextAnalysis {
       .select(col("doc_id"), col("p_lang").as("predicted_lang"))
       .orderBy(col("doc_id"))
   }
+
+  /** Extractive quasi-summary (keyword_extraction/quasi_summary.rs:113
+    * `summarize_code` + `bm25_chunk_weight`): each chunk of a document
+    * is scored by BM25 salience AGAINST ITS OWN DOCUMENT — N = the
+    * doc's chunk count, df = chunks containing the term, tf over the
+    * chunk, k1 = 1.2 with b = 0.75 length normalization against the
+    * doc's mean chunk token count — and the top `gistChunks` become the
+    * extractive gist (ties keep the earlier chunk, the reference's
+    * stable sort). Zero-token chunks take the reference's neutral
+    * weight 1.0; computed weights floor at 0.01.
+    *
+    * Pure relational pipeline over the chunker's output: two groupBys
+    * (chunk tf, per-doc chunk-df) + a per-doc rank window — no
+    * corpus-wide state beyond the chunk scan.
+    */
+  def quasiSummary(spark: SparkSession, dir: String,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   gistChunks: Int = 3): DataFrame = {
+    val chunks = Ingest.chunkDocuments(spark, dir)
+      .select(col("doc_id"), col("chunk_index"), col("chunk_text"))
+    val tf = chunks
+      .select(col("doc_id"), col("chunk_index"),
+        explode(tokenizeSimple(col("chunk_text"))).as("term"))
+      .groupBy(col("doc_id"), col("chunk_index"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val chunkLen = tf.groupBy(col("doc_id"), col("chunk_index"))
+      .agg(sum(col("tf")).as("len_t"))
+    // every chunk, zero-token ones included, so N and the mean length
+    // match the reference's per-doc accounting
+    val lens = chunks.select(col("doc_id"), col("chunk_index"))
+      .join(chunkLen, Seq("doc_id", "chunk_index"), "left")
+      .select(col("doc_id"), col("chunk_index"),
+        coalesce(col("len_t"), lit(0L)).as("len_t"))
+    val docStats = lens.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("n_chunks"), avg(col("len_t")).as("avg_len"))
+    val cdf = tf.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cdf"))
+    val weights = tf
+      .join(cdf, Seq("doc_id", "term"))
+      .join(lens, Seq("doc_id", "chunk_index"))
+      .join(docStats, Seq("doc_id"))
+      .withColumn("contrib",
+        greatest(log((col("n_chunks") - col("cdf") + 0.5) / (col("cdf") + 0.5)), lit(0.0)) *
+          (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("len_t") / col("avg_len")))))
+      .groupBy(col("doc_id"), col("chunk_index"))
+      .agg(greatest(sum(col("contrib")), lit(0.01)).as("w"))
+    val allWeights = lens.select(col("doc_id"), col("chunk_index"))
+      .join(weights, Seq("doc_id", "chunk_index"), "left")
+      .select(col("doc_id"), col("chunk_index"),
+        coalesce(col("w"), lit(1.0)).as("w"))
+    val rw = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("chunk_index"))
+    allWeights
+      .withColumn("gist_rank", row_number().over(rw))
+      .filter(col("gist_rank") <= gistChunks)
+      .select(col("doc_id"), col("gist_rank"), col("chunk_index"),
+        round(col("w"), 4).as("weight"))
+      .orderBy(col("doc_id"), col("gist_rank"))
+  }
 }

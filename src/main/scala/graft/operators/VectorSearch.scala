@@ -199,9 +199,12 @@ object VectorSearch {
     // Lloyd refinement: reassign, recompute centroids as per-dimension
     // means (posexplode → groupBy(c_id, pos) → avg → re-pack). Each step
     // is one shuffle on (c_id, pos); centroids stay a broadcast dim.
+    // The FINAL inverted-list assignment is the checkpointed assignment
+    // of the last Lloyd step — corpus vectors are not re-assigned a
+    // second time against the same centroids.
+    var corpus = assign(emb, "vec_id", "embedding", 1).localCheckpoint()
     for (_ <- 1 to lloydIters) {
-      val assigned = assign(emb, "vec_id", "embedding", 1)
-      centroids = assigned
+      centroids = corpus
         .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .withColumn("v", col("v").cast("double"))
         .groupBy(col("c_id"), col("pos"))
@@ -210,9 +213,8 @@ object VectorSearch {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
         .select(col("c_id"), transform(col("pairs"), p => p.getField("m")).as("c_emb"))
         .localCheckpoint()
+      corpus = assign(emb, "vec_id", "embedding", 1).localCheckpoint()
     }
-
-    val corpus = assign(emb, "vec_id", "embedding", 1)
     val probes = assign(
       emb.filter(col("vec_id") < probeMax)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")),
