@@ -160,7 +160,10 @@ object GraphAlgorithms {
       labels = counted.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("node_id"), col("label"))
-      // eager every 2: bound lineage without a job per iteration
+      // eager every 2: bound lineage without a job per iteration.
+      // (A fixpoint early-exit was measured and reverted: the derived
+      // order graph keeps churning labels through the cap, so the
+      // per-check join+count actions cost more than they save.)
       if (i % 2 == 0 || i == iterations) labels = labels.localCheckpoint()
     }
     // Normalize community ids to the minimum member node id; drop tiny ones.
