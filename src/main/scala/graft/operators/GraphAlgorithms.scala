@@ -27,20 +27,22 @@ import graft.Tables
   */
 object GraphAlgorithms {
 
-  /** Run `f` with a shuffle-partition count sized to the iterated
-    * graph, restoring the session default after. The iterative
-    * algorithms materialize (localCheckpoint) inside the loop, so the
-    * setting applies to every per-iteration shuffle — on a derived
-    * entity graph orders smaller than the raw data, the session default
-    * is pure task-scheduling overhead per iteration, the dominant cost
-    * the round-2 bench measured. Sizing: one partition per ~50k nodes,
-    * floor 8, never above the session default (a billion-node graph
-    * keeps full parallelism).
+  /** Run `f` with a shuffle-partition count sized to the rows each
+    * iteration actually shuffles (edge entries for vote/contribution
+    * joins — the dominant flow, not the node count), restoring the
+    * session default after. The iterative algorithms materialize
+    * (localCheckpoint) inside the loop, so the setting applies to every
+    * per-iteration shuffle — on a derived entity graph orders smaller
+    * than the raw data, the session default is pure task-scheduling
+    * overhead per iteration, the dominant cost the round-2 bench
+    * measured. Sizing: one partition per ~200k shuffled rows, floor 8,
+    * never above the session default (a billion-edge graph keeps full
+    * parallelism).
     */
-  def withGraphSizedShuffle[T](spark: SparkSession, nNodes: Long)(f: => T): T = {
+  def withGraphSizedShuffle[T](spark: SparkSession, rowsPerIteration: Long)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    val sized = math.max(8L, nNodes / 50000L).min(prev.toLong)
+    val sized = math.max(8L, rowsPerIteration / 200000L).min(prev.toLong)
     spark.conf.set(key, sized.toString)
     try f finally spark.conf.set(key, prev)
   }
@@ -84,7 +86,8 @@ object GraphAlgorithms {
     val nodes = e.select(col("src").as("node_id"))
       .union(e.select(col("dst"))).distinct().cache()
     val n = nodes.count().toDouble
-    withGraphSizedShuffle(edgeDf.sparkSession, n.toLong) {
+    // contributions shuffle one row per edge each iteration
+    withGraphSizedShuffle(edgeDf.sparkSession, e.count()) {
       pageRankEdgesImpl(e, nodes, n, iterations, damping)
     }
   }
@@ -136,8 +139,8 @@ object GraphAlgorithms {
     val undirected = e.select(col("src").as("a"), col("dst").as("b"))
       .union(e.select(col("dst"), col("src")))
       .distinct().cache()
-    val nEntries = undirected.count()
-    withGraphSizedShuffle(edgeDf.sparkSession, nEntries) {
+    // votes shuffle one row per undirected edge entry each iteration
+    withGraphSizedShuffle(edgeDf.sparkSession, undirected.count()) {
       communitiesEdgesImpl(undirected, iterations, minSize)
     }
   }
@@ -202,19 +205,22 @@ object GraphAlgorithms {
     betweennessEdges(spark, edges(spark, dir), maxSamples, broadcastByteBudget)
 
   /** JVM-heap estimate of the collected compact adjacency
-    * ((String, Seq[String]) rows): ~48 bytes of object/array overhead
-    * per node row and per neighbor entry, plus 2 bytes per measured id
-    * char (String is UTF-16 on heap). Computed as one aggregate over
-    * the already-checkpointed adjacency — no extra scan of the data.
+    * ((String, Seq[...]) rows keyed by `u` with a `nbrs` array): ~48
+    * bytes of object/array overhead per node row and per neighbor
+    * entry, plus 2 bytes per measured id char (String is UTF-16 on
+    * heap), plus `entryExtraBytes` for any per-entry payload beyond the
+    * id (e.g. 8 for Leiden's edge weight). Computed as one aggregate
+    * over the already-checkpointed adjacency — no extra scan.
     */
-  def estimatedAdjacencyBytes(adjDf: DataFrame): (Long, Long) = {
+  def estimatedAdjacencyBytes(adjDf: DataFrame,
+                              entryExtraBytes: Long = 0L): (Long, Long) = {
     val r = adjDf.agg(
       count(lit(1)).as("n"),
       coalesce(sum(size(col("nbrs"))), lit(0L)).as("entries"),
       coalesce(sum(length(col("u"))), lit(0L)).as("id_chars")).head()
     val n = r.getLong(0); val entries = r.getLong(1); val idChars = r.getLong(2)
     val avgIdBytes = if (n > 0) 2L * idChars / n else 0L
-    (n, n * (48L + avgIdBytes) + entries * (48L + avgIdBytes))
+    (n, n * (48L + avgIdBytes) + entries * (48L + avgIdBytes + entryExtraBytes))
   }
 
   /** Betweenness over any (src, dst) edge DataFrame — the generic core,

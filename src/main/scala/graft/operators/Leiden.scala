@@ -86,13 +86,9 @@ object Leiden {
     val adjDf = und.groupBy(col("u"))
       .agg(sort_array(collect_list(struct(col("v"), col("w")))).as("nbrs"))
       .localCheckpoint()
-    val stats = adjDf.agg(
-      count(lit(1)).as("n"),
-      coalesce(sum(size(col("nbrs"))), lit(0L)).as("entries"),
-      coalesce(sum(length(col("u"))), lit(0L)).as("id_chars")).head()
-    val nNodes = stats.getLong(0)
-    val avgId = if (nNodes > 0) 2L * stats.getLong(2) / nNodes else 0L
-    val estBytes = nNodes * (48L + avgId) + stats.getLong(1) * (56L + avgId)
+    // shared estimator; +8 bytes/entry for the edge weight double
+    val (_, estBytes) =
+      GraphAlgorithms.estimatedAdjacencyBytes(adjDf, entryExtraBytes = 8L)
     if (estBytes <= broadcastByteBudget) leidenCompact(spark, adjDf, config)
     else leidenFrontier(spark, und, config, buckets)
   }
@@ -214,6 +210,14 @@ object Leiden {
         i += 1
       }
       val prevAgg = aggPart.clone()
+      // Reference-faithful quirk: the aggregate-phase local move reuses
+      // the SAME local_move_phase with community sizes counted in
+      // AGGREGATE nodes (mod.rs:176 — comm_size over agg_n), not in
+      // constituent original nodes, so the (n_c choose 2) term is
+      // evaluated on the contracted graph. Textbook CPM would weight by
+      // original node counts; the reference does not, and its own test
+      // expectations (merge-then-split in int_a3_leiden_recursion)
+      // depend on this behavior, so it is reproduced deliberately.
       val aggMoved = localMove(aggAdj, aggPart, resolution)
       val lifted = Array.tabulate(n)(k => aggPart(nodeToAgg(k)))
       if (!moved && !aggMoved) { partition = lifted; converged = true }
@@ -278,9 +282,15 @@ object Leiden {
   }
 
   /** refine_partition (refine.rs:30): within each phase-1 community,
-    * singleton sub-communities merge only into γ-well-connected
-    * partners (cut weight to the rest of the community must exceed
-    * γ·|T|·(|C|−|T|)) and only on a strict CPM gain.
+    * nodes (initially singleton sub-communities) merge into
+    * γ-well-connected partners — the cut weight from the CANDIDATE sub
+    * to the rest of the community must exceed γ·|T|·(|C|−|T|) — and
+    * only on a strict CPM gain. Reference-faithful detail: refine.rs
+    * checks well-connectedness of the candidate T only, never of the
+    * moving node, and its `while changed` loop lets already-merged
+    * nodes keep moving between subs across sweeps (Traag 2019's
+    * Algorithm 2 restricts moves to singleton nodes; the reference
+    * does not, and this port follows the reference).
     */
   def refine(adj: Array[Array[(Int, Double)]], partition: Array[Int],
              resolution: Double): Array[Int] = {

@@ -133,9 +133,19 @@ object StreamOps {
         case (e, next) if next.ts_us - e.ts_us > debounceUs => e
       }
       val pending = all.last
-      state.update(pending)
-      state.setTimeoutTimestamp(pending.ts_us / 1000L + debounceSec * 1000L)
-      emitted.iterator
+      val timeoutMs = pending.ts_us / 1000L + debounceSec * 1000L
+      // Multi-batch guard: if the watermark already passed the pending
+      // event's quiet window (possible when the source splits into
+      // several micro-batches), arming a timeout in the past would
+      // throw and kill the query — the event is due, so flush it now.
+      if (timeoutMs <= state.getCurrentWatermarkMs()) {
+        state.remove()
+        (emitted :+ pending).iterator
+      } else {
+        state.update(pending)
+        state.setTimeoutTimestamp(timeoutMs)
+        emitted.iterator
+      }
     }
   }
 
