@@ -44,6 +44,7 @@ object SparkEntry {
     "idf_rebalance"    -> ((s, d) => SparseSearch.idfRebalance(s, d)),
     "keyword_tags"     -> ((s, d) => KeywordTags.keywordTags(s, d)),
     "keyword_baskets"  -> ((s, d) => KeywordTags.keywordBaskets(s, d)),
+    "tag_hierarchy"    -> ((s, d) => TagHierarchy.tagHierarchy(s, d)),
     // Deduplication
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),

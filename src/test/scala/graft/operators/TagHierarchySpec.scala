@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Parity with the reference's canonical_tags test vectors
+  * (canonical_tags/tests.rs), run through the vector-agnostic
+  * clustering core with dense vectors expressed as sparse maps.
+  */
+class TagHierarchySpec extends SparkSpec {
+  import TagHierarchy._
+
+  private def dense(vs: Double*): Map[Int, Double] =
+    vs.zipWithIndex.collect { case (v, i) if v != 0.0 => i -> v }.toMap
+
+  // reference: tests.rs test_merge_duplicates_similar
+  test("merge_duplicates merges near-identical tags, sums doc counts") {
+    val tags = IndexedSeq(
+      TagVec("vector search", dense(0.95, 0.31, 0.0), 5),
+      TagVec("vector indexing", dense(0.95, 0.30, 0.0), 3),
+      TagVec("grpc protocol", dense(0.0, 0.0, 1.0), 2))
+    val merged = mergeDuplicates(tags, 0.85)
+    assert(merged.size == 2, s"labels: ${merged.map(_.label)}")
+    val vc = merged.find(_.members.size == 2).get
+    assert(vc.docCount == 8, "doc counts must sum")
+  }
+
+  // reference: tests.rs test_merge_duplicates_all_different
+  test("merge_duplicates keeps orthogonal tags separate") {
+    val tags = IndexedSeq(
+      TagVec("alpha", dense(1.0, 0.0, 0.0), 1),
+      TagVec("beta", dense(0.0, 1.0, 0.0), 1),
+      TagVec("gamma", dense(0.0, 0.0, 1.0), 1))
+    assert(mergeDuplicates(tags, 0.85).size == 3)
+    assert(mergeDuplicates(IndexedSeq.empty, 0.85).isEmpty)
+  }
+
+  // reference: tests.rs test_build_hierarchy_basic — 6 tags in 3
+  // natural pairs collapse monotonically up the levels.
+  test("build_hierarchy: levels shrink monotonically over the 3-group fixture") {
+    val tags = IndexedSeq(
+      TagVec("rust async", dense(0.9, 0.1, 0, 0, 0, 0), 3),
+      TagVec("tokio runtime", dense(0.85, 0.15, 0, 0, 0, 0), 2),
+      TagVec("database query", dense(0, 0, 0.9, 0.1, 0, 0), 4),
+      TagVec("sql storage", dense(0, 0, 0.85, 0.15, 0, 0), 1),
+      TagVec("grpc service", dense(0, 0, 0, 0, 0.9, 0.1), 2),
+      TagVec("rest api", dense(0, 0, 0, 0, 0.1, 0.9), 3))
+    val rows = buildHierarchy(tags)
+    assert(rows.size == 6, "every input tag keeps a row")
+    val l3 = rows.map(_._2).distinct.size
+    val l2 = rows.map(_._3).distinct.size
+    val l1 = rows.map(_._4).distinct.size
+    assert(l3 <= 6 && l2 <= l3 && l1 <= l2,
+      s"levels must shrink monotonically: l3=$l3 l2=$l2 l1=$l1")
+    // the two near-duplicate pairs sit at ~0.995 cosine → merged at L3
+    val byTag = rows.map(r => r._1 -> r._2).toMap
+    assert(byTag("rust async") == byTag("tokio runtime"),
+      "near-duplicate pair must share a canonical tag")
+    assert(byTag("database query") == byTag("sql storage"))
+  }
+
+  test("tag_hierarchy on the corpus: total doc_count conserved per canonical tag") {
+    val tags = KeywordTags.keywordTags(spark, sfDir).collect()
+    val rows = TagHierarchy.tagHierarchy(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per tag")
+    assert(rows.map(_._1).toSet == tags.map(_.getString(2)).toSet,
+      "hierarchy must cover exactly the tag vocabulary")
+    // the level-3 doc_count is the sum of its members' per-tag doc counts
+    val perTag = tags.groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
+    rows.groupBy(_._2).foreach { case (canon, members) =>
+      val expected = members.map(m => perTag(m._1)).sum
+      assert(members.head._5 == expected,
+        s"canonical $canon doc_count ${members.head._5} != sum $expected")
+    }
+    // parent labels must themselves be members of the vocabulary
+    rows.foreach { r =>
+      assert(perTag.contains(r._2) && perTag.contains(r._3) && perTag.contains(r._4))
+    }
+  }
+}
