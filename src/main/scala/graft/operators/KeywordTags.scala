@@ -45,7 +45,10 @@ object KeywordTags {
   def keywordTagInputs(spark: SparkSession, dir: String,
                        maxCandidates: Int = 12): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tf = SparseSearch.termFreq(docs)
+    // tf feeds four lineages (relevance, df, incidence, cooc sims);
+    // materialize once so the tokenize+shuffle pass isn't recomputed
+    // per consumer — the dominant cost of a cold pipeline run.
+    val tf = SparseSearch.termFreq(docs).localCheckpoint()
     val dfq = SparseSearch.docFreq(tf)
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val scored = tf.join(dfq, "term").crossJoin(broadcast(nDocs))

@@ -16,17 +16,25 @@ import org.apache.spark.sql.functions._
   * service; this container has none, so the honest stand-in is each
   * tag's DOCUMENT-INCIDENCE vector (which doc carries the tag), whose
   * cosine is the same similarity the MMR tag selection already uses.
-  * A production deployment swaps `tagVectors` for real phrase
+  * A production deployment swaps the incidence maps for real phrase
   * embeddings; the clustering core is vector-agnostic.
   *
-  * Scale posture mirrors Leiden's compact path: the cluster does the
-  * corpus-sized work (tag extraction, incidence aggregation); the
-  * hierarchy itself is the reference's deliberately sequential,
-  * deterministic algorithm over the TAG VOCABULARY — thousands of rows
-  * per tenant, never corpus-sized — run driver-side on the collected
-  * compact vectors.
+  * Scale posture mirrors Leiden's: the cluster does the corpus-sized
+  * work (tag extraction, incidence aggregation); the reference's
+  * deliberately sequential hierarchy runs driver-side ONLY while the
+  * estimated heap bytes of the collected vocabulary fit
+  * `driverByteBudget` (the shared
+  * [[GraphAlgorithms.estimatedAdjacencyBytes]] estimator). Past the
+  * budget, [[tagHierarchyBucketed]] pre-merges near-duplicates inside
+  * hash buckets EXECUTOR-side (each bucket sized to the budget) and
+  * clusters only the top canonical representatives by doc count on the
+  * driver — a documented approximation (cross-bucket near-duplicates
+  * stay distinct; representatives past the collect cap root their own
+  * hierarchy), never a wedged driver.
   */
 object TagHierarchy {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   case class TagVec(phrase: String, vector: Map[Int, Double], docCount: Long)
 
@@ -80,30 +88,43 @@ object TagHierarchy {
     * merging while the best pair's average similarity meets the
     * threshold. Returns (parents, parentOf) where parentOf(i) is the
     * parent index of input cluster i.
+    *
+    * Average linkage is maintained INCREMENTALLY: linkSum(i)(j) holds
+    * the summed pairwise similarity of the two clusters' member
+    * cross-product, which composes additively on merge
+    * (Σ over (A∪B)×K = Σ over A×K + Σ over B×K), and the pair count is
+    * |A|·|B| — so each iteration is one O(active²) scan of cached
+    * averages instead of the reference's O(n²·|A|·|B|) member rescan.
     */
   def clusterLevel(inputs: IndexedSeq[Canon], threshold: Double): (Seq[Canon], Array[Int]) = {
     val n = inputs.length
     if (n == 0) return (Nil, Array.empty)
-    val sim = Array.tabulate(n, n) { (i, j) =>
+    val linkSum = Array.tabulate(n, n) { (i, j) =>
       if (i == j) 0.0 else cosine(inputs(i).centroid, inputs(j).centroid)
     }
+    val sizes = Array.fill(n)(1L)
     val active = Array.fill(n)(true)
     val members = Array.tabulate(n)(i => scala.collection.mutable.ArrayBuffer(i))
+    var nActive = n
     var go = true
     while (go) {
       var bestSim = Double.NegativeInfinity
       var bestA = -1; var bestB = -1
       for (i <- 0 until n if active(i); j <- i + 1 until n if active(j)) {
-        var s = 0.0; var cnt = 0
-        members(i).foreach(a => members(j).foreach { b => s += sim(a)(b); cnt += 1 })
-        val avg = if (cnt > 0) s / cnt else 0.0
+        val avg = linkSum(i)(j) / (sizes(i) * sizes(j))
         if (avg > bestSim) { bestSim = avg; bestA = i; bestB = j }
       }
       if (bestSim < threshold || bestA < 0) go = false
       else {
+        for (k <- 0 until n if active(k) && k != bestA && k != bestB) {
+          linkSum(bestA)(k) += linkSum(bestB)(k)
+          linkSum(k)(bestA) = linkSum(bestA)(k)
+        }
         members(bestA) ++= members(bestB)
+        sizes(bestA) += sizes(bestB)
         active(bestB) = false
-        if (active.count(identity) <= 1) go = false
+        nActive -= 1
+        if (nActive <= 1) go = false
       }
     }
     val parentOf = new Array[Int](n)
@@ -141,20 +162,109 @@ object TagHierarchy {
   /** tag_hierarchy query: canonical hierarchy over the corpus's MMR tag
     * vocabulary with document-incidence vectors.
     */
-  def tagHierarchy(spark: SparkSession, dir: String): DataFrame = {
+  def tagHierarchy(spark: SparkSession, dir: String): DataFrame =
+    tagHierarchyOf(spark, KeywordTags.keywordTags(spark, dir))
+
+  // Encoder-visible row shapes for the bucketed path (codegen'd
+  // (de)serializers cannot access private members).
+  case class TagDocs(bucket: Int, phrase: String, docs: Seq[Long], docCount: Long)
+  case class BucketCanon(label: String, phrases: Seq[String],
+                         centroid: Map[Int, Double], docCount: Long)
+
+  /** Hierarchy over any pre-computed (doc_id, tag) assignment — callers
+    * that already ran the keyword pipeline (or hold reference-style
+    * concept tags from elsewhere) pass it here so it is not recomputed.
+    *
+    * The per-tag incidence aggregation runs in the cluster; the
+    * collected vocabulary is gated by `driverByteBudget` via the shared
+    * byte estimator, with [[tagHierarchyBucketed]] past the budget.
+    */
+  def tagHierarchyOf(spark: SparkSession, tags: DataFrame,
+                     driverByteBudget: Long = 64L << 20,
+                     mergeThreshold: Double = 0.85,
+                     level2Threshold: Double = 0.70,
+                     level1Threshold: Double = 0.50): DataFrame = {
     import spark.implicits._
-    val tags = KeywordTags.keywordTags(spark, dir)
     val perTag = tags.groupBy(col("tag"))
       .agg(collect_set(col("doc_id")).as("docs"), count(lit(1)).as("doc_count"))
-      .orderBy(col("tag"))
-      .collect()
-      .map { r =>
-        TagVec(r.getString(0),
-          r.getSeq[Long](1).map(d => d.toInt -> 1.0).toMap,
-          r.getLong(2))
-      }.toIndexedSeq
-    buildHierarchy(perTag)
-      .toDF("tag", "canonical", "level2", "level1", "doc_count")
+      .localCheckpoint()
+    // Map[Int,Double] incidence entries carry boxed key+value on top of
+    // the id chars the shared estimator measures.
+    val (nTags, estBytes) = GraphAlgorithms.estimatedAdjacencyBytes(
+      perTag.select(col("tag").as("u"), col("docs").as("nbrs")), entryExtraBytes = 32L)
+    if (estBytes <= driverByteBudget) {
+      val vocab = perTag.orderBy(col("tag"))
+        .collect()
+        .map { r =>
+          TagVec(r.getString(0),
+            r.getSeq[Long](1).map(d => d.toInt -> 1.0).toMap,
+            r.getLong(2))
+        }.toIndexedSeq
+      buildHierarchy(vocab, mergeThreshold, level2Threshold, level1Threshold)
+        .toDF("tag", "canonical", "level2", "level1", "doc_count")
+        .orderBy(col("tag"))
+    } else {
+      log.info(s"tag_hierarchy: vocabulary ~$estBytes bytes ($nTags tags) over " +
+        s"budget $driverByteBudget — bucketed pre-merge path")
+      tagHierarchyBucketed(spark, perTag, nTags, estBytes, driverByteBudget,
+        mergeThreshold, level2Threshold, level1Threshold)
+    }
+  }
+
+  /** The over-budget path: hash tags into ceil(est/budget) buckets so
+    * each bucket's vocabulary fits the byte budget, run the reference's
+    * merge_duplicates inside each bucket EXECUTOR-side (level 3), then
+    * collect only the top canonical representatives by doc count —
+    * capped so the collected centroids stay inside the budget — and
+    * run levels 2/1 on those. Representatives past the cap (and their
+    * member tags) root their own hierarchy (level2 = level1 =
+    * canonical): a documented truncation of the COARSE levels only —
+    * every tag still gets its level-3 canonical assignment.
+    */
+  private def tagHierarchyBucketed(spark: SparkSession, perTag: DataFrame,
+                                   nTags: Long, estBytes: Long, budget: Long,
+                                   mergeThreshold: Double,
+                                   level2Threshold: Double,
+                                   level1Threshold: Double): DataFrame = {
+    import spark.implicits._
+    val numBuckets = math.max(2L, (estBytes + budget - 1) / budget).toInt
+    val canons = perTag
+      .select(pmod(xxhash64(col("tag")), lit(numBuckets)).cast("int").as("bucket"),
+        col("tag").as("phrase"), col("docs"), col("doc_count").as("docCount"))
+      .as[TagDocs]
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, it) =>
+        val bucketTags = it.map(t =>
+            TagVec(t.phrase, t.docs.map(d => d.toInt -> 1.0).toMap, t.docCount))
+          .toIndexedSeq.sortBy(_.phrase)
+        mergeDuplicates(bucketTags, mergeThreshold).iterator.map(c =>
+          BucketCanon(c.label, c.members.map(m => bucketTags(m).phrase),
+            c.centroid, c.docCount))
+      }
+      .localCheckpoint()
+
+    // Collect cap: the budget divided by the measured mean per-tag bytes
+    // (a representative's centroid averages its members' incidence maps,
+    // so mean tag bytes is the right unit).
+    val repCap = math.max(64L, budget / math.max(1L, estBytes / math.max(1L, nTags))).toInt
+    val reps = canons.orderBy(col("docCount").desc, col("label")).limit(repCap)
+      .collect().toIndexedSeq
+    val level3 = reps.indices.map(i =>
+      Canon(reps(i).label, Seq(i), reps(i).centroid, reps(i).docCount))
+    val (level2, p3) = clusterLevel(level3, level2Threshold)
+    val (level1, p2) = clusterLevel(level2.toIndexedSeq, level1Threshold)
+    val labelRows = level3.indices.map { i =>
+      (level3(i).label, level2(p3(i)).label, level1(p2(p3(i))).label)
+    }
+    val labelMap = labelRows.toDF("canonical", "l2", "l1")
+
+    canons.flatMap(c => c.phrases.map(p => (p, c.label, c.docCount)))
+      .toDF("tag", "canonical", "doc_count")
+      .join(broadcast(labelMap), Seq("canonical"), "left")
+      .select(col("tag"), col("canonical"),
+        coalesce(col("l2"), col("canonical")).as("level2"),
+        coalesce(col("l1"), col("canonical")).as("level1"),
+        col("doc_count"))
       .orderBy(col("tag"))
   }
 }

@@ -58,6 +58,48 @@ class TagHierarchySpec extends SparkSpec {
     assert(byTag("database query") == byTag("sql storage"))
   }
 
+  // Over-budget path: a synthetic vocabulary large enough (via a tiny
+  // byte budget) to force the bucketed executor-side pre-merge.
+  test("tag_hierarchy bucketed path: covers the vocabulary, merges in-bucket duplicates") {
+    import spark.implicits._
+    // 120 tags, all with IDENTICAL incidence (docs 1..3): inside every
+    // hash bucket everything merges into one canonical tag.
+    val tags = (0 until 120).flatMap(i => (1L to 3L).map(d => (d, f"tag$i%03d")))
+      .toDF("doc_id", "tag")
+    val out = TagHierarchy.tagHierarchyOf(spark, tags, driverByteBudget = 2048L)
+    assert(out.columns.toSeq ==
+      Seq("tag", "canonical", "level2", "level1", "doc_count"))
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rows.map(_._1).sorted.toSeq == (0 until 120).map(i => f"tag$i%03d"),
+      "every input tag appears exactly once")
+    val canonCount = rows.map(_._2).distinct.length
+    assert(canonCount < 120,
+      s"identical-incidence tags sharing a bucket must merge (got $canonCount canons)")
+    // canonical doc_count = number of member tags × 3 shared docs... no:
+    // doc_count sums the per-tag incidence counts (3 each) over members.
+    rows.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.head._5 == members.length * 3L,
+        s"canon $canon doc_count ${members.head._5} != ${members.length} members × 3")
+      assert(members.map(_._1).contains(canon), "label must be a member phrase")
+    }
+  }
+
+  test("tag_hierarchy bucketed path matches compact path on an orthogonal vocabulary") {
+    import spark.implicits._
+    // Orthogonal incidence (each tag on its own doc): no merges at any
+    // level on either path, so both reduce to tag = canonical = l2 = l1.
+    val tags = (0 until 40).map(i => (1000L + i, s"t$i")).toDF("doc_id", "tag")
+    val compact = TagHierarchy.tagHierarchyOf(spark, tags).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).sortBy(_._1)
+    val bucketed = TagHierarchy.tagHierarchyOf(spark, tags, driverByteBudget = 1024L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).sortBy(_._1)
+    assert(compact.toSeq == bucketed.toSeq)
+    compact.foreach { r =>
+      assert(r._1 == r._2 && r._2 == r._3 && r._3 == r._4 && r._5 == 1L)
+    }
+  }
+
   test("tag_hierarchy on the corpus: total doc_count conserved per canonical tag") {
     val tags = KeywordTags.keywordTags(spark, sfDir).collect()
     val rows = TagHierarchy.tagHierarchy(spark, sfDir).collect()
