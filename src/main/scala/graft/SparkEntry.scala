@@ -39,10 +39,13 @@ object SparkEntry {
     "sparse_vectors"   -> ((s, d) => SparseSearch.sparseVectors(s, d)),
     "hybrid_rrf"       -> ((s, d) => SparseSearch.hybridRrf(s, d)),
     "grep_search"      -> ((s, d) => SparseSearch.grepSearch(s, d)),
+    "exact_search"     -> ((s, d) => ExactSearch.exactSearch(s, d)),
+    "semantic_rerank"  -> ((s, d) => SemanticRerank.semanticRerank(s, d)),
     "diversity_rerank" -> ((s, d) => SparseSearch.diversityRerank(s, d)),
     "keyword_tfidf"    -> ((s, d) => SparseSearch.keywordTfidf(s, d)),
     "idf_rebalance"    -> ((s, d) => SparseSearch.idfRebalance(s, d)),
     "keyword_tags"     -> ((s, d) => KeywordTags.keywordTags(s, d)),
+    "structural_tags"  -> ((s, d) => StructuralTags.structuralTags(s, d)),
     "keyword_baskets"  -> ((s, d) => KeywordTags.keywordBaskets(s, d)),
     "tag_hierarchy"    -> ((s, d) => TagHierarchy.tagHierarchy(s, d)),
     // Deduplication
@@ -62,6 +65,7 @@ object SparkEntry {
     "chunk_paragraphs" -> ((s, d) => Ingest.chunkParagraphs(s, d)),
     "store_points"     -> ((s, d) => Ingest.storePoints(s, d)),
     "retrieve_scroll"  -> ((s, d) => Ingest.retrieveScroll(s, d)),
+    "library_rollup"   -> ((s, d) => Ingest.libraryRollup(s, d)),
     "collection_stats" -> ((s, d) => Ingest.collectionStats(s, d)),
     // Graph analytics
     "graph_degree"      -> ((s, d) => GraphAlgorithms.degree(s, d)),
@@ -354,6 +358,44 @@ object SparkEntry {
         |FROM documents
         |WHERE len(regexp_extract_all(text, 'quer(y|ies)')) > 0
         |ORDER BY doc_id""".stripMargin,
+    "exact_search" ->
+      """SELECT doc_id,
+        |  CAST((length(text) - length(replace(text, 'hash join', ''))) / length('hash join') AS INTEGER) AS n_matches
+        |FROM documents
+        |WHERE text LIKE '%hash join%'
+        |ORDER BY doc_id""".stripMargin,
+    "semantic_rerank" ->
+      """WITH ctx AS (
+        |  SELECT vec_id, embedding, (vec_id + 1)::DOUBLE AS w
+        |  FROM embeddings WHERE vec_id < 5),
+        |pe AS (
+        |  SELECT w, i, embedding[i]::DOUBLE AS v
+        |  FROM ctx CROSS JOIN generate_series(1, 64) AS u(i)),
+        |qv AS (SELECT i, sum(v * w) / sum(w) AS qv FROM pe GROUP BY i),
+        |q AS (SELECT list(qv ORDER BY i) AS q_emb FROM qv),
+        |lex AS (
+        |  SELECT doc_id, len(regexp_split_to_array(text, '\s+'))::DOUBLE AS wt
+        |  FROM documents),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding, q.q_emb) AS sem,
+        |    0.6 * list_cosine_similarity(e.embedding, q.q_emb)
+        |      + (1 - 0.6) * (l.wt / (l.wt + 1.2)) AS combined
+        |  FROM embeddings e JOIN lex l ON l.doc_id = e.vec_id CROSS JOIN q
+        |  WHERE e.vec_id >= 5)
+        |SELECT vec_id,
+        |  CAST(row_number() OVER (ORDER BY combined DESC, vec_id) AS INTEGER) AS rnk
+        |FROM scored WHERE round(sem, 6) >= 0.15
+        |ORDER BY rnk LIMIT 20""".stripMargin,
+    "library_rollup" ->
+      """SELECT CAST(GROUPING(source) * 2 + GROUPING(lang) AS INTEGER) AS lvl,
+        |  source AS library, lang AS section,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents
+        |GROUP BY ROLLUP(source, lang)
+        |ORDER BY lvl, library, section""".stripMargin,
     "diversity_rerank" ->
       s"""$bm25StatsCte,
          |$bm25ScoredCte,
@@ -434,6 +476,9 @@ object SparkEntry {
          |  SELECT doc_id, unnest(selected) AS tag, unnest(generate_series(1, len(selected))) AS ti
          |  FROM folded WHERE len(selected) > 0)
          |ORDER BY doc_id, tag_rank""".stripMargin,
+    "structural_tags" ->
+      """SELECT doc_id, 'language:' || lang AS tag
+        |FROM documents ORDER BY doc_id, tag""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

@@ -171,6 +171,30 @@ object Ingest {
       .orderBy(col("doc_id"))
       .limit(pageSize)
 
+  /** Library hierarchy rollup (keyword_extraction/hierarchy_builder/
+    * builder.rs): the nightly builder materializes per-tenant rollups of
+    * the tag/document store, walking tenant → collection → detail
+    * (builder.rs:126 rebuild_all over builder.rs:239
+    * collect_concept_tags' per-tenant GROUP BY). Re-expressed as ONE
+    * grouping-sets pass — `ROLLUP(library, section)` where library =
+    * `source` (the tenant axis) and section = `lang` — instead of the
+    * reference's per-tenant loop: detail, per-library, and grand-total
+    * rows in a single shuffle. `lvl` is the grouping depth (0 = detail,
+    * 1 = library subtotal, 2 = grand total).
+    */
+  def libraryRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source").as("library"), col("lang").as("section"), col("n_chars"))
+      .rollup(col("library"), col("section"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        (grouping(col("library")) * 2 + grouping(col("section"))).cast("int").as("lvl"))
+      .select(col("lvl"), col("library"), col("section"),
+        col("n_docs"), col("total_chars"), col("avg_chars"))
+      .orderBy(col("lvl"), col("library"), col("section"))
+
   /** Per-collection stats (the reference's list tool): document counts
     * and size aggregates grouped by `source`.
     */

@@ -76,7 +76,6 @@ class TagHierarchySpec extends SparkSpec {
     val canonCount = rows.map(_._2).distinct.length
     assert(canonCount < 120,
       s"identical-incidence tags sharing a bucket must merge (got $canonCount canons)")
-    // canonical doc_count = number of member tags × 3 shared docs... no:
     // doc_count sums the per-tag incidence counts (3 each) over members.
     rows.groupBy(_._2).foreach { case (canon, members) =>
       assert(members.head._5 == members.length * 3L,
