@@ -76,6 +76,7 @@ object SparkEntry {
     // Streaming + multimodal
     "streaming_window"    -> ((s, d) => graft.streaming.StreamOps.streamingWindowOnce(s, d)),
     "streaming_sessions"  -> ((s, d) => graft.streaming.StreamOps.sessionWindowOnce(s, d)),
+    "streaming_store"     -> ((s, d) => graft.streaming.StreamOps.streamingStoreOnce(s, d)),
     "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.featureSummary(s, d)),
     "multimodal_search"   -> ((s, d) => graft.multimodal.Multimodal.multimodalSearch(s, d)),
     // Payload filtering / cross-collection / lexicon
@@ -202,6 +203,39 @@ object SparkEntry {
       |hyb AS (
       |  SELECT id, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rnk
       |  FROM fused ORDER BY 2 LIMIT 20)""".stripMargin
+
+  /** store_points / streaming_store shared oracle — the streaming path
+    * reuses the batch column expressions verbatim (identical digest
+    * scheme), so both sit under the same SQL. */
+  private val storePointsSql: String =
+    """WITH chunks AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST((start_char - 1) // 150 AS INTEGER) AS chunk_index,
+      |    chunk_text,
+      |    CAST(length(chunk_text) AS INTEGER) AS chunk_len
+      |  FROM (
+      |    SELECT doc_id, lang, source,
+      |      unnest(generate_series(1, greatest(length(text), 1), 150)) AS start_char,
+      |      unnest(list_transform(generate_series(1, greatest(length(text), 1), 150),
+      |        s -> substr(text, s, 200))) AS chunk_text
+      |    FROM documents)
+      |  WHERE length(chunk_text) > 0),
+      |nib AS (
+      |  SELECT *, list_transform(generate_series(1, 8),
+      |    j -> strpos('0123456789abcdef', substr(md5(chunk_text), CAST(j AS INTEGER), 1)) - 1) AS nibs
+      |  FROM chunks)
+      |SELECT
+      |  md5(CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_index AS VARCHAR) || '#' || chunk_text) AS point_id,
+      |  doc_id, chunk_index,
+      |  md5(array_to_string(list_transform(nibs, v -> CAST(v AS VARCHAR)), ',')) AS dense_digest,
+      |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(nibs, v -> (v / 8.0 - 1.0) * (v / 8.0 - 1.0))),
+      |    (acc, x) -> acc + x)), 4) AS dense_norm,
+      |  CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(chunk_text), '[^a-z0-9_]+'),
+      |    t -> len(t) > 1 AND NOT list_contains(
+      |      ['a','an','and','are','as','at','be','by','for','from','has','he','in','is','it','its','of','on','or','that','the','to','was','were','will','with','this','but','they','have','had','what','when','where','who','which','why','how'], t)))) AS INTEGER) AS sparse_nnz,
+      |  lang, source, chunk_len
+      |FROM nib ORDER BY doc_id, chunk_index""".stripMargin
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
   def oracleSql: Map[String, String] = Map(
@@ -647,35 +681,10 @@ object SparkEntry {
          |       WHEN old_idf < 1e-10 THEN 1.0
          |       ELSE round(new_idf / old_idf, 4) END AS correction
          |FROM idfs ORDER BY term""".stripMargin,
-    "store_points" ->
-      """WITH chunks AS (
-        |  SELECT doc_id, lang, source,
-        |    CAST((start_char - 1) // 150 AS INTEGER) AS chunk_index,
-        |    chunk_text,
-        |    CAST(length(chunk_text) AS INTEGER) AS chunk_len
-        |  FROM (
-        |    SELECT doc_id, lang, source,
-        |      unnest(generate_series(1, greatest(length(text), 1), 150)) AS start_char,
-        |      unnest(list_transform(generate_series(1, greatest(length(text), 1), 150),
-        |        s -> substr(text, s, 200))) AS chunk_text
-        |    FROM documents)
-        |  WHERE length(chunk_text) > 0),
-        |nib AS (
-        |  SELECT *, list_transform(generate_series(1, 8),
-        |    j -> strpos('0123456789abcdef', substr(md5(chunk_text), CAST(j AS INTEGER), 1)) - 1) AS nibs
-        |  FROM chunks)
-        |SELECT
-        |  md5(CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_index AS VARCHAR) || '#' || chunk_text) AS point_id,
-        |  doc_id, chunk_index,
-        |  md5(array_to_string(list_transform(nibs, v -> CAST(v AS VARCHAR)), ',')) AS dense_digest,
-        |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |    list_transform(nibs, v -> (v / 8.0 - 1.0) * (v / 8.0 - 1.0))),
-        |    (acc, x) -> acc + x)), 4) AS dense_norm,
-        |  CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(chunk_text), '[^a-z0-9_]+'),
-        |    t -> len(t) > 1 AND NOT list_contains(
-        |      ['a','an','and','are','as','at','be','by','for','from','has','he','in','is','it','its','of','on','or','that','the','to','was','were','will','with','this','but','they','have','had','what','when','where','who','which','why','how'], t)))) AS INTEGER) AS sparse_nnz,
-        |  lang, source, chunk_len
-        |FROM nib ORDER BY doc_id, chunk_index""".stripMargin,
+    "store_points" -> storePointsSql,
+    // The streaming twin reuses the batch column expressions verbatim,
+    // so on the closed corpus it sits under the SAME oracle.
+    "streaming_store" -> storePointsSql,
     "retrieve_scroll" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE lang = 'en' AND doc_id > 40

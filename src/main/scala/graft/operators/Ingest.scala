@@ -32,9 +32,11 @@ object Ingest {
 
   /** The chunking core: fixed char windows via posexplode, carrying any
     * extra per-document columns (lang/source payload) through the
-    * explode so downstream never joins back to the corpus. */
-  private def chunkWithMeta(docs: DataFrame, chunkSize: Int, overlap: Int,
-                            extraCols: Seq[String]): DataFrame = {
+    * explode so downstream never joins back to the corpus. Pure narrow
+    * transforms — also legal on a streaming DataFrame (the
+    * streaming_store path reuses it verbatim). */
+  private[graft] def chunkWithMeta(docs: DataFrame, chunkSize: Int, overlap: Int,
+                                   extraCols: Seq[String]): DataFrame = {
     val stride = chunkSize - overlap
     docs
       .select(col("doc_id") +: extraCols.map(col) :+
@@ -62,9 +64,18 @@ object Ingest {
     * so the DuckDB oracle reproduces digest and norm exactly.
     */
   def storePoints(spark: SparkSession, dir: String,
-                  dim: Int = 8): DataFrame = {
+                  dim: Int = 8): DataFrame =
+    pointRows(chunkWithMeta(Tables.documents(spark, dir), 200, 50, Seq("lang", "source")), dim)
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** The point-construction core over a chunk frame (point_builder.rs):
+    * map-only column expressions, shared verbatim between the batch
+    * store above and the streaming_store path — the digest scheme is
+    * identical by construction, so batch and stream reconcile
+    * row-for-row on a closed input.
+    */
+  private[graft] def pointRows(chunks: DataFrame, dim: Int = 8): DataFrame = {
     require(dim <= 32, "md5 supplies 32 hex nibbles")
-    val chunks = chunkWithMeta(Tables.documents(spark, dir), 200, 50, Seq("lang", "source"))
     val nibbles = (0 until dim).map { j =>
       conv(substring(md5(col("chunk_text")), j + 1, 1), 16, 10)
     }
@@ -79,7 +90,6 @@ object Ingest {
       .select(col("point_id"), col("doc_id"), col("chunk_index"),
         col("dense_digest"), col("dense_norm"), col("sparse_nnz"),
         col("lang"), col("source"), col("chunk_len"))
-      .orderBy(col("doc_id"), col("chunk_index"))
   }
 
   /** Paragraphs from blank-line structure, the reference's default

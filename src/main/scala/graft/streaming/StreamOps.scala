@@ -104,6 +104,57 @@ object StreamOps {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Schema for streaming reads of the documents parquet. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over the documents parquet — the post-debounce
+    * document feed of the reference's continuous loop (memexd:
+    * file event → EventDebouncer → document_processor → point upsert;
+    * the debouncer stage is [[debounce]] below).
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** The store pipeline INSIDE the stream: chunk → deterministic embed →
+    * point rows, reusing the batch operator's column expressions
+    * verbatim (Ingest.chunkWithMeta + Ingest.pointRows — both map-only
+    * narrow transforms, so the streaming plan is append-mode with no
+    * state at all: each micro-batch emits its documents' points and is
+    * done. That IS the reference's ingest queue semantics
+    * (shared/point_builder.rs build_point per processed file), and it
+    * scales as a pure map at any rate — no watermark, no shuffle.
+    */
+  def storePointsStream(docs: DataFrame, dim: Int = 8): DataFrame =
+    graft.operators.Ingest.pointRows(
+      graft.operators.Ingest.chunkWithMeta(docs, 200, 50, Seq("lang", "source")), dim)
+
+  /** Run the streaming store to completion over the static corpus —
+    * the verify gate runs this under the SAME DuckDB oracle as the
+    * batch store_points (identical digest scheme ⇒ row-for-row equal
+    * on a closed log, also asserted in StreamOpsSpec).
+    */
+  def streamingStoreOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_streaming_store"
+    val q = storePointsStream(documentsStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .orderBy(col("doc_id"), col("chunk_index"))
+  }
+
   /** Stateful per-key debouncer — the streaming twin of the reference's
     * `EventDebouncer` (watching_queue/types.rs:160: per path only the
     * latest event survives; it is released after `debounceSec` of

@@ -63,6 +63,19 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming store equals batch store_points row-for-row (same digests)") {
+    val batch = graft.operators.Ingest.storePoints(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getString(3),
+        r.getDouble(4), r.getInt(5), r.getString(6), r.getString(7), r.getInt(8)))
+    val streamed = StreamOps.streamingStoreOnce(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getString(3),
+        r.getDouble(4), r.getInt(5), r.getString(6), r.getString(7), r.getInt(8)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSet == batch.toSet,
+      "stream and batch must build identical points (ids, digests, norms, payload)")
+    assert(streamed.length == batch.length, "no duplicate points")
+  }
+
   test("stateful debounce stream equals the closed-log twin up to the watermark") {
     val debounceMs = 600L * 1000L
     val batch = PayloadOps.debounceEvents(spark, sfDir).collect()
