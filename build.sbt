@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pinned default so local and driver bench runs get the same heap
+  // (variance source: an 8g default paid GC pauses at sf0.1/local[32]).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

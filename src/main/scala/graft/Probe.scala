@@ -17,7 +17,13 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
+    // Dev-only probe targets that are deliberately NOT registered
+    // queries (straggler baselines for before/after measurements).
+    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame = name match {
+      case "skew_join_unsalted" =>
+        (s, d) => graft.operators.SkewJoin.skewJoinUnsalted(s, d)
+      case _ => SparkEntry.queries(name)
+    }
     for (round <- 1 to 2) {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -25,6 +25,7 @@ object SparkEntry {
     "topk_orders"   -> ((s, d) => CoreAnalytics.topkOrders(s, d)),
     "window_events" -> ((s, d) => CoreAnalytics.windowEvents(s, d)),
     "sessionize"    -> ((s, d) => CoreAnalytics.sessionize(s, d)),
+    "skew_join"     -> ((s, d) => SkewJoin.skewJoin(s, d)),
     // Vector search
     "dense_topk"          -> ((s, d) => VectorSearch.denseTopK(s, d)),
     "dense_topk_filtered" -> ((s, d) => VectorSearch.denseTopK(s, d, label = Some(3))),
@@ -302,6 +303,18 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  round(sum(value), 4) AS session_value
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "skew_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events),
+        |keyed AS (
+        |  SELECT *, CASE WHEN k < 80 THEN 0 ELSE k - 79 END AS skew_key FROM ev),
+        |clicks AS (SELECT skew_key, value AS cv FROM keyed WHERE event_type = 'click'),
+        |errors AS (SELECT skew_key, value AS ev FROM keyed WHERE event_type = 'error')
+        |SELECT c.skew_key, count(*) AS n_pairs
+        |FROM clicks c JOIN errors e ON c.skew_key = e.skew_key AND c.cv > e.ev
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dense_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

@@ -84,6 +84,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan("keyword_baskets").contains("CartesianProduct"))
   }
 
+  test("skew join salts the hot key: merge join on (skew_key, salt), no broadcast") {
+    val q = SparkEntry.queries("skew_join")(spark, sfDir)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), "forced large-large path:\n" + p.take(2000))
+    assert(!p.contains("BroadcastHashJoin"), "no side may broadcast in the demo")
+    assert("SortMergeJoin \\[skew_key#\\d+, salt#\\d+\\]".r.findFirstIn(p).isDefined,
+      "join key must be the salted composite:\n" + p.take(2000))
+    // The replicated side carries the salt explode
+    assert(p.contains("Generate explode"), "errors side must replicate per salt")
+  }
+
+  test("skew join: salted and straggler plans agree on results") {
+    val salted = operators.SkewJoin.skewJoin(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val unsalted = operators.SkewJoin.skewJoinUnsalted(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(salted.nonEmpty && salted == unsalted)
+  }
+
   test("debounce is one partitioned window over a single scan — no join, no cross") {
     val p = plan("debounce_events")
     assert(p.contains("Window"), p.take(1500))
