@@ -38,6 +38,16 @@ object GraphAlgorithms {
     * measured. Sizing: one partition per ~200k shuffled rows, floor 8,
     * never above the session default (a billion-edge graph keeps full
     * parallelism).
+    *
+    * CONCURRENCY CONTRACT: this mutates the session-global
+    * `spark.sql.shuffle.partitions` for the duration of `f` (and `f`
+    * must materialize its own stages — the iterative callers
+    * localCheckpoint inside the loop, so every sized shuffle executes
+    * before the finally-restore). A query running CONCURRENTLY on the
+    * same SparkSession would see the reduced setting; the bench/verify
+    * harnesses are single-threaded by design. Shared-session callers
+    * should run graph algorithms on `spark.newSession()` (same shared
+    * SparkContext, isolated SQL conf).
     */
   def withGraphSizedShuffle[T](spark: SparkSession, rowsPerIteration: Long)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"

@@ -116,10 +116,12 @@ object Ingest {
     * pack trimmed paragraphs into chunks joined by "\n\n"; when the next
     * paragraph would push the chunk past `chunkSize` (+2 for the
     * separator), flush it and carry back the last `overlap` chars as the
-    * start of the next chunk. For overlap > 0 every chunk is a slice of
-    * the normalized text (paragraphs joined by "\n\n"), so the fold only
-    * tracks integer boundaries — a per-row `aggregate` HOF, map-only at
-    * any scale — and content is cut with one substring at the end.
+    * start of the next chunk (overlap = 0: the fresh chunk starts past
+    * the separator, chunking.rs's fresh-chunk case). Every chunk is a
+    * slice of the normalized text (paragraphs joined by "\n\n"), so the
+    * fold only tracks integer boundaries — a per-row `aggregate` HOF,
+    * map-only at any scale — and content is cut with one substring at
+    * the end.
     */
   def chunkParagraphs(spark: SparkSession, dir: String,
                       chunkSize: Int = 120, overlap: Int = 30,
@@ -135,7 +137,7 @@ object Ingest {
     * append with separator, or start fresh.
     */
   def chunkParagraphsOf(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
-    require(overlap > 0, "overlap must be > 0 for slice-of-normalized-text bookkeeping")
+    require(overlap >= 0, "negative overlap is meaningless")
     def emit(acc: Column): Column =
       concat(acc("b"), when(acc("b") === "", lit("")).otherwise(lit(";")),
         acc("cs").cast("string"), lit(","), (acc("cs") + acc("cl")).cast("string"))
@@ -144,9 +146,17 @@ object Ingest {
       (acc, p) => {
         val lp = length(p).cast("long")
         val ov = greatest(acc("cl") - lit(overlap.toLong), lit(0L))
+        // overlap = 0 (chunking.rs supports it): the fresh chunk starts
+        // PAST the "\n\n" separator with no carried chars — the generic
+        // arithmetic would prepend the separator to the next chunk.
+        def flushed =
+          if (overlap == 0)
+            struct(emit(acc).as("b"), (acc("cs") + acc("cl") + lit(2L)).as("cs"), lp.as("cl"))
+          else
+            struct(emit(acc).as("b"), (acc("cs") + ov).as("cs"),
+              (acc("cl") - ov + lit(2L) + lp).as("cl"))
         when(acc("cl") > 0 && acc("cl") + lp + lit(2L) > lit(chunkSize.toLong),
-          struct(emit(acc).as("b"), (acc("cs") + ov).as("cs"),
-            (acc("cl") - ov + lit(2L) + lp).as("cl")))
+          flushed)
           .when(acc("cl") > 0,
             struct(acc("b").as("b"), acc("cs").as("cs"), (acc("cl") + lit(2L) + lp).as("cl")))
           .otherwise(struct(acc("b").as("b"), acc("cs").as("cs"), lp.as("cl")))

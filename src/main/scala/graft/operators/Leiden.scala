@@ -33,6 +33,8 @@ import graft.Tables
   */
 object Leiden {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** CPM config, defaults = LeidenConfig::default (mod.rs:75). */
   case class Config(resolution: Double = 1.0, resolutionStep: Double = 1.5,
                     maxCommunityMembers: Int = 200, minCommunityMembers: Int = 4)
@@ -71,7 +73,15 @@ object Leiden {
     leidenEdges(spark, weightedEdges(spark, dir), config, broadcastByteBudget)
 
   /** Leiden over any (src, dst, w) weighted edge DataFrame. `buckets`
-    * only affects the over-budget frontier path. */
+    * only affects the over-budget frontier path.
+    *
+    * EDGES-DEFINE-NODES CONTRACT: the node set is derived from the edge
+    * list, so a node present in the reference's AdjacencyExport but
+    * carrying no edges gets NO community row here (the reference emits
+    * it as a singleton). The order-derived graph has no such nodes —
+    * every node arrives on an edge; callers with isolated nodes should
+    * union singleton rows for `nodes ∖ edge-endpoints` themselves.
+    */
   def leidenEdges(spark: SparkSession, e: DataFrame, config: Config,
                   broadcastByteBudget: Long = 256L << 20,
                   buckets: Int = 8): DataFrame = {
@@ -90,7 +100,15 @@ object Leiden {
     val (_, estBytes) =
       GraphAlgorithms.estimatedAdjacencyBytes(adjDf, entryExtraBytes = 8L)
     if (estBytes <= broadcastByteBudget) leidenCompact(spark, adjDf, config)
-    else leidenFrontier(spark, und, config, buckets)
+    else {
+      // Runtime signal for the algorithm switch: past the budget the
+      // frontier path runs single-level local-move only — no refine, no
+      // size-gated split (maxCommunityMembers unenforced), so oversized
+      // communities in the output are attributable to this log line.
+      log.info(s"graph_leiden: adjacency ~$estBytes bytes over budget " +
+        s"$broadcastByteBudget — distributed frontier path (no refine/split)")
+      leidenFrontier(spark, und, config, buckets)
+    }
   }
 
   // ------------------------------------------------------------------

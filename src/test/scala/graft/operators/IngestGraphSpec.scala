@@ -37,7 +37,10 @@ class IngestGraphSpec extends SparkSpec {
       if (cur.nonEmpty && cur.length + p.length + 2 > chunkSize) {
         out += ((idx, curStart, cur)); idx += 1
         val ov = math.max(cur.length - overlap, 0)
-        cur = cur.substring(ov); curStart += ov
+        cur = cur.substring(ov)
+        // full carve (overlap = 0): the fresh chunk starts past the
+        // "\n\n" separator in normalized-text coordinates
+        curStart += (if (cur.isEmpty) ov + 2 else ov)
       }
       if (cur.nonEmpty) cur += "\n\n"
       cur += p
@@ -63,6 +66,24 @@ class IngestGraphSpec extends SparkSpec {
       refParagraphChunks(t, 40, 10).map { case (ci, s, c) => (i.toLong, ci, s, c) }
     }
     assert(got.toSeq == expected, s"got ${got.mkString("\n")}")
+  }
+
+  test("chunk_paragraphs supports overlap = 0: fresh chunks, no separator prefix") {
+    import spark.implicits._
+    val texts = Seq(
+      "alpha beta gamma\n\ndelta epsilon\n\nzeta eta theta iota kappa\n\nlambda mu",
+      "one tiny\n\npar\n\nanother paragraph that is rather longer than the rest\n\nend")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"), Ingest.paragraphsFromText(col("text")).as("ps"))
+    val got = Ingest.chunkParagraphsOf(df, chunkSize = 40, overlap = 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2).toInt, r.getString(3)))
+    val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+      refParagraphChunks(t, 40, 0).map { case (ci, s, c) => (i.toLong, ci, s, c) }
+    }
+    assert(got.toSeq == expected, s"got ${got.mkString("\n")}")
+    got.foreach { case (_, _, _, c) =>
+      assert(!c.startsWith("\n"), "no separator may leak into a fresh chunk")
+    }
   }
 
   test("chunk_paragraphs on the corpus: contiguous slices of the normalized text") {
