@@ -41,6 +41,7 @@ object SparkEntry {
     "hybrid_rrf"       -> ((s, d) => SparseSearch.hybridRrf(s, d)),
     "grep_search"      -> ((s, d) => SparseSearch.grepSearch(s, d)),
     "exact_search"     -> ((s, d) => ExactSearch.exactSearch(s, d)),
+    "glob_search"      -> ((s, d) => ExactSearch.globSearch(s, d)),
     "semantic_rerank"  -> ((s, d) => SemanticRerank.semanticRerank(s, d)),
     "diversity_rerank" -> ((s, d) => SparseSearch.diversityRerank(s, d)),
     "keyword_tfidf"    -> ((s, d) => SparseSearch.keywordTfidf(s, d)),
@@ -89,6 +90,7 @@ object SparkEntry {
     "session_window_agg" -> ((s, d) => PayloadOps.sessionWindowAgg(s, d)),
     "rules_select"       -> ((s, d) => PayloadOps.rulesSelect(s, d)),
     "tenant_decay"       -> ((s, d) => PayloadOps.tenantSearchDecay(s, d)),
+    "branch_cleanup"     -> ((s, d) => BranchLifecycle.branchCleanup(s, d)),
     "debounce_events"    -> ((s, d) => PayloadOps.debounceEvents(s, d)),
   )
 
@@ -410,6 +412,18 @@ object SparkEntry {
         |  CAST((length(text) - length(replace(text, 'hash join', ''))) / length('hash join') AS INTEGER) AS n_matches
         |FROM documents
         |WHERE text LIKE '%hash join%'
+        |ORDER BY doc_id""".stripMargin,
+    "glob_search" ->
+      """WITH paths AS (
+        |  SELECT doc_id, text,
+        |    '/corpus/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '.txt' AS file_path
+        |  FROM documents)
+        |SELECT doc_id, file_path,
+        |  CAST((length(text) - length(replace(text, 'hash join', ''))) / length('hash join') AS INTEGER) AS n_matches
+        |FROM paths
+        |WHERE file_path LIKE '/corpus/src1%'
+        |  AND regexp_matches(file_path, '^/corpus/src1.*/doc.*\.txt$')
+        |  AND text LIKE '%hash join%'
         |ORDER BY doc_id""".stripMargin,
     "semantic_rerank" ->
       """WITH ctx AS (
@@ -789,6 +803,22 @@ object SparkEntry {
          |SELECT doc_id, tenant_id,
          |  CAST(row_number() OVER (ORDER BY adj_score DESC, doc_id) AS INTEGER) AS rnk
          |FROM adj ORDER BY rnk LIMIT 20""".stripMargin,
+    "branch_cleanup" ->
+      """WITH tf AS (
+        |  SELECT doc_id, source AS tenant_id,
+        |    CASE WHEN doc_id % 10 < 3 THEN ['b' || CAST(doc_id % 5 AS VARCHAR)]
+        |         ELSE ['main', 'b' || CAST(doc_id % 5 AS VARCHAR)] END AS branches
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, tenant_id, branches,
+        |    list_filter(branches, b -> list_contains(['main', 'b0', 'b1', 'b2'], b)) AS remaining
+        |  FROM tf)
+        |SELECT doc_id, tenant_id,
+        |  CASE WHEN len(remaining) = 0 THEN 'delete'
+        |       WHEN len(remaining) < len(branches) THEN 'update'
+        |       ELSE 'keep' END AS action,
+        |  array_to_string(remaining, ',') AS branches_left
+        |FROM r ORDER BY doc_id""".stripMargin,
     "debounce_events" ->
       """WITH led AS (
         |  SELECT user_id, ts, event_id, event_type,

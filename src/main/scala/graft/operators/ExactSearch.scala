@@ -55,6 +55,47 @@ object ExactSearch {
     else Some(glob.substring(0, pos)).filter(_.nonEmpty)
   }
 
+  /** resolve_path_filter (escaping.rs:110): relative globs anchor with
+    * `**` / `**` so they match indexed absolute paths (#94); the
+    * literal prefix (if any) pre-filters before the full glob match. */
+  def resolvePathFilter(glob: String): (String, Option[String]) = {
+    val normalized =
+      if (glob.startsWith("/") || glob.startsWith("**")) glob else s"**/$glob"
+    (normalized, extractGlobPrefix(normalized))
+  }
+
+  /** Glob → anchored regex under the reference's match options
+    * (escaping.rs:95: case-sensitive, separators NOT literal — `*`
+    * crosses `/`): `**` / `*` → `.*` with a leading `**` slash group
+    * optional (so `**` matches "lib.rs"), `?` → `.`, `[!..]`/`[..]`
+    * classes pass through, everything else is quoted.
+    */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' if glob.startsWith("**/", i) => sb.append("(.*/)?"); i += 3
+        case '*' if glob.startsWith("**", i) => sb.append(".*"); i += 2
+        case '*' => sb.append(".*"); i += 1
+        case '?' => sb.append("."); i += 1
+        case '[' =>
+          val close = glob.indexOf(']', i + 1)
+          if (close < 0) { sb.append("\\["); i += 1 }
+          else {
+            val body = glob.substring(i + 1, close)
+            sb.append('[').append(if (body.startsWith("!")) "^" + body.drop(1) else body)
+              .append(']')
+            i = close + 1
+          }
+        case c =>
+          if ("\\.[]{}()+-^$|".indexOf(c) >= 0) sb.append('\\')
+          sb.append(c); i += 1
+      }
+    }
+    sb.append('$').toString
+  }
+
   /** The generic operator: exact occurrences of `pattern` per document
     * over a (doc_id, text) frame. `caseInsensitive` routes both sides
     * through lower() (search.rs:109's instr_pattern). Occurrences are
@@ -81,4 +122,32 @@ object ExactSearch {
                   caseInsensitive: Boolean = false): DataFrame =
     exactSearchOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       pattern, caseInsensitive)
+
+  /** glob_search query: exact search scoped by a path glob — the full
+    * tool flow (search.rs:41 resolve → prefix pre-filter → glob verify
+    * → substring match). The corpus path identity is the same derived
+    * absolute path structural_tags uses; the prefix lands as a
+    * pushed-down StartsWith on the scan, the expanded globs verify as
+    * anchored regexes, then the literal count runs on the survivors.
+    */
+  def globSearch(spark: SparkSession, dir: String,
+                 pattern: String = "hash join",
+                 glob: String = "/corpus/src1*/doc*.txt"): DataFrame = {
+    val (normalized, prefix) = resolvePathFilter(glob)
+    val regexes = expandBraces(normalized).map(globToRegex)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("/corpus/"), col("source"), lit("/doc"),
+          col("doc_id").cast("string"), lit(".txt")).as("file_path"),
+        col("text"))
+    val preFiltered = prefix.fold(docs)(p => docs.filter(col("file_path").startsWith(p)))
+    val scoped = preFiltered
+      .filter(regexes.map(r => col("file_path").rlike(r)).reduce(_ || _))
+    scoped
+      .filter(col("text").like("%" + escapeLikePattern(pattern) + "%"))
+      .select(col("doc_id"), col("file_path"),
+        ((length(col("text")) - length(replace(col("text"), lit(pattern), lit("")))) / pattern.length)
+          .cast("int").as("n_matches"))
+      .orderBy(col("doc_id"))
+  }
 }

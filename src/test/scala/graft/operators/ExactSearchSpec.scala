@@ -44,6 +44,48 @@ class ExactSearchSpec extends SparkSpec {
     assert(extractGlobPrefix("src/main.rs").contains("src/main.rs"))
   }
 
+  private def matcher(glob: String): String => Boolean = { path =>
+    expandBraces(glob).map(globToRegex).exists(path.matches)
+  }
+
+  // escaping.rs test_compile_glob_matcher_star_star/_with_prefix/_braces
+  test("glob matcher vectors (separators not literal)") {
+    val m1 = matcher("**/*.rs")
+    assert(m1("src/main.rs") && m1("src/deep/nested/lib.rs") && m1("lib.rs"))
+    assert(!m1("src/main.ts"))
+    val m2 = matcher("src/**/*.rs")
+    assert(m2("src/main.rs") && m2("src/deep/lib.rs"))
+    assert(!m2("tests/test.rs"))
+    val m3 = matcher("**/*.{rs,toml}")
+    assert(m3("src/main.rs") && m3("Cargo.toml"))
+    assert(!m3("src/main.ts"))
+  }
+
+  // escaping.rs test_resolve_path_filter_* (#94 anchoring)
+  test("resolve_path_filter anchors relative globs, keeps absolute prefixes") {
+    val (g1, p1) = resolvePathFilter("src/rust/**/*.rs")
+    assert(g1 == "**/src/rust/**/*.rs" && p1.isEmpty)
+    assert(matcher(g1)("/home/user/project/src/rust/daemon/core/src/lib.rs"))
+    assert(!matcher(g1)("/home/user/project/src/python/main.py"))
+    val (g2, p2) = resolvePathFilter("/abs/path/**/*.rs")
+    assert(g2 == "/abs/path/**/*.rs" && p2.contains("/abs/path/"))
+    val (g3, _) = resolvePathFilter("**/*.rs")
+    assert(g3 == "**/*.rs")
+  }
+
+  test("glob_search scopes to matching paths and counts like exact_search") {
+    val rows = ExactSearch.globSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, path, n) =>
+      assert(path.matches("^/corpus/src1.*/doc.*\\.txt$"), path)
+      assert(n > 0)
+    }
+    val unscoped = ExactSearch.exactSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    rows.foreach { case (id, _, n) => assert(unscoped(id) == n) }
+  }
+
   // search.rs exact-substring semantics: metacharacters are literal,
   // case mode routes both sides through lower()
   test("exact search: literal metacharacters, occurrence counts, case mode") {
