@@ -722,6 +722,46 @@ object SparkEntry {
         |  round(avg(n_chars), 4) AS avg_chars,
         |  count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Iterative PageRank as a DuckDB RECURSIVE CTE: the recursive term
+    // re-derives contributions + dangling mass from the previous
+    // iteration (nested CTEs over ONE recursive reference; `nodes` uses
+    // an explicit DISTINCT because UNION inside WITH RECURSIVE gets
+    // recursive-union semantics in DuckDB and would keep duplicates).
+    // 15 iterations, damping 0.85 — identical update rule to
+    // GraphAlgorithms.pageRankEdgesImpl; round(,6) absorbs last-ulp
+    // summation-order drift.
+    "graph_pagerank" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |outdeg AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY 1),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |pr AS (
+        |  SELECT 0 AS iter, node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT nxt.iter, nxt.node, nxt.rank FROM (
+        |    WITH cur AS (SELECT iter, node, rank FROM pr),
+        |    scattered AS (
+        |      SELECT p.node, p.rank, od.od, e.dst
+        |      FROM cur p
+        |      LEFT JOIN outdeg od ON od.src = p.node
+        |      LEFT JOIN e ON e.src = p.node),
+        |    dmx AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM scattered WHERE od IS NULL),
+        |    contribs AS (
+        |      SELECT dst AS node, sum(rank / od) AS c
+        |      FROM scattered WHERE dst IS NOT NULL GROUP BY 1),
+        |    it AS (SELECT max(iter) AS i FROM cur)
+        |    SELECT it.i + 1 AS iter, nodes.node AS node,
+        |      (1 - 0.85) / nn.n + 0.85 * (coalesce(contribs.c, 0.0) + dmx.dm / nn.n) AS rank
+        |    FROM nodes
+        |    CROSS JOIN nn CROSS JOIN dmx CROSS JOIN it
+        |    LEFT JOIN contribs ON contribs.node = nodes.node
+        |    WHERE it.i < 15) nxt
+        |)
+        |SELECT node AS node_id, round(rank, 6) AS score
+        |FROM pr WHERE iter = 15 ORDER BY node_id""".stripMargin,
     "graph_degree" ->
       """WITH e AS (
         |  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
