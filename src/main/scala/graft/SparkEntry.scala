@@ -762,6 +762,46 @@ object SparkEntry {
         |)
         |SELECT node AS node_id, round(rank, 6) AS score
         |FROM pr WHERE iter = 15 ORDER BY node_id""".stripMargin,
+    // Label propagation as a RECURSIVE CTE: integer labels (md5-nibble
+    // fold, identical to the Spark initial label) keep every iteration
+    // EXACT — votes = neighbour labels + self, most-frequent wins,
+    // smallest label on ties, 10 synchronous iterations, then
+    // min-member community ids and the min-size filter.
+    "graph_communities" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)),
+        |nodes AS (SELECT DISTINCT a AS node FROM und),
+        |lab AS (
+        |  SELECT 0 AS iter, node,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 15),
+        |        j -> (strpos('0123456789abcdef', substr(md5(node), CAST(j AS INTEGER), 1)) - 1)::BIGINT)),
+        |      (acc, x) -> acc * 16 + x) AS label
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT nxt.iter, nxt.node, nxt.label FROM (
+        |    WITH cur AS (SELECT iter, node, label FROM lab),
+        |    votes AS (
+        |      SELECT u.a AS node, c.label FROM und u JOIN cur c ON c.node = u.b
+        |      UNION ALL SELECT node, label FROM cur),
+        |    counted AS (SELECT node, label, count(*) AS cnt FROM votes GROUP BY 1, 2),
+        |    picked AS (
+        |      SELECT node, label FROM counted
+        |      QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1),
+        |    it AS (SELECT max(iter) AS i FROM cur)
+        |    SELECT it.i + 1 AS iter, picked.node, picked.label
+        |    FROM picked CROSS JOIN it WHERE it.i < 10) nxt
+        |),
+        |final AS (SELECT node, label FROM lab WHERE iter = 10),
+        |sized AS (
+        |  SELECT node, min(node) OVER (PARTITION BY label) AS community,
+        |    count(*) OVER (PARTITION BY label) AS csize
+        |  FROM final)
+        |SELECT node AS node_id, community FROM sized WHERE csize >= 2
+        |ORDER BY node_id""".stripMargin,
     "graph_degree" ->
       """WITH e AS (
         |  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst

@@ -159,8 +159,12 @@ object GraphAlgorithms {
                                    iterations: Int, minSize: Int): DataFrame = {
     val nodes = undirected.select(col("a").as("node_id")).distinct()
 
-    // Initial label = stable per-node integer (dense hash of the id).
-    var labels = nodes.withColumn("label", xxhash64(col("node_id")))
+    // Initial label = stable per-node integer from md5 hex nibbles —
+    // the same arithmetic is computable in the DuckDB oracle twin
+    // (xxhash64 is Spark-only), and integer labels keep every
+    // iteration exact on both engines.
+    var labels = nodes.withColumn("label",
+      conv(substring(md5(col("node_id")), 1, 15), 16, 10).cast("long"))
     for (i <- 1 to iterations) {
       // Each node votes its label to neighbours; self-vote stabilizes.
       val votes = undirected
