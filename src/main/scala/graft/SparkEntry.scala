@@ -564,6 +564,30 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT a, b, CAST(row_number() OVER (ORDER BY score DESC, a, b) AS INTEGER) AS rnk
         |FROM p ORDER BY rnk LIMIT 20""".stripMargin,
+    // Self-trained trigram language-ID twin: integer profile weights and
+    // counts make every step exact — top-40 grams per language
+    // ((cnt desc, g) tiebreak), distinct doc grams, summed weights,
+    // argmax with the p_lang tiebreak.
+    "lang_id" ->
+      """WITH grams AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+        |      i -> substr(text, i, 3))) AS g
+        |  FROM documents),
+        |prof AS (
+        |  SELECT lang AS p_lang, g, (41 - rn) AS weight FROM (
+        |    SELECT lang, g, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) AS rn
+        |    FROM grams GROUP BY lang, g)
+        |  WHERE rn <= 40),
+        |dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        |scored AS (
+        |  SELECT dg.doc_id, prof.p_lang, sum(prof.weight) AS score
+        |  FROM dg JOIN prof USING (g) GROUP BY 1, 2)
+        |SELECT doc_id, p_lang AS predicted_lang
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) = 1
+        |ORDER BY doc_id""".stripMargin,
     "quality_score" ->
       """WITH f AS (
         |  SELECT doc_id,
