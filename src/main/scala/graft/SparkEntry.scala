@@ -62,6 +62,7 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
     "quasi_summary"   -> ((s, d) => TextAnalysis.quasiSummary(s, d)),
+    "title_extract"   -> ((s, d) => TitleExtraction.titleExtract(s, d)),
     // Ingestion pipeline
     "chunk_documents"  -> ((s, d) => Ingest.chunkDocuments(s, d)),
     "chunk_paragraphs" -> ((s, d) => Ingest.chunkParagraphs(s, d)),
@@ -657,6 +658,27 @@ object SparkEntry {
         |    PARTITION BY doc_id ORDER BY w DESC, chunk_index) AS gist_rank FROM allw)
         |WHERE gist_rank <= 3
         |ORDER BY doc_id, gist_rank""".stripMargin,
+    // The cascade's plain-text branch re-evaluated in SQL: first-line
+    // heuristic (≤200 chars, no trailing sentence punctuation, carries
+    // an uppercase), else title-cased filename stem.
+    "title_extract" ->
+      """WITH fl AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |      l -> l <> '')[1] AS line
+        |  FROM documents)
+        |SELECT d.doc_id,
+        |  CASE WHEN fl.line IS NOT NULL AND length(fl.line) <= 200
+        |        AND NOT regexp_matches(fl.line, '[.,;]$')
+        |        AND regexp_matches(fl.line, '[A-Z]')
+        |    THEN fl.line
+        |    ELSE 'Doc' || CAST(d.doc_id AS VARCHAR) END AS title,
+        |  CASE WHEN fl.line IS NOT NULL AND length(fl.line) <= 200
+        |        AND NOT regexp_matches(fl.line, '[.,;]$')
+        |        AND regexp_matches(fl.line, '[A-Z]')
+        |    THEN 'content' ELSE 'filename' END AS title_source
+        |FROM documents d JOIN fl USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "chunk_documents" ->
       """SELECT doc_id,
         |  CAST((start_char - 1) // 150 AS INTEGER) AS chunk_index,
