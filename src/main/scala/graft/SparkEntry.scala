@@ -50,6 +50,7 @@ object SparkEntry {
     "structural_tags"  -> ((s, d) => StructuralTags.structuralTags(s, d)),
     "keyword_baskets"  -> ((s, d) => KeywordTags.keywordBaskets(s, d)),
     "tag_hierarchy"    -> ((s, d) => TagHierarchy.tagHierarchy(s, d)),
+    "tag_affinity"     -> ((s, d) => Grouping.tagAffinity(s, d)),
     // Deduplication
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -541,6 +542,33 @@ object SparkEntry {
     "structural_tags" ->
       """SELECT doc_id, 'language:' || lang AS tag
         |FROM documents ORDER BY doc_id, tag""".stripMargin,
+    // Tag-affinity grouping: exact-rational Jaccard edges over the MMR
+    // tag profiles, then components via a nested RECURSIVE reachability
+    // closure (UNION-dedup terminates at the transitive fixpoint).
+    "tag_affinity" ->
+      s"""$keywordPipelineCte,
+         |ten AS (SELECT doc_id, source AS tenant_id FROM documents),
+         |prof AS (SELECT DISTINCT tenant_id, tag FROM (
+         |  SELECT t.tenant_id, unnest(f.selected) AS tag
+         |  FROM folded f JOIN ten t USING (doc_id))),
+         |szs AS (SELECT tenant_id, count(*) AS sz FROM prof GROUP BY 1),
+         |inters AS (
+         |  SELECT x.tenant_id AS a, y.tenant_id AS b, count(*) AS inter
+         |  FROM prof x JOIN prof y ON x.tag = y.tag AND x.tenant_id < y.tenant_id
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT a, b FROM inters
+         |  JOIN szs sa ON sa.tenant_id = a JOIN szs sb ON sb.tenant_id = b
+         |  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.25),
+         |bidir AS (SELECT DISTINCT a, b FROM (
+         |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges))
+         |SELECT t AS tenant_id, min(lbl) AS group_id FROM (
+         |  WITH RECURSIVE reach AS (
+         |    SELECT DISTINCT a AS t, a AS lbl FROM bidir
+         |    UNION
+         |    SELECT e.a AS t, r.lbl FROM reach r JOIN bidir e ON e.b = r.t)
+         |  SELECT t, lbl FROM reach)
+         |GROUP BY t ORDER BY tenant_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
