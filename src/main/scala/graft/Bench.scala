@@ -35,6 +35,10 @@ object Bench {
         spark.catalog.clearCache()
         (sec, n)
       }
+      // Compact the heap between queries: accumulated garbage from a
+      // long bench JVM otherwise bleeds GC pauses into later timings
+      // (the round-2/3 driver-artifact pathology).
+      System.gc()
       val med = times.map(_._1).sorted.apply(times.length / 2)
       System.err.println(f"[bench] $name%-22s med=$med%7.2fs  rows=${times.last._2}  " +
         s"runs=${times.map(t => f"${t._1}%.2f").mkString(",")}")
