@@ -22,10 +22,14 @@ import graft.Tables
   */
 object Grouping {
 
-  /** Connected components via min-label propagation over (a, b) edges:
-    * every node's label monotonically drops to its component minimum.
+  /** Connected components via min-label propagation over (a, b) edges
+    * with POINTER JUMPING: each round takes the min over the node's own
+    * label, its neighbours' labels, and its label's label — the
+    * shortcut halves chain lengths, so convergence is O(log diameter)
+    * rounds, not O(diameter); the fixpoint check exits early and
+    * `maxIters` (2^16-diameter headroom) is only a runaway guard.
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 12): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 16): DataFrame = {
     val bidir = edges.select(col("a"), col("b"))
       .union(edges.select(col("b"), col("a")))
       .distinct().localCheckpoint()
@@ -36,8 +40,14 @@ object Grouping {
     while (iter < maxIters && !converged) {
       val nbrMin = bidir.join(labels, bidir("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val hop = labels.select(col("node").as("ln"), col("label").as("ll"))
+      val next = labels
+        .join(nbrMin, labels("node") === nbrMin("a"), "left")
+        .join(hop, labels("label") === hop("ln"), "left")
+        .select(col("node"),
+          least(col("label"),
+            coalesce(col("nbr_label"), col("label")),
+            coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
       converged = next.join(labels.select(col("node"), col("label").as("prev")), "node")
         .filter(col("label") =!= col("prev")).isEmpty

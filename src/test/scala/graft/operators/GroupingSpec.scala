@@ -19,6 +19,17 @@ class GroupingSpec extends SparkSpec {
       "p5" -> "p5", "p6" -> "p5"))
   }
 
+  test("connected components: a 40-node chain converges inside the round budget") {
+    import spark.implicits._
+    // plain min-label propagation would need 39 rounds; pointer jumping
+    // must close this well inside the 16-round guard
+    val edges = (0 until 39).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("a", "b")
+    val out = Grouping.connectedComponents(edges).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.length == 40)
+    assert(out.forall(_._2 == "n00"), "every chain node must reach the minimum label")
+  }
+
   test("tag_affinity on the corpus: groups keyed by min member, jaccard-verified") {
     val rows = Grouping.tagAffinity(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)))
