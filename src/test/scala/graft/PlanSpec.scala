@@ -103,6 +103,25 @@ class PlanSpec extends SparkSpec {
     assert(salted.nonEmpty && salted == unsalted)
   }
 
+  test("semantic rerank broadcasts the 1-row mean, never the candidates") {
+    val p = plan("semantic_rerank")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("glob search pushes the literal path prefix work to one scan") {
+    val p = plan("glob_search")
+    assert(!p.contains("Join"), "glob scoping is a pure filter, no join:\n" + p.take(1500))
+    assert(p.contains("StartsWith") || p.contains("startswith"),
+      "prefix pre-filter must survive into the plan:\n" + p.take(2000))
+  }
+
+  test("tag affinity pair generation is a key-equality join, not a cross product") {
+    val p = plan("tag_affinity")
+    assert(!p.contains("CartesianProduct"), "profiles must join on tag")
+  }
+
   test("debounce is one partitioned window over a single scan — no join, no cross") {
     val p = plan("debounce_events")
     assert(p.contains("Window"), p.take(1500))
