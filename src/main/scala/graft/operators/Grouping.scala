@@ -63,10 +63,19 @@ object Grouping {
     * no group row (the reference builds groups from affinities only).
     */
   def tagAffinity(spark: SparkSession, dir: String,
-                  threshold: Double = 0.25): DataFrame = {
-    val tags = KeywordTags.keywordTags(spark, dir)
-    val tenants = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source").as("tenant_id"))
+                  threshold: Double = 0.25): DataFrame =
+    tagAffinityOf(
+      KeywordTags.keywordTags(spark, dir),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source").as("tenant_id")),
+      threshold)
+
+  /** Affinity grouping over any pre-computed (doc_id, tag) assignment +
+    * (doc_id, tenant_id) axis — callers that already ran the keyword
+    * pipeline pass its output here instead of recomputing it.
+    */
+  def tagAffinityOf(tags: DataFrame, tenants: DataFrame,
+                    threshold: Double = 0.25): DataFrame = {
     val prof = tags.join(tenants, "doc_id")
       .select(col("tenant_id"), col("tag")).distinct()
       .localCheckpoint()
