@@ -25,11 +25,15 @@ object Recall {
     val exact = sets(VectorSearch.knnJoin(spark, sfDir, probeMax = 5L, k = k))
     val sweeps = Seq(
       "ann_lsh tables=4"  -> (() => VectorSearch.annLsh(spark, sfDir, tables = 4)),
-      "ann_lsh tables=8"  -> (() => VectorSearch.annLsh(spark, sfDir)),
+      "ann_lsh tables=8"  -> (() => VectorSearch.annLsh(spark, sfDir, tables = 8)),
       "ann_lsh tables=16" -> (() => VectorSearch.annLsh(spark, sfDir, tables = 16)),
-      "ann_ivf nprobe=1"  -> (() => VectorSearch.annIvf(spark, sfDir, nprobe = 1)),
-      "ann_ivf nprobe=3"  -> (() => VectorSearch.annIvf(spark, sfDir)),
-      "ann_ivf nprobe=5"  -> (() => VectorSearch.annIvf(spark, sfDir, nprobe = 5)))
+      "ann_ivf ce=50 np=1"  -> (() => VectorSearch.annIvf(spark, sfDir, centroidEvery = 50, nprobe = 1)),
+      "ann_ivf ce=50 np=3"  -> (() => VectorSearch.annIvf(spark, sfDir, centroidEvery = 50, nprobe = 3)),
+      "ann_ivf ce=50 np=5"  -> (() => VectorSearch.annIvf(spark, sfDir, centroidEvery = 50, nprobe = 5)),
+      "ann_ivf ce=20 np=5"  -> (() => VectorSearch.annIvf(spark, sfDir, centroidEvery = 20, nprobe = 5)),
+      "ann_ivf ce=20 np=10" -> (() => VectorSearch.annIvf(spark, sfDir, centroidEvery = 20, nprobe = 10)),
+      "ann_ivf ce=20 np=10 lloyd=3" -> (() =>
+        VectorSearch.annIvf(spark, sfDir, centroidEvery = 20, nprobe = 10, lloydIters = 3)))
     sweeps.foreach { case (name, mk) =>
       val t0 = System.nanoTime()
       val got = sets(mk())

@@ -186,9 +186,15 @@ object VectorSearch {
     * rank-1 window), probes scan only the `nprobe` nearest inverted
     * lists. At scale the assignment is a map-only pass and the probe
     * join touches only matched clusters.
+    *
+    * Defaults from the measured sweep (graft.Recall, sf0.1): a FINER
+    * quantizer beats a wider probe — ce=20/np=10 reaches 0.56 recall@10
+    * scanning ~4% of the corpus, vs 0.40 for ce=50/np=3 at ~3% and
+    * 0.48 for ce=50/np=5 at ~5%. Extra Lloyd iterations measured
+    * net-negative here (0.50 at 3 iters, 3× assignment cost).
     */
   def annIvf(spark: SparkSession, dir: String, probeMax: Long = 5L, k: Int = 10,
-             centroidEvery: Long = 50L, nprobe: Int = 3,
+             centroidEvery: Long = 20L, nprobe: Int = 10,
              lloydIters: Int = 1): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     var centroids = emb.filter(col("vec_id") % centroidEvery === 0)
