@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Pinned default so local and driver bench runs get the same heap
-  // (variance source: an 8g default paid GC pauses at sf0.1/local[32]).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Heap is scoped per task: the 24g pin is for bench/verify runs at
+// sf0.1 (variance source: an 8g default paid GC pauses at
+// sf0.1/local[32]); tests run at small SF and keep a modest default so
+// contributor machines with less RAM fail cleanly instead of swapping.
+// SPARK_DRIVER_MEM overrides both.
+run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}"
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"

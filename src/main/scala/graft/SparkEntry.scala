@@ -960,7 +960,7 @@ object SparkEntry {
     "branch_cleanup" ->
       """WITH tf AS (
         |  SELECT doc_id, source AS tenant_id,
-        |    CASE WHEN doc_id % 10 < 3 THEN ['b' || CAST(doc_id % 5 AS VARCHAR)]
+        |    CASE WHEN doc_id % 10 >= 7 THEN ['b' || CAST(doc_id % 5 AS VARCHAR)]
         |         ELSE ['main', 'b' || CAST(doc_id % 5 AS VARCHAR)] END AS branches
         |  FROM documents),
         |r AS (
@@ -971,7 +971,7 @@ object SparkEntry {
         |  CASE WHEN len(remaining) = 0 THEN 'delete'
         |       WHEN len(remaining) < len(branches) THEN 'update'
         |       ELSE 'keep' END AS action,
-        |  array_to_string(remaining, ',') AS branches_left
+        |  coalesce(array_to_string(remaining, ','), '') AS branches_left
         |FROM r ORDER BY doc_id""".stripMargin,
     "debounce_events" ->
       """WITH led AS (

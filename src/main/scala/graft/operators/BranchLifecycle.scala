@@ -40,9 +40,12 @@ object BranchLifecycle {
 
   /** branch_cleanup query: the corpus has no branch column, so branch
     * membership derives deterministically from the ids — docs with
-    * doc_id%10 < 3 live ONLY on a feature branch `b<id%5>` (orphaned
+    * doc_id%10 >= 7 live ONLY on a feature branch `b<id%5>` (orphaned
     * when it dies), the rest also on `main`. Live set: main + b0..b2,
-    * so b3/b4 are the reconcile sweep's stale branches.
+    * so b3/b4 are the reconcile sweep's stale branches; the feature-only
+    * selector residues {7,8,9} put feature-only docs on b2/b3/b4, so
+    * the stale branches carry feature-only docs and all three actions
+    * (delete/update/keep) are reachable end-to-end.
     */
   def branchCleanup(spark: SparkSession, dir: String,
                     liveBranches: Seq[String] = Seq("main", "b0", "b1", "b2")): DataFrame = {
@@ -50,7 +53,7 @@ object BranchLifecycle {
     val tracked = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source").as("tenant_id"))
       .withColumn("branches",
-        when(pmod(col("doc_id"), lit(10)) < 3, array(feature))
+        when(pmod(col("doc_id"), lit(10)) >= 7, array(feature))
           .otherwise(array(lit("main"), feature)))
     branchCleanupOf(tracked, liveBranches)
   }

@@ -106,7 +106,10 @@ object ExactSearch {
   def exactSearchOf(docs: DataFrame, pattern: String,
                     caseInsensitive: Boolean = false): DataFrame = {
     require(pattern.nonEmpty, "empty pattern returns no matches (search.rs:31)")
-    val pat = if (caseInsensitive) pattern.toLowerCase else pattern
+    // Locale.ROOT matches Spark's locale-independent lower(); the JVM
+    // default locale would diverge (Turkish dotted/dotless I) between
+    // the pattern side and the haystack side.
+    val pat = if (caseInsensitive) pattern.toLowerCase(java.util.Locale.ROOT) else pattern
     val hay = if (caseInsensitive) lower(col("text")) else col("text")
     docs
       .filter(hay.like("%" + escapeLikePattern(pat) + "%"))

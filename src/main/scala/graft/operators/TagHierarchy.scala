@@ -176,8 +176,10 @@ object TagHierarchy {
     * concept tags from elsewhere) pass it here so it is not recomputed.
     *
     * The per-tag incidence aggregation runs in the cluster; the
-    * collected vocabulary is gated by `driverByteBudget` via the shared
-    * byte estimator, with [[tagHierarchyBucketed]] past the budget.
+    * collected vocabulary is gated by `driverByteBudget` twice — via the
+    * shared byte estimator AND the 8·n² linkSum-matrix size (many small
+    * tags pass a byte gate while the n×n clustering matrix alone would
+    * wedge the driver) — with [[tagHierarchyBucketed]] past either.
     */
   def tagHierarchyOf(spark: SparkSession, tags: DataFrame,
                      driverByteBudget: Long = 64L << 20,
@@ -192,7 +194,13 @@ object TagHierarchy {
     // the id chars the shared estimator measures.
     val (nTags, estBytes) = GraphAlgorithms.estimatedAdjacencyBytes(
       perTag.select(col("tag").as("u"), col("docs").as("nbrs")), entryExtraBytes = 32L)
-    if (estBytes <= driverByteBudget) {
+    // Driver-side cost is quadratic in tag COUNT as well as linear in
+    // bytes: clusterLevel allocates an n×n Double linkSum matrix and
+    // mergeDuplicates does O(n²) cosines — a vocabulary of many SMALL
+    // tags passes the byte gate while 8·n² alone dwarfs it. Both gates
+    // must hold for the compact path.
+    val matrixBytes = 8L * nTags * nTags
+    if (estBytes <= driverByteBudget && matrixBytes <= driverByteBudget) {
       val vocab = perTag.orderBy(col("tag"))
         .collect()
         .map { r =>
@@ -204,8 +212,8 @@ object TagHierarchy {
         .toDF("tag", "canonical", "level2", "level1", "doc_count")
         .orderBy(col("tag"))
     } else {
-      log.info(s"tag_hierarchy: vocabulary ~$estBytes bytes ($nTags tags) over " +
-        s"budget $driverByteBudget — bucketed pre-merge path")
+      log.info(s"tag_hierarchy: vocabulary ~$estBytes bytes / matrix ~$matrixBytes bytes " +
+        s"($nTags tags) over budget $driverByteBudget — bucketed pre-merge path")
       tagHierarchyBucketed(spark, perTag, nTags, estBytes, driverByteBudget,
         mergeThreshold, level2Threshold, level1Threshold)
     }
@@ -227,7 +235,12 @@ object TagHierarchy {
                                    level2Threshold: Double,
                                    level1Threshold: Double): DataFrame = {
     import spark.implicits._
-    val numBuckets = math.max(2L, (estBytes + budget - 1) / budget).toInt
+    // Bucket count sized so each bucket fits the budget in BYTES and its
+    // executor-side O(bucket²) merge stays bounded in COUNT: the count
+    // term needs numBuckets ≥ nTags·sqrt(8/budget) so that
+    // 8·(nTags/numBuckets)² ≤ budget.
+    val countBuckets = math.ceil(nTags * math.sqrt(8.0 / budget)).toLong
+    val numBuckets = math.max(2L, math.max((estBytes + budget - 1) / budget, countBuckets)).toInt
     val canons = perTag
       .select(pmod(xxhash64(col("tag")), lit(numBuckets)).cast("int").as("bucket"),
         col("tag").as("phrase"), col("docs"), col("doc_count").as("docCount"))
@@ -243,10 +256,24 @@ object TagHierarchy {
       }
       .localCheckpoint()
 
-    // Collect cap: the budget divided by the measured mean per-tag bytes
-    // (a representative's centroid averages its members' incidence maps,
-    // so mean tag bytes is the right unit).
-    val repCap = math.max(64L, budget / math.max(1L, estBytes / math.max(1L, nTags))).toInt
+    // Collect cap, the min of three bounds: (a) bytes — budget over the
+    // mean per-REPRESENTATIVE size, which is the mean per-tag size times
+    // the measured merge factor (a representative's centroid is the
+    // union of its members' incidence maps, so it is ~members× larger
+    // than one tag); (b) count — clusterLevel on the collected reps
+    // allocates an 8·reps² linkSum matrix, so reps ≤ sqrt(budget/8);
+    // (c) a floor of 64 so tiny budgets still produce a hierarchy.
+    val nCanons = canons.count()
+    val meanTagBytes = math.max(1L, estBytes / math.max(1L, nTags))
+    val mergeFactor = math.max(1L, nTags / math.max(1L, nCanons))
+    val byteCap = budget / (meanTagBytes * mergeFactor)
+    val matrixCap = math.sqrt(budget / 8.0).toLong
+    val repCap = math.max(64L, math.min(byteCap, matrixCap)).toInt
+    if (nCanons > repCap) {
+      log.info(s"tag_hierarchy: $nCanons representatives exceed collect cap $repCap — " +
+        s"${nCanons - repCap} truncated to flat level2=level1=canonical hierarchies " +
+        s"(byteCap=$byteCap, matrixCap=$matrixCap, mergeFactor=$mergeFactor)")
+    }
     val reps = canons.orderBy(col("docCount").desc, col("label")).limit(repCap)
       .collect().toIndexedSeq
     val level3 = reps.indices.map(i =>

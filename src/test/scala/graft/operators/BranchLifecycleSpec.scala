@@ -34,12 +34,17 @@ class BranchLifecycleSpec extends SparkSpec {
       val feature = s"b${id % 5}"
       val featureLive = Set("b0", "b1", "b2").contains(feature)
       val expected =
-        if (id % 10 < 3) { if (featureLive) "keep" else "delete" }
+        if (id % 10 >= 7) { if (featureLive) "keep" else "delete" }
         else if (featureLive) "keep"
         else "update"
       assert(action == expected, s"doc $id: $action != $expected ($left)")
       if (action == "delete") assert(left.isEmpty)
       if (action == "update") assert(left == "main")
     }
+    // The headline semantics — orphaned full delete — must actually be
+    // exercised: residues {7,8,9} land feature-only docs on stale b3/b4.
+    assert(rows.exists(_._2 == "delete"), "delete partition must be non-empty")
+    assert(rows.exists(_._2 == "update"))
+    assert(rows.exists(_._2 == "keep"))
   }
 }
