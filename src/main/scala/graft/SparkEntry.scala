@@ -51,6 +51,7 @@ object SparkEntry {
     "keyword_baskets"  -> ((s, d) => KeywordTags.keywordBaskets(s, d)),
     "tag_hierarchy"    -> ((s, d) => TagHierarchy.tagHierarchy(s, d)),
     "tag_affinity"     -> ((s, d) => Grouping.tagAffinity(s, d)),
+    "git_org_groups"   -> ((s, d) => Grouping.gitOrgGroups(s, d)),
     // Deduplication
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -569,6 +570,39 @@ object SparkEntry {
          |    SELECT e.a AS t, r.lbl FROM reach r JOIN bidir e ON e.b = r.t)
          |  SELECT t, lbl FROM reach)
          |GROUP BY t ORDER BY tenant_id""".stripMargin,
+    // normalize_git_url twin (calculator.rs:76): scheme strip, greedy
+    // userinfo strip, scp-like colon→slash only when schemeless AND
+    // userinfo was stripped, .git/trailing-slash trim. DuckDB
+    // regexp_replace is first-match (RE2 \1 backrefs); every pattern
+    // here is anchored so the Spark all-match semantics agree.
+    "git_org_groups" ->
+      """WITH t AS (SELECT DISTINCT source AS tenant_id FROM documents),
+        |d AS (SELECT tenant_id, CAST(substring(tenant_id, 4) AS INT) AS n FROM t),
+        |cfg AS (SELECT tenant_id, n,
+        |  ['github.com', 'gitlab.com'][(n % 2) + 1] AS host,
+        |  (CASE WHEN n % 2 = 0 THEN 'Org' ELSE 'org' END) || CAST(n % 3 AS VARCHAR) AS org,
+        |  (n // 3) % 3 AS scheme FROM d),
+        |u AS (SELECT tenant_id,
+        |  CASE WHEN n % 7 = 0 THEN 'https://example.com/repo' || CAST(n AS VARCHAR)
+        |       WHEN scheme = 0 THEN 'https://' || host || '/' || org || '/repo' || CAST(n AS VARCHAR) || '.git'
+        |       WHEN scheme = 1 THEN 'git@' || host || ':' || org || '/repo' || CAST(n AS VARCHAR) || '.git'
+        |       ELSE 'ssh://git@' || host || '/' || org || '/repo' || CAST(n AS VARCHAR)
+        |  END AS url FROM cfg),
+        |norm AS (SELECT tenant_id,
+        |  regexp_replace(regexp_replace(
+        |    CASE WHEN NOT regexp_matches(lower(url), '^(https|http|ssh|git)://')
+        |              AND regexp_matches(regexp_replace(lower(url), '^(https|http|ssh|git)://', ''), '^[^/]*@')
+        |         THEN regexp_replace(regexp_replace(regexp_replace(lower(url), '^(https|http|ssh|git)://', ''), '^[^/]*@', ''), '^([^:]*):', '\1/')
+        |         ELSE regexp_replace(regexp_replace(lower(url), '^(https|http|ssh|git)://', ''), '^[^/]*@', '')
+        |    END, '\.git$', ''), '/+$', '') AS nu
+        |  FROM u),
+        |keyed AS (SELECT tenant_id, string_split(nu, '/') AS parts FROM norm),
+        |orgk AS (SELECT tenant_id, parts[1] || '/' || parts[2] AS org_key
+        |  FROM keyed WHERE len(parts) >= 3 AND parts[1] <> '' AND parts[2] <> ''),
+        |multi AS (SELECT org_key FROM orgk GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT 'git_org:' || org_key AS group_id, tenant_id
+        |FROM orgk JOIN multi USING (org_key)
+        |ORDER BY group_id, tenant_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

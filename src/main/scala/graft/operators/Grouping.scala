@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -94,5 +94,90 @@ object Grouping {
     connectedComponents(edges)
       .select(col("node").as("tenant_id"), col("label").as("group_id"))
       .orderBy(col("tenant_id"))
+  }
+
+  /** normalize_git_url (common/src/project_id/calculator.rs:76) as one
+    * codegen'd column expression: lowercase, strip one leading
+    * https/http/ssh/git scheme, strip userinfo (`user[:pw]@` — greedy
+    * `^[^/]*@` consumes through the LAST `@` before the first `/`, like
+    * the reference's rfind on the pre-path segment), convert scp-like
+    * `host:path` to `host/path` ONLY when schemeless AND userinfo was
+    * stripped (the reference's nested branch), drop a `.git` suffix and
+    * trailing slashes.
+    */
+  def normalizeGitUrl(url: Column): Column = {
+    val u0 = lower(url)
+    val hadScheme = u0.rlike("^(https|http|ssh|git)://")
+    val u1 = regexp_replace(u0, "^(https|http|ssh|git)://", "")
+    val hadUser = u1.rlike("^[^/]*@")
+    val u2 = regexp_replace(u1, "^[^/]*@", "")
+    val u3 = when(!hadScheme && hadUser,
+      regexp_replace(u2, "^([^:]*):", "$1/")).otherwise(u2)
+    val u4 = regexp_replace(u3, "\\.git$", "")
+    regexp_replace(u4, "/+$", "")
+  }
+
+  /** extract_git_org (grouping/git_org.rs:27): `host/org` from the
+    * normalized URL, null when the URL has fewer than host/org/repo
+    * parts or an empty host/org — so `https://example.com/repo` (no org
+    * level) yields no group key.
+    */
+  def extractGitOrg(url: Column): Column = {
+    val parts = split(normalizeGitUrl(url), "/")
+    when(url.isNotNull && url =!= "" &&
+        size(parts) >= 3 && element_at(parts, 1) =!= "" && element_at(parts, 2) =!= "",
+      concat(element_at(parts, 1), lit("/"), element_at(parts, 2)))
+  }
+
+  /** Git-org grouping over a (tenant_id, remote_url) frame
+    * (git_org.rs:70 compute_git_org_groups): extract org keys, keep
+    * orgs with 2+ member projects (single-project orgs are skipped),
+    * one membership row per (group, tenant) with the reference's
+    * `git_org:<host>/<org>` group id (git_org.rs:57 org_to_group_id).
+    *
+    * Relational shape: the tenant axis is tiny (one row per registered
+    * project), so this is a projection + one groupBy on the org key +
+    * a join back — no corpus scan at all when the caller already holds
+    * the project registry.
+    */
+  def gitOrgGroupsOf(projects: DataFrame): DataFrame = {
+    val keyed = projects
+      .select(col("tenant_id"), extractGitOrg(col("remote_url")).as("org_key"))
+      .filter(col("org_key").isNotNull)
+    val multi = keyed.groupBy(col("org_key")).agg(count(lit(1)).as("members"))
+      .filter(col("members") >= 2)
+      .select(col("org_key"))
+    keyed.join(multi, "org_key")
+      .select(concat(lit("git_org:"), col("org_key")).as("group_id"), col("tenant_id"))
+      .orderBy(col("group_id"), col("tenant_id"))
+  }
+
+  /** git_org_groups query: the corpus has no remote-URL column, so each
+    * tenant (= `source`, shaped `src<n>`) gets a deterministic synthetic
+    * remote spanning the reference's URL shapes — https, scp-like
+    * `git@host:org/repo.git`, `ssh://git@`, mixed-case org names, and a
+    * no-org URL every 7th tenant — with host keyed on n%2 and org on
+    * n%3 so org keys genuinely collide into multi-project groups.
+    */
+  def gitOrgGroups(spark: SparkSession, dir: String): DataFrame = {
+    val n = expr("CAST(substring(tenant_id, 4) AS INT)")
+    val host = element_at(
+      array(lit("github.com"), lit("gitlab.com")), (pmod(n, lit(2)) + 1).cast("int"))
+    val org = concat(
+      when(pmod(n, lit(2)) === 0, lit("Org")).otherwise(lit("org")),
+      pmod(n, lit(3)).cast("string"))
+    val scheme = pmod(floor(n / lit(3)).cast("int"), lit(3))
+    val url = when(pmod(n, lit(7)) === 0,
+        concat(lit("https://example.com/repo"), n.cast("string")))
+      .when(scheme === 0,
+        concat(lit("https://"), host, lit("/"), org, lit("/repo"), n.cast("string"), lit(".git")))
+      .when(scheme === 1,
+        concat(lit("git@"), host, lit(":"), org, lit("/repo"), n.cast("string"), lit(".git")))
+      .otherwise(
+        concat(lit("ssh://git@"), host, lit("/"), org, lit("/repo"), n.cast("string")))
+    val projects = Tables.documents(spark, dir)
+      .select(col("source").as("tenant_id")).distinct()
+      .withColumn("remote_url", url)
+    gitOrgGroupsOf(projects)
   }
 }

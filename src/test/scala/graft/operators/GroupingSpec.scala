@@ -58,4 +58,50 @@ class GroupingSpec extends SparkSpec {
       assert(hasEdge, s"group ${ms.mkString(",")} must contain a direct affinity edge")
     }
   }
+
+  test("extract_git_org: the reference's URL parse vectors (git_org.rs tests)") {
+    import spark.implicits._
+    val vectors = Seq(
+      "https://github.com/ChrisGVE/my-repo.git" -> "github.com/chrisgve",
+      "git@github.com:ChrisGVE/workspace-qdrant-mcp.git" -> "github.com/chrisgve",
+      "https://gitlab.com/my-org/my-project" -> "gitlab.com/my-org",
+      "git@gitlab.com:my-org/sub-project.git" -> "gitlab.com/my-org",
+      "https://bitbucket.org/team-name/repo.git" -> "bitbucket.org/team-name",
+      "https://git.internal.corp/engineering/service.git" -> "git.internal.corp/engineering",
+      // nested GitLab groups: only host/first-level
+      "https://gitlab.com/org/subgroup/deep-repo.git" -> "gitlab.com/org",
+      // normalize_git_url vectors routed through extraction
+      "ssh://git@github.com/user/repo" -> "github.com/user",
+      "http://github.com/user/repo" -> "github.com/user")
+    val out = vectors.map(_._1).toDF("url")
+      .select(Grouping.extractGitOrg(col("url")).as("org")).collect().map(_.getString(0))
+    assert(out.toSeq == vectors.map(_._2))
+    // no-org / empty URLs yield null
+    val none = Seq("", "https://example.com/repo").toDF("url")
+      .select(Grouping.extractGitOrg(col("url")).as("org")).collect()
+    assert(none.forall(_.isNullAt(0)))
+    // case-insensitive: MyOrg https == myorg scp
+    val ci = Seq("https://github.com/MyOrg/Repo1.git", "git@github.com:myorg/Repo2.git")
+      .toDF("url").select(Grouping.extractGitOrg(col("url")).as("org"))
+      .collect().map(_.getString(0))
+    assert(ci(0) == ci(1))
+  }
+
+  test("git_org_groups: multi-project orgs only, same-name different-host separate") {
+    import spark.implicits._
+    val projects = Seq(
+      ("proj-a", "https://github.com/MyOrg/repo-a.git"),
+      ("proj-b", "https://github.com/MyOrg/repo-b.git"),
+      ("proj-c", "git@github.com:MyOrg/repo-c.git"),
+      ("proj-d", "https://gitlab.com/myorg/repo-d.git"), // same org name, other host
+      ("proj-e", "https://github.com/solo/lonely.git"),  // single-project org
+      ("proj-f", "https://example.com/repo")             // no org level
+    ).toDF("tenant_id", "remote_url")
+    val out = Grouping.gitOrgGroupsOf(projects).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      ("git_org:github.com/myorg", "proj-a"),
+      ("git_org:github.com/myorg", "proj-b"),
+      ("git_org:github.com/myorg", "proj-c")))
+  }
 }
