@@ -52,6 +52,8 @@ object SparkEntry {
     "tag_hierarchy"    -> ((s, d) => TagHierarchy.tagHierarchy(s, d)),
     "tag_affinity"     -> ((s, d) => Grouping.tagAffinity(s, d)),
     "git_org_groups"   -> ((s, d) => Grouping.gitOrgGroups(s, d)),
+    "file_classify"    -> ((s, d) => FileClassification.fileClassify(s, d)),
+    "metadata_enrich"  -> ((s, d) => MetadataEnrichment.metadataEnrich(s, d)),
     // Deduplication
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -109,6 +111,75 @@ object SparkEntry {
       |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tfx GROUP BY 1, 2),
       |dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
       |n AS (SELECT count(*)::DOUBLE AS n FROM documents)""".stripMargin
+
+  /** classify_file_type twin (classify.rs:33) over the shared synthetic
+    * path corpus: config dotfiles first, then the extension table (json
+    * context-routed by config-path indicators), tarball suffixes,
+    * `other`; is_test (test_detection.rs:18) requires a CODE extension
+    * plus a name pattern or test directory. The CASE covers exactly the
+    * extensions the synthetic corpus produces; the full ~170-row table
+    * is exercised by the parity spec. Ends in CTE `cls`.
+    */
+  private val fileClassifyCte: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    '/proj/' || source || '/' ||
+      |      ['src','tests','lib','config','e2e'][(doc_id % 5) + 1] || '/' ||
+      |      ['main.py','lib.rs','util.ts','types.d.ts','README.md','guide.pdf',
+      |       'index.html','deck.pptx','app.yaml','data.json','table.csv','dist.whl',
+      |       'bundle.tar.gz','.gitignore','LICENSE','test_core.py','app.test.ts'
+      |      ][(doc_id % 17) + 1] AS file_path
+      |  FROM documents),
+      |e AS (SELECT doc_id, file_path,
+      |    lower(string_split(file_path, '/')[-1]) AS fname FROM f),
+      |x AS (SELECT doc_id, file_path, fname,
+      |    CASE WHEN fname LIKE '%.d.ts' THEN 'd.ts'
+      |         WHEN regexp_matches(fname, '^.+\.[^.]+$')
+      |           THEN regexp_extract(fname, '\.([^.]+)$', 1)
+      |    END AS extension,
+      |    regexp_replace(fname, '\.[^.]*$', '') AS nwe
+      |  FROM e),
+      |cls AS (SELECT doc_id, file_path, extension,
+      |  CASE extension
+      |    WHEN 'py' THEN 'python' WHEN 'rs' THEN 'rust'
+      |    WHEN 'ts' THEN 'typescript' WHEN 'd.ts' THEN 'typescript'
+      |    WHEN 'html' THEN 'html' WHEN 'yaml' THEN 'yaml' WHEN 'json' THEN 'json'
+      |  END AS language,
+      |  CASE
+      |    WHEN fname IN ('.env', '.env.local', '.env.example', '.editorconfig',
+      |      '.gitconfig', '.gitignore', '.gitattributes', '.npmrc', '.dockerignore')
+      |      THEN 'config'
+      |    WHEN extension = 'json' THEN
+      |      CASE WHEN lower(file_path) LIKE '%/config/%' OR lower(file_path) LIKE '%/conf/%'
+      |             OR lower(file_path) LIKE '%/settings/%' OR lower(file_path) LIKE '%/.github/%'
+      |             OR lower(file_path) LIKE '%/.vscode/%' OR lower(file_path) LIKE '%/etc/%'
+      |           THEN 'config' ELSE 'data' END
+      |    WHEN extension IN ('py', 'rs', 'ts', 'd.ts') THEN 'code'
+      |    WHEN extension = 'md' THEN 'text'
+      |    WHEN extension = 'pdf' THEN 'docs'
+      |    WHEN extension = 'html' THEN 'web'
+      |    WHEN extension = 'pptx' THEN 'slides'
+      |    WHEN extension = 'yaml' THEN 'config'
+      |    WHEN extension = 'csv' THEN 'data'
+      |    WHEN extension = 'whl' THEN 'build'
+      |    WHEN lower(file_path) LIKE '%.tar.gz' OR lower(file_path) LIKE '%.tar.bz2'
+      |      OR lower(file_path) LIKE '%.tar.xz' OR lower(file_path) LIKE '%.tgz'
+      |      OR lower(file_path) LIKE '%.tbz2' OR lower(file_path) LIKE '%.txz'
+      |      THEN 'build'
+      |    ELSE 'other'
+      |  END AS file_type,
+      |  CASE WHEN extension IN ('py', 'rs', 'ts', 'd.ts') AND (
+      |      fname LIKE 'test\_%' ESCAPE '\'
+      |      OR nwe LIKE '%\_test' ESCAPE '\'
+      |      OR fname LIKE '%.test.%' OR fname LIKE '%.spec.%'
+      |      OR nwe LIKE '%.test' OR nwe LIKE '%.spec'
+      |      OR nwe IN ('conftest', 'test', 'tests')
+      |      OR len(list_filter(string_split(lower(file_path), '/'),
+      |           s -> s IN ('tests', 'test', '__tests__', '__test__', 'spec', 'specs',
+      |                      '__spec__', '__specs__', 'integration', 'e2e', 'unit',
+      |                      'functional', 'acceptance'))) > 0
+      |    ) THEN 1 ELSE 0 END AS is_test
+      |FROM x)""".stripMargin
 
   /** bm25.rs tokenize_for_bm25 (junk-filtering) CTE — the scoring
     * tokenizer for every BM25-family oracle, mirroring
@@ -603,6 +674,45 @@ object SparkEntry {
         |SELECT 'git_org:' || org_key AS group_id, tenant_id
         |FROM orgk JOIN multi USING (org_key)
         |ORDER BY group_id, tenant_id""".stripMargin,
+    "file_classify" ->
+      s"""$fileClassifyCte
+         |SELECT doc_id, file_path, extension, language, file_type, is_test
+         |FROM cls ORDER BY doc_id""".stripMargin,
+    // enrich_metadata twin (enrichment.rs:92 + collection_type.rs:58):
+    // name-routed collection types, per-type field rules over the
+    // shared classification CTE.
+    "metadata_enrich" ->
+      raw"""$fileClassifyCte,
+         |meta AS (
+         |  SELECT doc_id, source,
+         |    CASE doc_id % 6
+         |      WHEN 0 THEN '_' || substring(md5(source), 1, 12)
+         |      WHEN 1 THEN '_lib' || CAST(doc_id % 3 AS VARCHAR)
+         |      WHEN 2 THEN source || '-notes'
+         |      WHEN 3 THEN 'rules'
+         |      WHEN 4 THEN 'memory'
+         |      ELSE 'scratchpad'
+         |    END AS collection_name,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'develop' ELSE 'main' END AS branch
+         |  FROM documents),
+         |typed AS (
+         |  SELECT m.doc_id, m.source, m.collection_name, m.branch,
+         |    c.extension, c.file_type, c.is_test,
+         |    CASE WHEN m.collection_name IN ('rules', 'memory') THEN 'rules'
+         |         WHEN regexp_matches(m.collection_name, '^_[0-9a-fA-F]{12}$$') THEN 'project'
+         |         WHEN m.collection_name LIKE '\_%' ESCAPE '\' THEN 'library'
+         |         ELSE 'user' END AS collection_type
+         |  FROM meta m JOIN cls c USING (doc_id))
+         |SELECT doc_id, collection_name, collection_type,
+         |  CASE WHEN collection_type = 'project' THEN substring(collection_name, 2)
+         |       WHEN collection_type = 'user' THEN source END AS project_id,
+         |  CASE WHEN collection_type = 'project' THEN branch END AS branch,
+         |  CASE WHEN collection_type = 'project' THEN file_type END AS file_type,
+         |  CASE WHEN collection_type = 'project' THEN extension END AS extension,
+         |  CASE WHEN collection_type = 'project' THEN is_test END AS is_test,
+         |  CASE WHEN collection_type = 'library' THEN substring(collection_name, 2) END AS library_name,
+         |  CASE WHEN collection_type = 'rules' THEN 'global' END AS scope
+         |FROM typed ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
