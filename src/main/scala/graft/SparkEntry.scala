@@ -54,6 +54,8 @@ object SparkEntry {
     "git_org_groups"   -> ((s, d) => Grouping.gitOrgGroups(s, d)),
     "file_classify"    -> ((s, d) => FileClassification.fileClassify(s, d)),
     "metadata_enrich"  -> ((s, d) => MetadataEnrichment.metadataEnrich(s, d)),
+    "component_detect" -> ((s, d) => ComponentDetection.componentDetect(s, d)),
+    "dependency_groups" -> ((s, d) => DependencyGrouping.dependencyGroups(s, d)),
     // Deduplication
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -713,6 +715,90 @@ object SparkEntry {
          |  CASE WHEN collection_type = 'library' THEN substring(collection_name, 2) END AS library_name,
          |  CASE WHEN collection_type = 'rules' THEN 'global' END AS scope
          |FROM typed ORDER BY doc_id""".stripMargin,
+    // detect_components twin (detection.rs:14): the oracle hardcodes
+    // the PARSED cargo members (validating the Spark-side manifest
+    // scanner end-to-end) and re-derives npm-glob / directory-fallback
+    // resolution from the same path corpus; assignment is the same
+    // longest-base_path rank-1 join.
+    "component_detect" ->
+      """WITH files AS (
+        |  SELECT doc_id, source AS tenant_id,
+        |    CAST(substring(source, 4) AS INT) % 3 AS ttype,
+        |    ['daemon/core/src/lib.rs','daemon/grpc/src/server.rs','cli/src/main.rs',
+        |     'packages/app/index.ts','packages/web/index.ts','tools/site/build.ts',
+        |     'dist/bundle.js'][(doc_id % 7) + 1] AS rel_path
+        |  FROM documents),
+        |tenants AS (SELECT DISTINCT tenant_id, ttype FROM files),
+        |cargo AS (
+        |  SELECT tenant_id, m AS base_path, replace(m, '/', '.') AS component_id,
+        |    'cargo' AS source
+        |  FROM tenants, unnest(['daemon/core', 'daemon/grpc', 'cli']) AS t(m)
+        |  WHERE ttype = 0),
+        |npm AS (
+        |  SELECT tenant_id, base_path, replace(base_path, '/', '.') AS component_id,
+        |    'npm' AS source
+        |  FROM (
+        |    SELECT DISTINCT tenant_id,
+        |      'packages/' || string_split(rel_path, '/')[2] AS base_path
+        |    FROM files WHERE ttype = 1 AND rel_path LIKE 'packages/%/%'
+        |    UNION ALL
+        |    SELECT tenant_id, 'tools/site' FROM tenants WHERE ttype = 1)),
+        |fallb AS (
+        |  SELECT DISTINCT tenant_id, string_split(rel_path, '/')[1] AS base_path
+        |  FROM files
+        |  WHERE ttype = 2 AND len(string_split(rel_path, '/')) >= 2
+        |    AND string_split(rel_path, '/')[1] NOT LIKE '.%'
+        |    AND string_split(rel_path, '/')[1] NOT IN ('node_modules', 'target',
+        |      'dist', 'build', 'tmp')),
+        |comps AS (
+        |  SELECT * FROM cargo UNION ALL SELECT * FROM npm
+        |  UNION ALL SELECT tenant_id, base_path, base_path, 'directory' FROM fallb),
+        |m AS (
+        |  SELECT f.doc_id, c.component_id, c.source,
+        |    row_number() OVER (PARTITION BY f.doc_id
+        |      ORDER BY length(c.base_path) DESC, c.base_path) AS rn
+        |  FROM files f JOIN comps c ON f.tenant_id = c.tenant_id
+        |    AND (f.rel_path = c.base_path OR f.rel_path LIKE c.base_path || '/%'))
+        |SELECT f.doc_id, f.tenant_id, f.rel_path, m.component_id, m.source
+        |FROM files f LEFT JOIN m ON m.doc_id = f.doc_id AND m.rn = 1
+        |ORDER BY f.doc_id""".stripMargin,
+    // compute_dependency_groups twin (dependency.rs:335): the oracle
+    // hardcodes each tenant's PARSED dependency profile (validating the
+    // Spark-side manifest parsers end-to-end, including python
+    // normalization of extras/case/underscores), then the same
+    // exact-rational pairwise Jaccard with one dep:<min>+<max> group
+    // per qualifying pair.
+    "dependency_groups" ->
+      """WITH t AS (SELECT DISTINCT source AS tenant_id,
+        |    CAST(substring(source, 4) AS INT) AS n FROM documents),
+        |cfg AS (SELECT tenant_id, n % 4 AS kind, (n // 4) % 4 AS v FROM t),
+        |prof AS (
+        |  SELECT tenant_id, unnest(
+        |    CASE kind
+        |      WHEN 0 THEN ['serde', 'tokio',
+        |        ['anyhow', 'reqwest', 'tracing', 'clap'][v + 1], 'tempfile']
+        |      WHEN 1 THEN ['react', 'next',
+        |        ['lodash', 'express', 'axios', 'vite'][v + 1], 'jest']
+        |      WHEN 2 THEN ['flask', 'requests',
+        |        ['pandas', 'numpy', 'django', 'my-package'][v + 1]]
+        |      ELSE ['github.com/gin-gonic/gin', 'github.com/go-sql-driver/mysql',
+        |        'github.com/stretchr/testify',
+        |        ['github.com/spf13/cobra', 'github.com/gorilla/mux'][(v % 2) + 1]]
+        |    END) AS dep
+        |  FROM cfg),
+        |szs AS (SELECT tenant_id, count(*) AS sz FROM prof GROUP BY 1),
+        |inters AS (
+        |  SELECT x.tenant_id AS a, y.tenant_id AS b, count(*) AS inter
+        |  FROM prof x JOIN prof y ON x.dep = y.dep AND x.tenant_id < y.tenant_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a, b, round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS similarity
+        |  FROM inters JOIN szs sa ON sa.tenant_id = a JOIN szs sb ON sb.tenant_id = b
+        |  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.3)
+        |SELECT 'dep:' || a || '+' || b AS group_id, tenant_id, similarity FROM (
+        |  SELECT a, b, a AS tenant_id, similarity FROM pairs
+        |  UNION ALL SELECT a, b, b, similarity FROM pairs)
+        |ORDER BY group_id, tenant_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
