@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   * and reports the MEDIAN — the first, cold repeat carries the
   * query-specific codegen compile, so the median reflects steady-state
   * execution. The JVM heap is pinned in build.sbt (-Xmx24g default).
+  *
+  * Contention evidence: machine load during a bench run inflates
+  * medians in ways a reader cannot attribute from one number (three
+  * rounds of anomalous driver artifacts). The output therefore carries
+  * per-query MIN alongside the median — min is far more robust to
+  * external contention, so med ≫ min across many queries reads as "the
+  * machine was busy", not "the code got slower" — plus a `health`
+  * object: process CPU seconds vs wall, GC time, and system load
+  * average, so the artifact is adjudicable on its own.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,6 +31,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def cpuNanos: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    val wall0 = System.nanoTime(); val cpu0 = cpuNanos; val gc0 = gcMillis
     try { SparkEntry.queries("q1_agg")(spark, sfDir).count() }
     catch { case _: Throwable => () } // warmup — untimed
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -39,15 +59,32 @@ object Bench {
       // long bench JVM otherwise bleeds GC pauses into later timings
       // (the round-2/3 driver-artifact pathology).
       System.gc()
-      val med = times.map(_._1).sorted.apply(times.length / 2)
-      System.err.println(f"[bench] $name%-22s med=$med%7.2fs  rows=${times.last._2}  " +
-        s"runs=${times.map(t => f"${t._1}%.2f").mkString(",")}")
-      name -> med
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val sorted = times.map(_._1).sorted
+      val med = sorted(times.length / 2)
+      val min = sorted.head
+      System.err.println(f"[bench] $name%-22s med=$med%7.2fs min=$min%7.2fs  " +
+        f"rows=${times.last._2}  runs=${times.map(t => f"${t._1}%.2f").mkString(",")}")
+      name -> (med, min)
+    }
+    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats}""")
+    val qmins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    val totalMin = results.map(_._2._2).sum
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val cpuSec = if (cpu0 >= 0) (cpuNanos - cpu0) / 1e9 else -1.0
+    val gcSec = (gcMillis - gc0) / 1e3
+    val load = osBean.getSystemLoadAverage
+    // cpu_per_wall ≈ busy cores; on an otherwise-idle local[32] box it
+    // tracks query parallelism — a LOW value with inflated medians
+    // means this process was starved by external load.
+    val health = f"""{"wall_sec":$wallSec%.1f,"process_cpu_sec":$cpuSec%.1f,""" +
+      f""""cpu_per_wall":${if (wallSec > 0) cpuSec / wallSec else -1.0}%.2f,""" +
+      f""""gc_sec":$gcSec%.1f,"load_avg_end":$load%.1f}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,""" +
+      s""""queries":$qs,"queries_min":$qmins,"health":$health,""" +
+      s""""sf":"$sfDir","repeats":$repeats}""")
     spark.stop()
   }
 }

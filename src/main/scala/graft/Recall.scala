@@ -23,25 +23,34 @@ object Recall {
       df.collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val exact = sets(VectorSearch.knnJoin(spark, sfDir, probeMax = 5L, k = k))
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    // (name, top-k frame, candidate frame for scanned-fraction — null for LSH)
+    def ivf(name: String, nc: Int, np: Int, r: Int = 1, it: Int = 10,
+            init: String = "k-means||") =
+      (s"ann_ivf $name",
+        () => VectorSearch.annIvf(spark, sfDir, numCentroids = nc, nprobe = np,
+          replicas = r, kmeansIters = it, kmeansInit = init),
+        () => VectorSearch.ivfCandidates(spark, sfDir, numCentroids = nc, nprobe = np,
+          replicas = r, kmeansIters = it, kmeansInit = init))
     val sweeps = Seq(
-      "ann_lsh tables=4"  -> (() => VectorSearch.annLsh(spark, sfDir, tables = 4)),
-      "ann_lsh tables=8"  -> (() => VectorSearch.annLsh(spark, sfDir, tables = 8)),
-      "ann_lsh tables=16" -> (() => VectorSearch.annLsh(spark, sfDir, tables = 16)),
-      "ann_ivf ce=50 np=1"  -> (() => VectorSearch.annIvf(spark, sfDir, centroidEvery = 50, nprobe = 1)),
-      "ann_ivf ce=50 np=3"  -> (() => VectorSearch.annIvf(spark, sfDir, centroidEvery = 50, nprobe = 3)),
-      "ann_ivf ce=50 np=5"  -> (() => VectorSearch.annIvf(spark, sfDir, centroidEvery = 50, nprobe = 5)),
-      "ann_ivf ce=20 np=5"  -> (() => VectorSearch.annIvf(spark, sfDir, centroidEvery = 20, nprobe = 5)),
-      "ann_ivf ce=20 np=10" -> (() => VectorSearch.annIvf(spark, sfDir, centroidEvery = 20, nprobe = 10)),
-      "ann_ivf ce=20 np=10 lloyd=3" -> (() =>
-        VectorSearch.annIvf(spark, sfDir, centroidEvery = 20, nprobe = 10, lloydIters = 3)))
-    sweeps.foreach { case (name, mk) =>
+      ("ann_lsh tables=4", () => VectorSearch.annLsh(spark, sfDir, tables = 4), null),
+      ("ann_lsh tables=8", () => VectorSearch.annLsh(spark, sfDir, tables = 8), null),
+      ("ann_lsh tables=16", () => VectorSearch.annLsh(spark, sfDir, tables = 16), null),
+      ivf("k=200 np=5", 200, 5),
+      ivf("k=500 np=12 it=5", 500, 12, it = 5),
+      ivf("k=500 np=18 it=5", 500, 18, it = 5),
+      ivf("k=500 np=20 it=5", 500, 20, it = 5))
+    sweeps.foreach { case (name, mk, cand) =>
       val t0 = System.nanoTime()
       val got = sets(mk())
       val sec = (System.nanoTime() - t0) / 1e9
       val recalls = exact.map { case (p, ex) =>
         got.getOrElse(p, Set.empty).count(ex).toDouble / ex.size
       }
-      println(f"[recall] $name%-18s recall@$k = ${recalls.sum / recalls.size}%.3f  ($sec%.1fs)")
+      val scanned = if (cand == null) Double.NaN
+        else cand().count().toDouble / (5.0 * n)
+      println(f"[recall] $name%-20s recall@$k = ${recalls.sum / recalls.size}%.3f  " +
+        f"scanned = $scanned%.3f  ($sec%.1fs)")
     }
     spark.stop()
   }

@@ -181,25 +181,50 @@ object VectorSearch {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
-  /** IVF ANN: coarse quantizer = stored vectors sampled by id (stable),
-    * every vector assigned to its nearest centroid (broadcast centroids,
-    * rank-1 window), probes scan only the `nprobe` nearest inverted
-    * lists. At scale the assignment is a map-only pass and the probe
-    * join touches only matched clusters.
+  /** IVF candidate generation — the inverted-list scan without the
+    * final ranking, exposed so graft.Recall can measure the TRUE
+    * scanned fraction (candidates / probes·n) alongside recall.
     *
-    * Defaults from the measured sweep (graft.Recall, sf0.1): a FINER
-    * quantizer beats a wider probe — ce=20/np=10 reaches 0.56 recall@10
-    * scanning ~4% of the corpus, vs 0.40 for ce=50/np=3 at ~3% and
-    * 0.48 for ce=50/np=5 at ~5%. Extra Lloyd iterations measured
-    * net-negative here (0.50 at 3 iters, 3× assignment cost).
+    * Quantizer: MLlib k-means|| (distributed init + Lloyd) — the
+    * idiomatic Spark quantizer, replacing round 4's id-sampled
+    * centroids whose placement quality capped recall at 0.56. The fit
+    * runs on every `trainEvery`-th vector (all of them at test SF; a
+    * deterministic id-sample at 100 TB — centroid quality saturates
+    * long before the full corpus). Centroids broadcast; corpus
+    * assignment is one map-side rank-1 pass; `replicas` > 1 assigns
+    * each corpus vector to its nearest r lists (boundary-recall
+    * insurance paid for in scan volume).
     */
-  def annIvf(spark: SparkSession, dir: String, probeMax: Long = 5L, k: Int = 10,
-             centroidEvery: Long = 20L, nprobe: Int = 10,
-             lloydIters: Int = 1): DataFrame = {
+  def ivfCandidates(spark: SparkSession, dir: String, probeMax: Long = 5L,
+                    numCentroids: Int = 500, nprobe: Int = 18,
+                    kmeansIters: Int = 5, replicas: Int = 1,
+                    trainEvery: Long = 1L, seed: Long = 42L,
+                    kmeansInit: String = "k-means||"): DataFrame = {
+    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    var centroids = emb.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
+    // The fit input is the (sampled) training slice — small by
+    // construction, so collapse it to one partition and cache it:
+    // k-means|| runs ~2·iters tiny jobs, and per-job scheduling over 32
+    // near-empty partitions dominates the fit cost otherwise. The
+    // corpus-sized assignment below never goes through this path.
+    val feats = emb.filter(col("vec_id") % trainEvery === 0)
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        asDouble(col("embedding"))).as("features"))
+      .coalesce(1).cache()
+    // Cap the quantizer at n/4 lists so tiny corpora stay non-degenerate
+    // (at sf0.1's 2000 vectors the tuned k=500 IS the n/4 cap).
+    val k = math.max(16L, math.min(numCentroids.toLong, emb.count() / 4)).toInt
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setMaxIter(kmeansIters).setSeed(seed)
+      .setInitMode(kmeansInit).fit(feats)
+    val centers = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val centroids = centers.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("c_id", "c_emb")
 
+    // Top-n nearest centroids via crossJoin + rank window — fine for the
+    // tiny probe side and the replicated-assignment option, but it
+    // SHUFFLES n·k rows, so the corpus path below uses it only when
+    // replicas > 1.
     def assign(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("c_dist"), col("c_id"))
       df.crossJoin(broadcast(centroids))
@@ -209,34 +234,51 @@ object VectorSearch {
         .drop("c_emb", "c_dist", "c_rnk")
     }
 
-    // Lloyd refinement: reassign, recompute centroids as per-dimension
-    // means (posexplode → groupBy(c_id, pos) → avg → re-pack). Each step
-    // is one shuffle on (c_id, pos); centroids stay a broadcast dim.
-    // The FINAL inverted-list assignment is the checkpointed assignment
-    // of the last Lloyd step — corpus vectors are not re-assigned a
-    // second time against the same centroids.
-    var corpus = assign(emb, "vec_id", "embedding", 1).localCheckpoint()
-    for (_ <- 1 to lloydIters) {
-      centroids = corpus
-        .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("v", col("v").cast("double"))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(avg(col("v")).as("m"))
-        .groupBy(col("c_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
-        .select(col("c_id"), transform(col("pairs"), p => p.getField("m")).as("c_emb"))
-        .localCheckpoint()
-      corpus = assign(emb, "vec_id", "embedding", 1).localCheckpoint()
-    }
+    // Corpus assignment (replicas = 1): MLlib's own nearest-centroid
+    // prediction — a MAP-ONLY pass (broadcast centers + BLAS distances
+    // inside the model), no shuffle of the big side at any corpus size.
+    val corpus =
+      if (replicas == 1)
+        model.transform(emb.withColumn("features",
+            org.apache.spark.ml.functions.array_to_vector(asDouble(col("embedding")))))
+          .withColumn("c_id", col("prediction").cast("bigint"))
+          .select(col("vec_id"), col("embedding"), col("c_id"))
+      else assign(emb, "vec_id", "embedding", replicas)
     val probes = assign(
       emb.filter(col("vec_id") < probeMax)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")),
       "probe_id", "p_emb", nprobe)
-
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id"))
     corpus.join(probes, Seq("c_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .dropDuplicates("probe_id", "vec_id")
+      .select(col("probe_id"), col("vec_id"), col("embedding"), col("p_emb"))
+  }
+
+  /** IVF ANN: k-means|| coarse quantizer, probes scan the `nprobe`
+    * nearest inverted lists, candidates ranked by exact cosine (the
+    * residual re-rank — candidate coverage, not ranking, is the recall
+    * limit). At scale the assignment is a map-only pass and the probe
+    * join touches only matched clusters.
+    *
+    * Defaults from the measured sweep (graft.Recall, sf0.1, 2000×64
+    * unit vectors): k-means|| (it=5) at 500 centroids / nprobe 18 →
+    * recall@10 = 0.70 scanning 4.8% of the corpus (np=12 → 0.64 @
+    * 3.0%, np=20 → 0.72 @ 5.3%); round 4's id-sampled quantizer peaked
+    * at 0.56 @ ~10%. Finer quantization at a FIXED scan budget is the
+    * winning axis on this near-uniform corpus (k=200/np=5 → 0.42 @
+    * 4.6%); random init loses ~0.04 recall, replicas>1 lose per-scan.
+    * n/k here is 4 — far below FAISS's sqrt(n) convention because at
+    * this tiny SF the quantizer must be fine to separate a weakly
+    * clustered sphere; at 100 TB, scale k with sqrt(n) and keep
+    * nprobe/k at the same measured ~4% scan budget.
+    */
+  def annIvf(spark: SparkSession, dir: String, probeMax: Long = 5L, k: Int = 10,
+             numCentroids: Int = 500, nprobe: Int = 18,
+             kmeansIters: Int = 5, replicas: Int = 1,
+             trainEvery: Long = 1L, kmeansInit: String = "k-means||"): DataFrame = {
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id"))
+    ivfCandidates(spark, dir, probeMax, numCentroids, nprobe, kmeansIters,
+        replicas, trainEvery, kmeansInit = kmeansInit)
       .withColumn("score", graft.GraftFunctions.cosine(col("embedding"), col("p_emb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
