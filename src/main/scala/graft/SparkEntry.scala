@@ -56,6 +56,7 @@ object SparkEntry {
     "metadata_enrich"  -> ((s, d) => MetadataEnrichment.metadataEnrich(s, d)),
     "component_detect" -> ((s, d) => ComponentDetection.componentDetect(s, d)),
     "dependency_groups" -> ((s, d) => DependencyGrouping.dependencyGroups(s, d)),
+    "file_routes"      -> ((s, d) => AllowedExtensionsOps.fileRoutes(s, d)),
     // Deduplication
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -799,6 +800,42 @@ object SparkEntry {
         |  SELECT a, b, a AS tenant_id, similarity FROM pairs
         |  UNION ALL SELECT a, b, b, similarity FROM pairs)
         |ORDER BY group_id, tenant_id""".stripMargin,
+    // route_file twin (allowed_extensions/extensions.rs:240): PLAIN
+    // Path::extension (no compound .d.ts — types.d.ts routes on .ts),
+    // library watch → library allowlist, project watch → library-routed
+    // re-route (carrying the tenant as source_project_id) then the
+    // project allowlist, extension-less always excluded. The IN lists
+    // cover the extensions the synthetic corpus produces; the full rule
+    // tables are exercised by the parity spec.
+    "file_routes" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    '/proj/' || source || '/' ||
+        |      ['src','tests','lib','config','e2e'][(doc_id % 5) + 1] || '/' ||
+        |      ['main.py','lib.rs','util.ts','types.d.ts','README.md','guide.pdf',
+        |       'index.html','deck.pptx','app.yaml','data.json','table.csv','dist.whl',
+        |       'bundle.tar.gz','.gitignore','LICENSE','test_core.py','app.test.ts'
+        |      ][(doc_id % 17) + 1] AS file_path,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'libraries' ELSE 'projects' END AS watch_collection
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, source, file_path, watch_collection,
+        |    CASE WHEN regexp_matches(lower(string_split(file_path, '/')[-1]), '^.+\.[^.]+$')
+        |      THEN regexp_extract(lower(string_split(file_path, '/')[-1]), '\.([^.]+)$', 1)
+        |    END AS ext
+        |  FROM f)
+        |SELECT doc_id, file_path, watch_collection,
+        |  CASE WHEN watch_collection = 'libraries' THEN
+        |    CASE WHEN ext IN ('py','rs','ts','md','html','yaml','json','csv','pdf','pptx')
+        |         THEN 'library' ELSE 'excluded' END
+        |  ELSE
+        |    CASE WHEN ext IN ('pdf', 'pptx') THEN 'library'
+        |         WHEN ext IN ('py','rs','ts','md','html','yaml','json','csv') THEN 'project'
+        |         ELSE 'excluded' END
+        |  END AS route,
+        |  CASE WHEN watch_collection <> 'libraries' AND ext IN ('pdf', 'pptx')
+        |       THEN source END AS source_project_id
+        |FROM x ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
