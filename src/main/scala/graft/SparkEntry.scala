@@ -57,6 +57,7 @@ object SparkEntry {
     "component_detect" -> ((s, d) => ComponentDetection.componentDetect(s, d)),
     "dependency_groups" -> ((s, d) => DependencyGrouping.dependencyGroups(s, d)),
     "file_routes"      -> ((s, d) => AllowedExtensionsOps.fileRoutes(s, d)),
+    "project_groups"   -> ((s, d) => Grouping.projectGroups(s, d)),
     // Deduplication
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -800,6 +801,107 @@ object SparkEntry {
         |  SELECT a, b, a AS tenant_id, similarity FROM pairs
         |  UNION ALL SELECT a, b, b, similarity FROM pairs)
         |ORDER BY group_id, tenant_id""".stripMargin,
+    // project_groups twin — the unified storage table all three
+    // grouping strategies write into (schema.rs add_to_group):
+    // tag-affinity components with the reference's sha256 group ids
+    // (tag_affinity.rs:157) and mean-edge confidence (:168), git-org
+    // groups at confidence 1.0, dependency pair groups at the pair
+    // similarity. CTEs are prefixed (a_/g_/d_) to compose the three
+    // proven oracle chains in one WITH.
+    "project_groups" ->
+      raw"""$keywordPipelineCte,
+         |a_ten AS (SELECT doc_id, source AS tenant_id FROM documents),
+         |a_prof AS (SELECT DISTINCT tenant_id, tag FROM (
+         |  SELECT t.tenant_id, unnest(f.selected) AS tag
+         |  FROM folded f JOIN a_ten t USING (doc_id))),
+         |a_szs AS (SELECT tenant_id, count(*) AS sz FROM a_prof GROUP BY 1),
+         |a_int AS (
+         |  SELECT x.tenant_id AS a, y.tenant_id AS b, count(*) AS inter
+         |  FROM a_prof x JOIN a_prof y ON x.tag = y.tag AND x.tenant_id < y.tenant_id
+         |  GROUP BY 1, 2),
+         |a_edges AS (
+         |  SELECT a, b, inter::DOUBLE / (sa.sz + sb.sz - inter) AS sim
+         |  FROM a_int JOIN a_szs sa ON sa.tenant_id = a JOIN a_szs sb ON sb.tenant_id = b
+         |  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.25),
+         |a_bidir AS (SELECT DISTINCT a, b FROM (
+         |  SELECT a, b FROM a_edges UNION ALL SELECT b, a FROM a_edges)),
+         |a_comp AS (SELECT t AS tenant_id, min(lbl) AS label FROM (
+         |  WITH RECURSIVE reach AS (
+         |    SELECT DISTINCT a AS t, a AS lbl FROM a_bidir
+         |    UNION
+         |    SELECT e.a AS t, r.lbl FROM reach r JOIN a_bidir e ON e.b = r.t)
+         |  SELECT t, lbl FROM reach) GROUP BY t),
+         |a_ids AS (SELECT label,
+         |    'tag_aff:' || substr(sha256(string_agg(tenant_id, '|' ORDER BY tenant_id)), 1, 20) AS group_id
+         |  FROM a_comp GROUP BY label),
+         |a_mean AS (SELECT c.label, avg(e.sim) AS conf
+         |  FROM a_edges e JOIN a_comp c ON e.a = c.tenant_id GROUP BY 1),
+         |taff AS (
+         |  SELECT i.group_id, c.tenant_id, 'tag_affinity' AS group_type,
+         |    round(m.conf, 6) AS confidence
+         |  FROM a_comp c JOIN a_ids i USING (label) JOIN a_mean m USING (label)),
+         |g_d AS (SELECT tenant_id, CAST(substring(tenant_id, 4) AS INT) AS n
+         |  FROM (SELECT DISTINCT source AS tenant_id FROM documents)),
+         |g_cfg AS (SELECT tenant_id, n,
+         |  ['github.com', 'gitlab.com'][(n % 2) + 1] AS host,
+         |  (CASE WHEN n % 2 = 0 THEN 'Org' ELSE 'org' END) || CAST(n % 3 AS VARCHAR) AS org,
+         |  (n // 3) % 3 AS scheme FROM g_d),
+         |g_u AS (SELECT tenant_id,
+         |  CASE WHEN n % 7 = 0 THEN 'https://example.com/repo' || CAST(n AS VARCHAR)
+         |       WHEN scheme = 0 THEN 'https://' || host || '/' || org || '/repo' || CAST(n AS VARCHAR) || '.git'
+         |       WHEN scheme = 1 THEN 'git@' || host || ':' || org || '/repo' || CAST(n AS VARCHAR) || '.git'
+         |       ELSE 'ssh://git@' || host || '/' || org || '/repo' || CAST(n AS VARCHAR)
+         |  END AS url FROM g_cfg),
+         |g_norm AS (SELECT tenant_id,
+         |  regexp_replace(regexp_replace(
+         |    CASE WHEN NOT regexp_matches(lower(url), '^(https|http|ssh|git)://')
+         |              AND regexp_matches(regexp_replace(lower(url), '^(https|http|ssh|git)://', ''), '^[^/]*@')
+         |         THEN regexp_replace(regexp_replace(regexp_replace(lower(url), '^(https|http|ssh|git)://', ''), '^[^/]*@', ''), '^([^:]*):', '\1/')
+         |         ELSE regexp_replace(regexp_replace(lower(url), '^(https|http|ssh|git)://', ''), '^[^/]*@', '')
+         |    END, '\.git$$', ''), '/+$$', '') AS nu
+         |  FROM g_u),
+         |g_orgk AS (SELECT tenant_id, parts[1] || '/' || parts[2] AS org_key
+         |  FROM (SELECT tenant_id, string_split(nu, '/') AS parts FROM g_norm)
+         |  WHERE len(parts) >= 3 AND parts[1] <> '' AND parts[2] <> ''),
+         |g_multi AS (SELECT org_key FROM g_orgk GROUP BY 1 HAVING count(*) >= 2),
+         |gorg AS (
+         |  SELECT 'git_org:' || org_key AS group_id, tenant_id,
+         |    'git_org' AS group_type, CAST(1.0 AS DOUBLE) AS confidence
+         |  FROM g_orgk JOIN g_multi USING (org_key)),
+         |d_cfg AS (SELECT tenant_id, n % 4 AS kind, (n // 4) % 4 AS v
+         |  FROM (SELECT DISTINCT source AS tenant_id,
+         |    CAST(substring(source, 4) AS INT) AS n FROM documents)),
+         |d_prof AS (
+         |  SELECT tenant_id, unnest(
+         |    CASE kind
+         |      WHEN 0 THEN ['serde', 'tokio',
+         |        ['anyhow', 'reqwest', 'tracing', 'clap'][v + 1], 'tempfile']
+         |      WHEN 1 THEN ['react', 'next',
+         |        ['lodash', 'express', 'axios', 'vite'][v + 1], 'jest']
+         |      WHEN 2 THEN ['flask', 'requests',
+         |        ['pandas', 'numpy', 'django', 'my-package'][v + 1]]
+         |      ELSE ['github.com/gin-gonic/gin', 'github.com/go-sql-driver/mysql',
+         |        'github.com/stretchr/testify',
+         |        ['github.com/spf13/cobra', 'github.com/gorilla/mux'][(v % 2) + 1]]
+         |    END) AS dep
+         |  FROM d_cfg),
+         |d_szs AS (SELECT tenant_id, count(*) AS sz FROM d_prof GROUP BY 1),
+         |d_int AS (
+         |  SELECT x.tenant_id AS a, y.tenant_id AS b, count(*) AS inter
+         |  FROM d_prof x JOIN d_prof y ON x.dep = y.dep AND x.tenant_id < y.tenant_id
+         |  GROUP BY 1, 2),
+         |d_pairs AS (
+         |  SELECT a, b, round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS similarity
+         |  FROM d_int JOIN d_szs sa ON sa.tenant_id = a JOIN d_szs sb ON sb.tenant_id = b
+         |  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.3),
+         |dep AS (
+         |  SELECT 'dep:' || a || '+' || b AS group_id, tenant_id,
+         |    'dependency' AS group_type, similarity AS confidence FROM (
+         |    SELECT a, b, a AS tenant_id, similarity FROM d_pairs
+         |    UNION ALL SELECT a, b, b, similarity FROM d_pairs))
+         |SELECT group_id, tenant_id, group_type, confidence FROM (
+         |  SELECT * FROM taff UNION ALL SELECT * FROM gorg UNION ALL SELECT * FROM dep)
+         |ORDER BY group_type, group_id, tenant_id""".stripMargin,
     // route_file twin (allowed_extensions/extensions.rs:240): PLAIN
     // Path::extension (no compound .d.ts — types.d.ts routes on .ts),
     // library watch → library allowlist, project watch → library-routed

@@ -70,12 +70,12 @@ object Grouping {
         .select(col("doc_id"), col("source").as("tenant_id")),
       threshold)
 
-  /** Affinity grouping over any pre-computed (doc_id, tag) assignment +
-    * (doc_id, tenant_id) axis — callers that already ran the keyword
-    * pipeline pass its output here instead of recomputing it.
+  /** The qualifying affinity edge set (a, b, sim) for any pre-computed
+    * (doc_id, tag) + (doc_id, tenant_id) frames: exact-rational Jaccard
+    * over distinct per-tenant tag profiles, one tag-keyed self-join.
     */
-  def tagAffinityOf(tags: DataFrame, tenants: DataFrame,
-                    threshold: Double = 0.25): DataFrame = {
+  def tagAffinityEdges(tags: DataFrame, tenants: DataFrame,
+                       threshold: Double = 0.25): DataFrame = {
     val prof = tags.join(tenants, "doc_id")
       .select(col("tenant_id"), col("tag")).distinct()
       .localCheckpoint()
@@ -84,16 +84,69 @@ object Grouping {
         col("x.tag") === col("y.tag") && col("x.tenant_id") < col("y.tenant_id"))
       .groupBy(col("x.tenant_id").as("a"), col("y.tenant_id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    val edges = inter
+    inter
       .join(sizes.select(col("tenant_id").as("a"), col("sz").as("sza")), "a")
       .join(sizes.select(col("tenant_id").as("b"), col("sz").as("szb")), "b")
       .withColumn("sim",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("sim") >= threshold)
-      .select(col("a"), col("b"))
-    connectedComponents(edges)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** Affinity grouping over any pre-computed (doc_id, tag) assignment +
+    * (doc_id, tenant_id) axis — callers that already ran the keyword
+    * pipeline pass its output here instead of recomputing it.
+    */
+  def tagAffinityOf(tags: DataFrame, tenants: DataFrame,
+                    threshold: Double = 0.25): DataFrame =
+    connectedComponents(tagAffinityEdges(tags, tenants, threshold))
       .select(col("node").as("tenant_id"), col("label").as("group_id"))
       .orderBy(col("tenant_id"))
+
+  /** The reference's STORAGE shape for tag-affinity groups
+    * (affinity/tag_affinity.rs:157 tag_affinity_group_id + :168
+    * compute_group_mean_jaccard): component members sorted and joined
+    * with `|`, sha256-hashed into `tag_aff:<20 hex>`, confidence = the
+    * mean similarity of the component's qualifying edges.
+    */
+  def tagAffinityGroupsOf(tags: DataFrame, tenants: DataFrame,
+                          threshold: Double = 0.25): DataFrame = {
+    val edges = tagAffinityEdges(tags, tenants, threshold).localCheckpoint()
+    val labels = connectedComponents(edges)
+    val ids = labels.groupBy(col("label"))
+      .agg(sort_array(collect_list(col("node"))).as("members"))
+      .select(col("label"),
+        concat(lit("tag_aff:"),
+          substring(sha2(concat_ws("|", col("members")), 256), 1, 20)).as("group_id"))
+    // every qualifying edge lies inside one component by construction,
+    // so the reference's both-members-in filter is a label join on `a`
+    val means = edges
+      .join(labels.select(col("node").as("a"), col("label")), "a")
+      .groupBy(col("label")).agg(avg(col("sim")).as("conf"))
+    labels.join(ids, "label").join(means, "label")
+      .select(col("group_id"), col("node").as("tenant_id"),
+        lit("tag_affinity").as("group_type"), round(col("conf"), 6).as("confidence"))
+  }
+
+  /** project_groups query — the unified `project_groups` table all
+    * three grouping strategies write into (grouping/schema.rs
+    * add_to_group): tag-affinity components (sha-hashed ids, mean-edge
+    * confidence), git-org groups (confidence 1.0, git_org.rs:112), and
+    * dependency pair groups (pair similarity, dependency.rs:363) — one
+    * row per (group, member) with group_type discriminating.
+    */
+  def projectGroups(spark: SparkSession, dir: String): DataFrame = {
+    val tenants = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source").as("tenant_id"))
+    val taff = tagAffinityGroupsOf(KeywordTags.keywordTags(spark, dir), tenants)
+    val gorg = gitOrgGroups(spark, dir)
+      .select(col("group_id"), col("tenant_id"),
+        lit("git_org").as("group_type"), lit(1.0).as("confidence"))
+    val dep = DependencyGrouping.dependencyGroups(spark, dir)
+      .select(col("group_id"), col("tenant_id"),
+        lit("dependency").as("group_type"), col("similarity").as("confidence"))
+    taff.unionByName(gorg).unionByName(dep)
+      .orderBy(col("group_type"), col("group_id"), col("tenant_id"))
   }
 
   /** normalize_git_url (common/src/project_id/calculator.rs:76) as one

@@ -87,6 +87,29 @@ class GroupingSpec extends SparkSpec {
     assert(ci(0) == ci(1))
   }
 
+  test("tag_affinity storage shape: sha group ids, mean-edge confidence (tag_affinity.rs)") {
+    import spark.implicits._
+    // two tenants sharing most tags + one isolated tenant
+    val tags = Seq(
+      (1L, "spark"), (1L, "scala"), (1L, "sql"),
+      (2L, "spark"), (2L, "scala"), (2L, "hive"),
+      (3L, "golf"), (3L, "tennis")
+    ).toDF("doc_id", "tag")
+    val tenants = Seq((1L, "pa"), (2L, "pb"), (3L, "pz")).toDF("doc_id", "tenant_id")
+    val rows = Grouping.tagAffinityGroupsOf(tags, tenants).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    assert(rows.length == 2, "only the affine pair groups; pz is isolated")
+    // group id = 'tag_aff:' + first 20 hex of sha256("pa|pb")
+    val expected = "tag_aff:" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest("pa|pb".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(20)
+    rows.foreach { case (gid, _, tpe, conf) =>
+      assert(gid == expected)
+      assert(tpe == "tag_affinity")
+      assert(conf == 0.5, "jaccard {spark,scala}/{spark,scala,sql,hive} = 2/4")
+    }
+    assert(rows.map(_._2).sorted.toSeq == Seq("pa", "pb"))
+  }
+
   test("git_org_groups: multi-project orgs only, same-name different-host separate") {
     import spark.implicits._
     val projects = Seq(
