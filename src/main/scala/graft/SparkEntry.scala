@@ -58,6 +58,7 @@ object SparkEntry {
     "dependency_groups" -> ((s, d) => DependencyGrouping.dependencyGroups(s, d)),
     "file_routes"      -> ((s, d) => AllowedExtensionsOps.fileRoutes(s, d)),
     "project_groups"   -> ((s, d) => Grouping.projectGroups(s, d)),
+    "workspace_detect" -> ((s, d) => WorkspaceDetection.workspaceDetect(s, d)),
     // Deduplication
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -902,6 +903,48 @@ object SparkEntry {
          |SELECT group_id, tenant_id, group_type, confidence FROM (
          |  SELECT * FROM taff UNION ALL SELECT * FROM gorg UNION ALL SELECT * FROM dep)
          |ORDER BY group_type, group_id, tenant_id""".stripMargin,
+    // detect_*_workspace twin (workspace/detection.rs): the oracle
+    // hardcodes the PARSED member patterns per workspace kind
+    // (validating the Spark-side manifest parsers) and re-derives
+    // glob/existence resolution from the same path corpus; workspace
+    // ids are the reference's ws:<sha256(root)[..12]>.
+    "workspace_detect" ->
+      """WITH wfiles AS (
+        |  SELECT doc_id, source AS tenant_id,
+        |    CAST(substring(source, 4) AS INT) % 3 AS ttype,
+        |    ['daemon/core/src/lib.rs','daemon/grpc/src/server.rs','cli/src/main.rs',
+        |     'packages/app/index.ts','packages/web/index.ts','tools/site/build.ts',
+        |     'dist/bundle.js'][(doc_id % 7) + 1] AS rel_path
+        |  FROM documents),
+        |members AS (
+        |  SELECT DISTINCT tenant_id, 'daemon/' || string_split(rel_path, '/')[2] AS member,
+        |    'cargo' AS workspace_type
+        |  FROM wfiles WHERE ttype = 0 AND rel_path LIKE 'daemon/%/%'
+        |  UNION ALL
+        |  SELECT DISTINCT tenant_id, 'cli', 'cargo'
+        |  FROM wfiles WHERE ttype = 0 AND rel_path LIKE 'cli/%'
+        |  UNION ALL
+        |  SELECT DISTINCT tenant_id, 'packages/' || string_split(rel_path, '/')[2],
+        |    'npm'
+        |  FROM wfiles WHERE ttype = 1 AND rel_path LIKE 'packages/%/%'
+        |  UNION ALL
+        |  SELECT DISTINCT tenant_id, 'tools/site', 'npm'
+        |  FROM wfiles WHERE ttype = 1 AND rel_path LIKE 'tools/site/%'
+        |  UNION ALL
+        |  SELECT DISTINCT tenant_id, 'daemon/core', 'go'
+        |  FROM wfiles WHERE ttype = 2 AND rel_path LIKE 'daemon/core/%'
+        |  UNION ALL
+        |  SELECT DISTINCT tenant_id, 'daemon/grpc', 'go'
+        |  FROM wfiles WHERE ttype = 2 AND rel_path LIKE 'daemon/grpc/%'
+        |  UNION ALL
+        |  SELECT DISTINCT tenant_id, 'cli', 'go'
+        |  FROM wfiles WHERE ttype = 2 AND rel_path LIKE 'cli/%')
+        |SELECT tenant_id,
+        |  'ws:' || substr(sha256('/proj/' || tenant_id), 1, 12) AS workspace_id,
+        |  workspace_type,
+        |  '/proj/' || tenant_id || '/' || member AS member_path
+        |FROM members
+        |ORDER BY tenant_id, member_path""".stripMargin,
     // route_file twin (allowed_extensions/extensions.rs:240): PLAIN
     // Path::extension (no compound .d.ts — types.d.ts routes on .ts),
     // library watch → library allowlist, project watch → library-routed
