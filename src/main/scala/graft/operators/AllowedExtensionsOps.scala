@@ -106,8 +106,9 @@ object AllowedExtensionsOps {
     * dotfiles, extension-less files).
     */
   def fileRoutes(spark: SparkSession, dir: String): DataFrame = {
-    val files = FileClassification.syntheticFiles(spark, dir)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+    val files = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        FileClassification.syntheticPathCol.as("file_path"))
       .withColumn("watch_collection",
         when(pmod(col("doc_id"), lit(3)) === 0, "libraries").otherwise("projects"))
       .withColumn("tenant_id", col("source"))

@@ -175,7 +175,10 @@ object FileClassification {
     * config directories. 17 names × 5 dirs are coprime cycles, so
     * every combination occurs.
     */
-  def syntheticFiles(spark: SparkSession, dir: String): DataFrame = {
+  /** The path expression itself (over `doc_id` + `source` columns) so
+    * queries needing extra document columns derive the path on the SAME
+    * scan instead of self-joining documents. */
+  def syntheticPathCol: Column = {
     val names = Seq("main.py", "lib.rs", "util.ts", "types.d.ts", "README.md",
       "guide.pdf", "index.html", "deck.pptx", "app.yaml", "data.json",
       "table.csv", "dist.whl", "bundle.tar.gz", ".gitignore", "LICENSE",
@@ -185,11 +188,12 @@ object FileClassification {
       array(names.map(lit): _*), (pmod(col("doc_id"), lit(17)) + 1).cast("int"))
     val dirCol = element_at(
       array(dirs.map(lit): _*), (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        concat(lit("/proj/"), col("source"), lit("/"), dirCol, lit("/"), nameCol)
-          .as("file_path"))
+    concat(lit("/proj/"), col("source"), lit("/"), dirCol, lit("/"), nameCol)
   }
+
+  def syntheticFiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), syntheticPathCol.as("file_path"))
 
   /** file_classify query: the ingest router over the synthetic path
     * corpus. */

@@ -81,8 +81,9 @@ object MetadataEnrichment {
       .when(sel === 4, lit("memory"))
       .otherwise(lit("scratchpad"))
     val branch = when(pmod(col("doc_id"), lit(4)) === 0, lit("develop")).otherwise(lit("main"))
-    val files = FileClassification.syntheticFiles(spark, dir)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+    val files = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        FileClassification.syntheticPathCol.as("file_path"))
       .withColumn("collection_name", collection)
       .withColumn("branch", branch)
       .withColumn("tenant_id", col("source"))

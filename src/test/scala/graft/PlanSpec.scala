@@ -127,4 +127,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(1500))
     assert(!p.contains("Join"), "debounce must not join:\n" + p.take(1500))
   }
+
+  test("file classification joins the rule table broadcast, never shuffled") {
+    val p = plan("file_classify")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the ~170-row extension table must broadcast:\n" + p.take(2000))
+  }
+
+  test("dependency grouping self-joins on the dependency name, not a cross product") {
+    val p = plan("dependency_groups")
+    assert(!p.contains("CartesianProduct"), "profiles must join on dep name")
+  }
+
+  test("component assignment broadcasts the component table") {
+    val p = plan("component_detect")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), "assignment must stay keyed per tenant")
+  }
+
+  test("project_groups unions three grouping strategies without a cross product") {
+    val p = plan("project_groups")
+    assert(p.contains("Union"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("file routing is map-only: no join, no shuffle beyond the output sort") {
+    val q = SparkEntry.queries("file_routes")(spark, sfDir)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "route_file is a literal-set projection:\n" + p.take(1500))
+  }
 }
