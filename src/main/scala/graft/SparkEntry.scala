@@ -59,6 +59,8 @@ object SparkEntry {
     "file_routes"      -> ((s, d) => AllowedExtensionsOps.fileRoutes(s, d)),
     "project_groups"   -> ((s, d) => Grouping.projectGroups(s, d)),
     "workspace_detect" -> ((s, d) => WorkspaceDetection.workspaceDetect(s, d)),
+    "affinity_groups"  -> ((s, d) => Grouping.affinityGroups(s, d)),
+    "workspace_groups" -> ((s, d) => Grouping.workspaceGroups(s, d)),
     // Deduplication
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -185,6 +187,60 @@ object SparkEntry {
       |                      'functional', 'acceptance'))) > 0
       |    ) THEN 1 ELSE 0 END AS is_test
       |FROM x)""".stripMargin
+
+  /** Embedding-affinity strategy chain (affinity/grouper.rs:47 +
+    * computation.rs): windowed per-tenant aggregate means, pairwise
+    * cosine on round(sim,6) >= 0.7, recursive components,
+    * `affinity:<sha256[..15]>` ids, mean-edge confidence. Ends in CTE
+    * `af_rows`.
+    */
+  private val affinityGroupCtes: String =
+    """af_mem AS (
+      |  SELECT 'p' || CAST(((vec_id % 10) - off + 10) % 10 AS VARCHAR) AS tenant_id,
+      |    vec_id, embedding
+      |  FROM embeddings CROSS JOIN unnest([0, 1, 2, 3, 4]) AS t(off)),
+      |af_pe AS (
+      |  SELECT tenant_id, i, avg(embedding[i]::DOUBLE) AS m
+      |  FROM af_mem CROSS JOIN generate_series(1, 64) AS u(i)
+      |  GROUP BY tenant_id, i),
+      |af_mean AS (SELECT tenant_id, list(m ORDER BY i) AS emb FROM af_pe GROUP BY tenant_id),
+      |af_edges AS (
+      |  SELECT x.tenant_id AS a, y.tenant_id AS b,
+      |    round(list_cosine_similarity(x.emb, y.emb), 6) AS sim
+      |  FROM af_mean x JOIN af_mean y ON x.tenant_id < y.tenant_id
+      |  WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.7),
+      |af_bidir AS (SELECT DISTINCT a, b FROM (
+      |  SELECT a, b FROM af_edges UNION ALL SELECT b, a FROM af_edges)),
+      |af_comp AS (SELECT t AS tenant_id, min(lbl) AS label FROM (
+      |  WITH RECURSIVE af_reach AS (
+      |    SELECT DISTINCT a AS t, a AS lbl FROM af_bidir
+      |    UNION
+      |    SELECT e.a AS t, r.lbl FROM af_reach r JOIN af_bidir e ON e.b = r.t)
+      |  SELECT t, lbl FROM af_reach) GROUP BY t),
+      |af_ids AS (SELECT label,
+      |    'affinity:' || substr(sha256(string_agg(tenant_id, '|' ORDER BY tenant_id)), 1, 15) AS group_id
+      |  FROM af_comp GROUP BY label),
+      |af_conf AS (SELECT c.label, avg(e.sim) AS conf
+      |  FROM af_edges e JOIN af_comp c ON e.a = c.tenant_id GROUP BY 1),
+      |af_rows AS (
+      |  SELECT i.group_id, c.tenant_id, 'affinity' AS group_type,
+      |    round(m.conf, 6) AS confidence
+      |  FROM af_comp c JOIN af_ids i USING (label) JOIN af_conf m USING (label))""".stripMargin
+
+  /** Workspace strategy chain (workspace/mod.rs:29): tenants sharing a
+    * detected root under `workspace:<ws id>` at confidence 1.0; ends in
+    * CTE `w_rows`. */
+  private val workspaceGroupCtes: String =
+    """w_t AS (SELECT DISTINCT source AS tenant_id,
+      |    CAST(substring(source, 4) AS INT) AS n FROM documents),
+      |w_k AS (SELECT tenant_id,
+      |    'workspace:ws:' || substr(sha256('/mono/w' || CAST(n % 5 AS VARCHAR)), 1, 12) AS group_id
+      |  FROM w_t),
+      |w_m AS (SELECT group_id FROM w_k GROUP BY 1 HAVING count(*) >= 2),
+      |w_rows AS (
+      |  SELECT group_id, tenant_id, 'workspace' AS group_type,
+      |    CAST(1.0 AS DOUBLE) AS confidence
+      |  FROM w_k JOIN w_m USING (group_id))""".stripMargin
 
   /** bm25.rs tokenize_for_bm25 (junk-filtering) CTE — the scoring
     * tokenizer for every BM25-family oracle, mirroring
@@ -899,10 +955,24 @@ object SparkEntry {
          |  SELECT 'dep:' || a || '+' || b AS group_id, tenant_id,
          |    'dependency' AS group_type, similarity AS confidence FROM (
          |    SELECT a, b, a AS tenant_id, similarity FROM d_pairs
-         |    UNION ALL SELECT a, b, b, similarity FROM d_pairs))
+         |    UNION ALL SELECT a, b, b, similarity FROM d_pairs)),
+         |$affinityGroupCtes,
+         |$workspaceGroupCtes
          |SELECT group_id, tenant_id, group_type, confidence FROM (
-         |  SELECT * FROM taff UNION ALL SELECT * FROM gorg UNION ALL SELECT * FROM dep)
+         |  SELECT * FROM taff UNION ALL SELECT * FROM gorg UNION ALL SELECT * FROM dep
+         |  UNION ALL SELECT * FROM af_rows UNION ALL SELECT * FROM w_rows)
          |ORDER BY group_type, group_id, tenant_id""".stripMargin,
+    // compute_affinity_groups twin (affinity/grouper.rs:47) over the
+    // windowed per-tenant aggregate embeddings.
+    "affinity_groups" ->
+      s"""WITH $affinityGroupCtes
+         |SELECT group_id, tenant_id, group_type, confidence FROM af_rows
+         |ORDER BY group_id, tenant_id""".stripMargin,
+    // compute_workspace_groups twin (workspace/mod.rs:29).
+    "workspace_groups" ->
+      s"""WITH $workspaceGroupCtes
+         |SELECT group_id, tenant_id, group_type, confidence FROM w_rows
+         |ORDER BY group_id, tenant_id""".stripMargin,
     // detect_*_workspace twin (workspace/detection.rs): the oracle
     // hardcodes the PARSED member patterns per workspace kind
     // (validating the Spark-side manifest parsers) and re-derives

@@ -103,49 +103,138 @@ object Grouping {
       .select(col("node").as("tenant_id"), col("label").as("group_id"))
       .orderBy(col("tenant_id"))
 
-  /** The reference's STORAGE shape for tag-affinity groups
-    * (affinity/tag_affinity.rs:157 tag_affinity_group_id + :168
-    * compute_group_mean_jaccard): component members sorted and joined
-    * with `|`, sha256-hashed into `tag_aff:<20 hex>`, confidence = the
-    * mean similarity of the component's qualifying edges.
+  /** The reference's STORAGE shape shared by the component-building
+    * strategies (tag_affinity.rs:157, affinity/computation.rs:98):
+    * component members sorted and joined with `|`, sha256-hashed into
+    * `<prefix><hexLen hex>` ids, confidence = the mean similarity of
+    * the component's qualifying edges (every qualifying edge lies
+    * inside one component by construction, so the reference's
+    * both-members-in filter is a label join on `a`).
     */
-  def tagAffinityGroupsOf(tags: DataFrame, tenants: DataFrame,
-                          threshold: Double = 0.25): DataFrame = {
-    val edges = tagAffinityEdges(tags, tenants, threshold).localCheckpoint()
-    val labels = connectedComponents(edges)
+  private def shaComponentGroups(edges: DataFrame, prefix: String, hexLen: Int,
+                                 groupType: String): DataFrame = {
+    val e = edges.localCheckpoint()
+    val labels = connectedComponents(e)
     val ids = labels.groupBy(col("label"))
       .agg(sort_array(collect_list(col("node"))).as("members"))
       .select(col("label"),
-        concat(lit("tag_aff:"),
-          substring(sha2(concat_ws("|", col("members")), 256), 1, 20)).as("group_id"))
-    // every qualifying edge lies inside one component by construction,
-    // so the reference's both-members-in filter is a label join on `a`
-    val means = edges
+        concat(lit(prefix),
+          substring(sha2(concat_ws("|", col("members")), 256), 1, hexLen)).as("group_id"))
+    val means = e
       .join(labels.select(col("node").as("a"), col("label")), "a")
       .groupBy(col("label")).agg(avg(col("sim")).as("conf"))
     labels.join(ids, "label").join(means, "label")
       .select(col("group_id"), col("node").as("tenant_id"),
-        lit("tag_affinity").as("group_type"), round(col("conf"), 6).as("confidence"))
+        lit(groupType).as("group_type"), round(col("conf"), 6).as("confidence"))
   }
 
-  /** project_groups query — the unified `project_groups` table all
-    * three grouping strategies write into (grouping/schema.rs
-    * add_to_group): tag-affinity components (sha-hashed ids, mean-edge
-    * confidence), git-org groups (confidence 1.0, git_org.rs:112), and
-    * dependency pair groups (pair similarity, dependency.rs:363) — one
-    * row per (group, member) with group_type discriminating.
+  /** Tag-affinity groups in storage shape (tag_affinity.rs:157
+    * tag_affinity_group_id + :168 compute_group_mean_jaccard). */
+  def tagAffinityGroupsOf(tags: DataFrame, tenants: DataFrame,
+                          threshold: Double = 0.25): DataFrame =
+    shaComponentGroups(tagAffinityEdges(tags, tenants, threshold),
+      "tag_aff:", 20, "tag_affinity")
+
+  /** Embedding-affinity groups (affinity/grouper.rs:47
+    * compute_affinity_groups): pairwise cosine of per-project AGGREGATE
+    * embeddings at the 0.7 default (config.rs:14), connected
+    * components, `affinity:<15 hex>` ids (computation.rs:98),
+    * mean-pairwise-similarity confidence. Similarities compare on
+    * round(sim, 6) so threshold membership is engine-stable.
+    *
+    * The pair generation is a broadcast nested-loop over the TENANT
+    * axis (one aggregate row per project) — bounded like the reference's
+    * own all-pairs loop (computation.rs:24), never the corpus.
+    */
+  def affinityGroupsOf(projEmb: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val a = projEmb.select(col("tenant_id").as("a"), col("embedding").as("ea"))
+    val b = projEmb.select(col("tenant_id").as("b"), col("embedding").as("eb"))
+    val edges = a.join(broadcast(b), col("a") < col("b"))
+      .withColumn("sim", round(graft.GraftFunctions.cosine(col("ea"), col("eb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+    shaComponentGroups(edges, "affinity:", 15, "affinity")
+  }
+
+  /** Per-project aggregate embeddings for the corpus query: the
+    * reference loads stored per-project aggregates
+    * (affinity/storage.rs load_all_project_embeddings — themselves
+    * unit-weighted chunk means, tagging/aggregation.rs:12); the corpus
+    * has no project axis on embeddings, so each vector contributes to
+    * the FIVE tenants whose residue window (t..t+4 mod 10) covers
+    * vec_id%10 — overlapping memberships give the aggregate means real
+    * structure (adjacent windows share 4/5 of their vectors → cosine
+    * ~0.8, disjoint windows ~0).
+    */
+  def projectEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until 5).map(lit): _*)).as("off"))
+      .withColumn("tenant_id", concat(lit("p"),
+        pmod(pmod(col("vec_id"), lit(10)).cast("int") - col("off") + 10, lit(10))
+          .cast("string")))
+      .select(col("tenant_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("tenant_id"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("tenant_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+      .select(col("tenant_id"),
+        transform(col("pairs"), p => p.getField("m")).as("embedding"))
+
+  /** affinity_groups query over the windowed per-tenant aggregates. */
+  def affinityGroups(spark: SparkSession, dir: String): DataFrame =
+    affinityGroupsOf(projectEmbeddings(spark, dir))
+      .orderBy(col("group_id"), col("tenant_id"))
+
+  /** Workspace groups (workspace/mod.rs:29 compute_workspace_groups):
+    * watch folders sharing a detected workspace root group under
+    * `workspace:<workspace_id>` at confidence 1.0; single-member
+    * workspaces are skipped. Detection itself is workspace_detect; this
+    * strategy consumes the (tenant, workspace_root) membership.
+    */
+  def workspaceGroupsOf(folders: DataFrame): DataFrame = {
+    val keyed = folders.select(col("tenant_id"),
+      concat(lit("workspace:"), WorkspaceDetection.workspaceId(col("workspace_root")))
+        .as("group_id"))
+    val multi = keyed.groupBy(col("group_id")).agg(count(lit(1)).as("members"))
+      .filter(col("members") >= 2).select(col("group_id"))
+    keyed.join(multi, "group_id")
+      .select(col("group_id"), col("tenant_id"),
+        lit("workspace").as("group_type"), lit(1.0).as("confidence"))
+  }
+
+  /** workspace_groups query: tenants (= `source`) map onto shared
+    * monorepo roots `/mono/w<n%5>` — four members per root. */
+  def workspaceGroups(spark: SparkSession, dir: String): DataFrame = {
+    val n = expr("CAST(substring(tenant_id, 4) AS INT)")
+    val folders = Tables.documents(spark, dir)
+      .select(col("source").as("tenant_id")).distinct()
+      .withColumn("workspace_root",
+        concat(lit("/mono/w"), pmod(n, lit(5)).cast("string")))
+    workspaceGroupsOf(folders).orderBy(col("group_id"), col("tenant_id"))
+  }
+
+  /** project_groups query — the unified `project_groups` table ALL FIVE
+    * grouping strategies write into (grouping/schema.rs add_to_group,
+    * scheduler.rs:305 compute_all_groups): tag-affinity components
+    * (sha-hashed ids, mean-edge confidence), embedding-affinity
+    * components, git-org groups (confidence 1.0), dependency pair
+    * groups (pair similarity), and workspace groups (confidence 1.0) —
+    * one row per (group, member) with group_type discriminating.
     */
   def projectGroups(spark: SparkSession, dir: String): DataFrame = {
     val tenants = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source").as("tenant_id"))
     val taff = tagAffinityGroupsOf(KeywordTags.keywordTags(spark, dir), tenants)
+    val aff = affinityGroups(spark, dir)
     val gorg = gitOrgGroups(spark, dir)
       .select(col("group_id"), col("tenant_id"),
         lit("git_org").as("group_type"), lit(1.0).as("confidence"))
     val dep = DependencyGrouping.dependencyGroups(spark, dir)
       .select(col("group_id"), col("tenant_id"),
         lit("dependency").as("group_type"), col("similarity").as("confidence"))
-    taff.unionByName(gorg).unionByName(dep)
+    val ws = workspaceGroups(spark, dir)
+    taff.unionByName(aff).unionByName(gorg).unionByName(dep).unionByName(ws)
       .orderBy(col("group_type"), col("group_id"), col("tenant_id"))
   }
 

@@ -110,6 +110,38 @@ class GroupingSpec extends SparkSpec {
     assert(rows.map(_._2).sorted.toSeq == Seq("pa", "pb"))
   }
 
+  test("embedding affinity groups: cosine threshold, sha ids, mean confidence (grouper.rs)") {
+    import spark.implicits._
+    val emb = Seq(
+      ("pa", Seq(1.0, 0.0)),
+      ("pb", Seq(0.8, 0.6)), // cos(pa,pb) = 0.8 ≥ 0.7
+      ("pz", Seq(0.0, 1.0))  // cos(pa,pz) = 0, cos(pb,pz) = 0.6 < 0.7
+    ).toDF("tenant_id", "embedding")
+    val rows = Grouping.affinityGroupsOf(emb).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    assert(rows.length == 2, "only pa+pb group; pz stays out")
+    val expected = "affinity:" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest("pa|pb".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    rows.foreach { case (gid, _, tpe, conf) =>
+      assert(gid == expected && tpe == "affinity" && conf == 0.8)
+    }
+  }
+
+  test("workspace groups: shared roots group at 1.0, single-member skipped (workspace/mod.rs)") {
+    import spark.implicits._
+    val folders = Seq(
+      ("p1", "/mono/alpha"), ("p2", "/mono/alpha"), ("solo", "/mono/beta")
+    ).toDF("tenant_id", "workspace_root")
+    val rows = Grouping.workspaceGroupsOf(folders).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    val expected = "workspace:ws:" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest("/mono/alpha".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    assert(rows.map(_._2).sorted.toSeq == Seq("p1", "p2"))
+    rows.foreach { case (gid, _, tpe, conf) =>
+      assert(gid == expected && tpe == "workspace" && conf == 1.0)
+    }
+  }
+
   test("git_org_groups: multi-project orgs only, same-name different-host separate") {
     import spark.implicits._
     val projects = Seq(
