@@ -61,6 +61,8 @@ object SparkEntry {
     "workspace_detect" -> ((s, d) => WorkspaceDetection.workspaceDetect(s, d)),
     "affinity_groups"  -> ((s, d) => Grouping.affinityGroups(s, d)),
     "workspace_groups" -> ((s, d) => Grouping.workspaceGroups(s, d)),
+    "tier1_tags"       -> ((s, d) => Tagging.tier1Tags(s, d)),
+    "tag_normalize"    -> ((s, d) => Tagging.tagNormalize(s, d)),
     // Deduplication
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -962,6 +964,65 @@ object SparkEntry {
          |  SELECT * FROM taff UNION ALL SELECT * FROM gorg UNION ALL SELECT * FROM dep
          |  UNION ALL SELECT * FROM af_rows UNION ALL SELECT * FROM w_rows)
          |ORDER BY group_type, group_id, tenant_id""".stripMargin,
+    // extract_tier1_tags twin (tier1.rs:245): path tags from the
+    // synthetic path segments (structural src/tests/lib skipped, config
+    // and e2e kept, filename excluded) plus the per-kind dependency
+    // CONCEPTS the manifests parse to (hardcoded expected — validating
+    // the Spark-side parse + prefix-match chain; pyproject tenants have
+    // no concept extractor, go modules match on last path segment).
+    "tier1_tags" ->
+      """WITH tf AS (
+        |  SELECT doc_id, source AS tenant_id,
+        |    CAST(substring(source, 4) AS INT) AS n, doc_id % 5 AS d
+        |  FROM documents),
+        |ptags AS (
+        |  SELECT doc_id, 'path:proj' AS tag FROM tf
+        |  UNION ALL SELECT doc_id, 'path:' || tenant_id FROM tf
+        |  UNION ALL SELECT doc_id, 'path:config' FROM tf WHERE d = 3
+        |  UNION ALL SELECT doc_id, 'path:e2e' FROM tf WHERE d = 4),
+        |dconcepts AS (
+        |  SELECT tenant_id, unnest(
+        |    CASE n % 4
+        |      WHEN 0 THEN list_concat(
+        |        ['serialization', 'async-runtime', 'concurrency', 'testing', 'filesystem'],
+        |        [['error-handling'], ['http-client', 'networking'],
+        |         ['observability', 'logging'], ['cli', 'argument-parsing']][((n // 4) % 4) + 1])
+        |      WHEN 1 THEN list_concat(
+        |        ['ui-framework', 'frontend', 'web-framework', 'ssr', 'testing'],
+        |        [['utility'], ['web-framework', 'http-server'],
+        |         ['http-client', 'networking'], ['bundler', 'build-tool']][((n // 4) % 4) + 1])
+        |      WHEN 2 THEN CASE WHEN (n // 4) % 2 = 1 THEN
+        |          list_concat(['web-framework', 'http-server', 'http-client', 'networking'],
+        |            CASE WHEN (n // 4) % 4 = 1 THEN ['numerical-computing']
+        |                 ELSE []::VARCHAR[] END)
+        |        ELSE []::VARCHAR[] END
+        |      ELSE list_concat(['web-framework', 'http-server', 'testing'],
+        |        [['cli', 'argument-parsing'], ['http-router']][((n // 4) % 2) + 1])
+        |    END) AS concept
+        |  FROM (SELECT DISTINCT tenant_id, n FROM tf)),
+        |dtags AS (
+        |  SELECT tf.doc_id, 'dep:' || dc.concept AS tag
+        |  FROM tf JOIN dconcepts dc USING (tenant_id))
+        |SELECT DISTINCT doc_id, tag
+        |FROM (SELECT * FROM ptags UNION ALL SELECT * FROM dtags)
+        |ORDER BY doc_id, tag""".stripMargin,
+    // normalize_tag twin (normalize.rs:53): the oracle carries the
+    // EXPECTED canonical form per raw fixture — prefix preservation,
+    // separator collapsing, abbreviation expansion, camel NON-split,
+    // junk-char removal, empty-value collapse.
+    "tag_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |  ['  Machine_Learning  ', 'ML', 'dep:ML', 'path:my_module',
+        |   'Design Patterns', 'k8s', 'tax:Deep__Learning', 'CamelCase',
+        |   'API-Design', 'js', 'TAX:  spaced  value ', 'path:!!!'
+        |  ][(doc_id % 12) + 1] AS raw_tag,
+        |  ['machine-learning', 'machine-learning', 'dep:machine-learning',
+        |   'path:my-module', 'design-patterns', 'kubernetes',
+        |   'tax:deep-learning', 'camelcase', 'api-design', 'javascript',
+        |   'tax:spaced-value', ''
+        |  ][(doc_id % 12) + 1] AS normalized
+        |  FROM documents)
+        |SELECT doc_id, raw_tag, normalized FROM r ORDER BY doc_id""".stripMargin,
     // compute_affinity_groups twin (affinity/grouper.rs:47) over the
     // windowed per-tenant aggregate embeddings.
     "affinity_groups" ->

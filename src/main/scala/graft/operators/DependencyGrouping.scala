@@ -209,7 +209,12 @@ object DependencyGrouping {
     * (`pandas[sql]`), case/underscore normalization, and go.mod's
     * block + single-line require forms.
     */
-  def dependencyGroups(spark: SparkSession, dir: String): DataFrame = {
+  def dependencyGroups(spark: SparkSession, dir: String): DataFrame =
+    dependencyGroupsOf(parseDependenciesOf(syntheticManifests(spark, dir)))
+
+  /** The deterministic per-tenant manifest corpus described above —
+    * exposed so tier-1 concept tagging reuses the same manifests. */
+  def syntheticManifests(spark: SparkSession, dir: String): DataFrame = {
     val n = expr("CAST(substring(tenant_id, 4) AS INT)")
     val kind = pmod(n, lit(4))
     val variant = pmod(floor(n / lit(4)).cast("int"), lit(4))
@@ -254,6 +259,6 @@ object DependencyGrouping {
           .when(kind === 2,
             when(pmod(variant, lit(2)) === 0, pyproject).otherwise(requirements))
           .otherwise(gomod))
-    dependencyGroupsOf(parseDependenciesOf(manifests))
+    manifests
   }
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Parity with the reference's tier-1 tagging and tag normalization
+  * (tagging/tier1.rs tests, concepts.rs, normalize.rs doc vectors).
+  */
+class TaggingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize_to_kebab vectors (tier1.rs tests)") {
+    val vectors = Seq(
+      "design_patterns" -> "design-patterns",
+      "designPatterns" -> "design-patterns",
+      "DesignPatterns" -> "design-patterns",
+      "design patterns" -> "design-patterns",
+      "design-patterns" -> "design-patterns",
+      "Computer_Science" -> "computer-science",
+      "HTTPServer" -> "httpserver") // uppercase runs don't split
+    val out = vectors.map(_._1).toDF("s")
+      .select(Tagging.normalizeToKebab(col("s"))).collect().map(_.getString(0))
+    assert(out.toSeq == vectors.map(_._2))
+  }
+
+  test("extract_path_tags: structural dirs skipped, filename excluded, kebab + prefix") {
+    val files = Seq(
+      (1L, "/home/user/MachineLearning/neural_networks/model.py"),
+      (2L, "/project/src/tests/.hidden/x/README.md")
+    ).toDF("doc_id", "file_path")
+    val out = Tagging.pathTagsOf(files).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set(
+      (1L, "path:home"), (1L, "path:user"),
+      (1L, "path:machine-learning"), (1L, "path:neural-networks"),
+      (2L, "path:project")))
+  }
+
+  test("map_deps_to_concepts: normalization, prefix match, dedup (concepts.rs)") {
+    val deps = Seq(
+      ("t0", "tokio"), ("t0", "Tokio"),      // case fold + concept dedup
+      ("t0", "tokio-stream"),                 // prefix rule: tokio- AND tokio-stream keys
+      ("t0", "react_dom"),                    // underscore → react-dom prefix of react
+      ("t0", "unknown-lib")
+    ).toDF("tenant_id", "dependency_name")
+    val out = Tagging.depConceptsOf(deps).collect().map(_.getString(1)).toSet
+    assert(out == Set("dep:async-runtime", "dep:concurrency", "dep:streaming",
+      "dep:ui-framework", "dep:frontend"))
+  }
+
+  test("normalize_tag vectors (normalize.rs doc examples)") {
+    val vectors = Seq(
+      "  Machine_Learning  " -> "machine-learning",
+      "ML" -> "machine-learning",
+      "dep:ML" -> "dep:machine-learning",
+      "path:my_module" -> "path:my-module",
+      "k8s" -> "kubernetes",
+      "CamelCase" -> "camelcase",      // normalize_value does NOT split camel
+      "TAX:Deep__Learning" -> "tax:deep-learning",
+      "path:!!!" -> "",                // value normalizes away
+      "" -> "")
+    val out = vectors.map(_._1).toDF("s")
+      .select(Tagging.normalizeTag(col("s"))).collect().map(_.getString(0))
+    assert(out.toSeq == vectors.map(_._2))
+  }
+
+  test("tier1_tags on the corpus: both sources contribute, all tags prefixed") {
+    val rows = Tagging.tier1Tags(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._2.startsWith("path:")))
+    assert(rows.exists(_._2.startsWith("dep:")))
+    assert(rows.forall(t => t._2.startsWith("path:") || t._2.startsWith("dep:")))
+    // cargo tenants (n%4==0) carry serde's serialization concept
+    assert(rows.exists(_._2 == "dep:serialization"))
+  }
+}
