@@ -62,6 +62,7 @@ object SparkEntry {
     "affinity_groups"  -> ((s, d) => Grouping.affinityGroups(s, d)),
     "workspace_groups" -> ((s, d) => Grouping.workspaceGroups(s, d)),
     "tier1_tags"       -> ((s, d) => Tagging.tier1Tags(s, d)),
+    "tier2_tags"       -> ((s, d) => Tagging.tier2Tags(s, d)),
     "tag_normalize"    -> ((s, d) => Tagging.tagNormalize(s, d)),
     // Deduplication
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -1023,6 +1024,227 @@ object SparkEntry {
         |  ][(doc_id % 12) + 1] AS normalized
         |  FROM documents)
         |SELECT doc_id, raw_tag, normalized FROM r ORDER BY doc_id""".stripMargin,
+    // Tier2Tagger::classify twin (tier2.rs:167): the full taxonomy as
+    // VALUES, the shared md5-nibble digest embeddings, threshold on
+    // round(score,6), per-category retention with the gap written as
+    // 0.02 * 3 so both engines compare against the SAME IEEE double,
+    // then max_tags truncation.
+    "tier2_tags" ->
+      """WITH tax(term, category) AS (VALUES
+        |    ('rust programming', 'programming-languages'),
+        |    ('python programming', 'programming-languages'),
+        |    ('javascript programming', 'programming-languages'),
+        |    ('typescript programming', 'programming-languages'),
+        |    ('go programming', 'programming-languages'),
+        |    ('java programming', 'programming-languages'),
+        |    ('c programming language', 'programming-languages'),
+        |    ('cpp programming', 'programming-languages'),
+        |    ('swift programming', 'programming-languages'),
+        |    ('kotlin programming', 'programming-languages'),
+        |    ('ruby programming', 'programming-languages'),
+        |    ('php programming', 'programming-languages'),
+        |    ('scala programming', 'programming-languages'),
+        |    ('haskell programming', 'programming-languages'),
+        |    ('lua scripting', 'programming-languages'),
+        |    ('shell scripting', 'programming-languages'),
+        |    ('sql database queries', 'programming-languages'),
+        |    ('web application development', 'web-development'),
+        |    ('frontend user interface', 'web-development'),
+        |    ('backend server development', 'web-development'),
+        |    ('single page application', 'web-development'),
+        |    ('server side rendering', 'web-development'),
+        |    ('progressive web app', 'web-development'),
+        |    ('responsive web design', 'web-development'),
+        |    ('web accessibility', 'web-development'),
+        |    ('web performance optimization', 'web-development'),
+        |    ('static site generation', 'web-development'),
+        |    ('content management system', 'web-development'),
+        |    ('rest api design', 'api-and-protocols'),
+        |    ('graphql api', 'api-and-protocols'),
+        |    ('grpc remote procedure call', 'api-and-protocols'),
+        |    ('websocket real-time communication', 'api-and-protocols'),
+        |    ('http protocol', 'api-and-protocols'),
+        |    ('oauth authentication protocol', 'api-and-protocols'),
+        |    ('json web token authentication', 'api-and-protocols'),
+        |    ('relational database management', 'databases'),
+        |    ('nosql database', 'databases'),
+        |    ('vector database search', 'databases'),
+        |    ('graph database', 'databases'),
+        |    ('key value store', 'databases'),
+        |    ('time series database', 'databases'),
+        |    ('database indexing', 'databases'),
+        |    ('query optimization', 'databases'),
+        |    ('database migration', 'databases'),
+        |    ('object relational mapping', 'databases'),
+        |    ('cloud computing infrastructure', 'cloud-and-infrastructure'),
+        |    ('kubernetes container orchestration', 'cloud-and-infrastructure'),
+        |    ('docker containerization', 'cloud-and-infrastructure'),
+        |    ('serverless computing', 'cloud-and-infrastructure'),
+        |    ('infrastructure as code', 'cloud-and-infrastructure'),
+        |    ('continuous integration deployment', 'cloud-and-infrastructure'),
+        |    ('load balancing', 'cloud-and-infrastructure'),
+        |    ('service mesh', 'cloud-and-infrastructure'),
+        |    ('cloud native architecture', 'cloud-and-infrastructure'),
+        |    ('microservices architecture', 'cloud-and-infrastructure'),
+        |    ('machine learning algorithms', 'machine-learning'),
+        |    ('deep learning neural networks', 'machine-learning'),
+        |    ('natural language processing', 'machine-learning'),
+        |    ('computer vision image recognition', 'machine-learning'),
+        |    ('reinforcement learning', 'machine-learning'),
+        |    ('model training and evaluation', 'machine-learning'),
+        |    ('feature engineering', 'machine-learning'),
+        |    ('transfer learning', 'machine-learning'),
+        |    ('large language model', 'machine-learning'),
+        |    ('embedding vector representation', 'machine-learning'),
+        |    ('recommendation system', 'machine-learning'),
+        |    ('anomaly detection', 'machine-learning'),
+        |    ('data pipeline processing', 'data-engineering'),
+        |    ('etl extract transform load', 'data-engineering'),
+        |    ('data warehouse', 'data-engineering'),
+        |    ('stream processing real-time', 'data-engineering'),
+        |    ('batch data processing', 'data-engineering'),
+        |    ('data lake storage', 'data-engineering'),
+        |    ('data quality validation', 'data-engineering'),
+        |    ('schema management', 'data-engineering'),
+        |    ('application security', 'security'),
+        |    ('encryption and cryptography', 'security'),
+        |    ('access control authorization', 'security'),
+        |    ('vulnerability scanning', 'security'),
+        |    ('penetration testing', 'security'),
+        |    ('security audit compliance', 'security'),
+        |    ('input validation sanitization', 'security'),
+        |    ('cross site scripting prevention', 'security'),
+        |    ('sql injection prevention', 'security'),
+        |    ('unit testing', 'testing'),
+        |    ('integration testing', 'testing'),
+        |    ('end to end testing', 'testing'),
+        |    ('test driven development', 'testing'),
+        |    ('property based testing', 'testing'),
+        |    ('performance benchmarking', 'testing'),
+        |    ('load testing', 'testing'),
+        |    ('mocking and stubbing', 'testing'),
+        |    ('code coverage analysis', 'testing'),
+        |    ('event driven architecture', 'architecture-patterns'),
+        |    ('domain driven design', 'architecture-patterns'),
+        |    ('clean architecture', 'architecture-patterns'),
+        |    ('hexagonal architecture', 'architecture-patterns'),
+        |    ('cqrs command query separation', 'architecture-patterns'),
+        |    ('saga pattern distributed transactions', 'architecture-patterns'),
+        |    ('circuit breaker pattern', 'architecture-patterns'),
+        |    ('observer pattern', 'architecture-patterns'),
+        |    ('factory pattern', 'architecture-patterns'),
+        |    ('dependency injection', 'architecture-patterns'),
+        |    ('plugin architecture', 'architecture-patterns'),
+        |    ('async await programming', 'concurrency'),
+        |    ('multi-threaded programming', 'concurrency'),
+        |    ('concurrent data structures', 'concurrency'),
+        |    ('message passing concurrency', 'concurrency'),
+        |    ('actor model', 'concurrency'),
+        |    ('lock free programming', 'concurrency'),
+        |    ('parallel computing', 'concurrency'),
+        |    ('task scheduling', 'concurrency'),
+        |    ('network programming', 'networking'),
+        |    ('tcp ip networking', 'networking'),
+        |    ('dns domain name system', 'networking'),
+        |    ('proxy and reverse proxy', 'networking'),
+        |    ('vpn virtual private network', 'networking'),
+        |    ('network security firewall', 'networking'),
+        |    ('monitoring and observability', 'devops'),
+        |    ('logging and tracing', 'devops'),
+        |    ('alerting system', 'devops'),
+        |    ('deployment automation', 'devops'),
+        |    ('configuration management', 'devops'),
+        |    ('incident response', 'devops'),
+        |    ('site reliability engineering', 'devops'),
+        |    ('chaos engineering', 'devops'),
+        |    ('ios application development', 'mobile-development'),
+        |    ('android application development', 'mobile-development'),
+        |    ('cross platform mobile', 'mobile-development'),
+        |    ('react native mobile', 'mobile-development'),
+        |    ('flutter mobile development', 'mobile-development'),
+        |    ('mobile ui design', 'mobile-development'),
+        |    ('operating system development', 'systems-programming'),
+        |    ('memory management', 'systems-programming'),
+        |    ('file system operations', 'systems-programming'),
+        |    ('process management', 'systems-programming'),
+        |    ('system call interface', 'systems-programming'),
+        |    ('embedded systems programming', 'systems-programming'),
+        |    ('device driver development', 'systems-programming'),
+        |    ('real-time operating system', 'systems-programming'),
+        |    ('build system automation', 'build-and-tooling'),
+        |    ('package management', 'build-and-tooling'),
+        |    ('code generation', 'build-and-tooling'),
+        |    ('linting and formatting', 'build-and-tooling'),
+        |    ('refactoring tools', 'build-and-tooling'),
+        |    ('ide integration', 'build-and-tooling'),
+        |    ('version control git', 'build-and-tooling'),
+        |    ('monorepo management', 'build-and-tooling'),
+        |    ('api documentation', 'documentation'),
+        |    ('technical writing', 'documentation'),
+        |    ('code documentation', 'documentation'),
+        |    ('user guide manual', 'documentation'),
+        |    ('architecture decision record', 'documentation'),
+        |    ('changelog release notes', 'documentation'),
+        |    ('functional programming patterns', 'functional-programming'),
+        |    ('immutable data structures', 'functional-programming'),
+        |    ('higher order functions', 'functional-programming'),
+        |    ('monads and functors', 'functional-programming'),
+        |    ('pattern matching', 'functional-programming'),
+        |    ('type inference', 'functional-programming'),
+        |    ('game engine development', 'game-development'),
+        |    ('game physics simulation', 'game-development'),
+        |    ('rendering graphics pipeline', 'game-development'),
+        |    ('game audio programming', 'game-development'),
+        |    ('game networking multiplayer', 'game-development'),
+        |    ('smart contract development', 'blockchain'),
+        |    ('decentralized application', 'blockchain'),
+        |    ('consensus algorithm', 'blockchain'),
+        |    ('cryptocurrency token', 'blockchain'),
+        |    ('performance optimization', 'performance'),
+        |    ('memory optimization', 'performance'),
+        |    ('cache optimization strategy', 'performance'),
+        |    ('profiling and benchmarking', 'performance'),
+        |    ('algorithmic complexity', 'performance'),
+        |    ('resource management', 'performance'),
+        |    ('json serialization', 'serialization'),
+        |    ('protocol buffers', 'serialization'),
+        |    ('yaml configuration', 'serialization'),
+        |    ('binary serialization', 'serialization'),
+        |    ('xml processing', 'serialization'),
+        |    ('full text search', 'search'),
+        |    ('semantic search', 'search'),
+        |    ('search ranking algorithm', 'search'),
+        |    ('information retrieval', 'search'),
+        |    ('inverted index', 'search'),
+        |    ('compiler design', 'compiler'),
+        |    ('parser and lexer', 'compiler'),
+        |    ('abstract syntax tree', 'compiler'),
+        |    ('code optimization passes', 'compiler'),
+        |    ('intermediate representation', 'compiler')),
+        |temb AS (SELECT term, category,
+        |    list_transform(generate_series(1, 16),
+        |      j -> (strpos('0123456789abcdef', substr(md5(term), CAST(j AS INTEGER), 1)) - 1) / 8.0 - 1.0) AS e
+        |  FROM tax),
+        |demb AS (SELECT doc_id,
+        |    list_transform(generate_series(1, 16),
+        |      j -> (strpos('0123456789abcdef', substr(md5(text), CAST(j AS INTEGER), 1)) - 1) / 8.0 - 1.0) AS e
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, category,
+        |    round(list_cosine_similarity(d.e, t.e), 6) AS score
+        |  FROM demb d CROSS JOIN temb t
+        |  WHERE round(list_cosine_similarity(d.e, t.e), 6) >= 0.35),
+        |cat AS (SELECT *,
+        |    max(score) OVER (PARTITION BY doc_id, category) AS cat_best,
+        |    row_number() OVER (PARTITION BY doc_id, category ORDER BY score DESC, term) AS cat_rnk
+        |  FROM scored),
+        |ret AS (SELECT * FROM cat WHERE cat_rnk = 1 OR cat_best - score > 0.02 * 3),
+        |fin AS (SELECT doc_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rnk,
+        |    term, category, score
+        |  FROM ret)
+        |SELECT doc_id, rnk, term, category, score FROM fin
+        |WHERE rnk <= 10 ORDER BY doc_id, rnk""".stripMargin,
     // compute_affinity_groups twin (affinity/grouper.rs:47) over the
     // windowed per-tenant aggregate embeddings.
     "affinity_groups" ->

@@ -396,4 +396,253 @@ object Tagging {
       .withColumn("normalized", normalizeTag(col("raw_tag")))
       .orderBy(col("doc_id"))
   }
+
+  /** assets/taxonomy.yaml mirrored verbatim: (term, category) — the
+    * ~190 concept phrases tier 2 classifies against. */
+  val taxonomy: Seq[(String, String)] = Seq(
+    ("rust programming", "programming-languages"),
+    ("python programming", "programming-languages"),
+    ("javascript programming", "programming-languages"),
+    ("typescript programming", "programming-languages"),
+    ("go programming", "programming-languages"),
+    ("java programming", "programming-languages"),
+    ("c programming language", "programming-languages"),
+    ("cpp programming", "programming-languages"),
+    ("swift programming", "programming-languages"),
+    ("kotlin programming", "programming-languages"),
+    ("ruby programming", "programming-languages"),
+    ("php programming", "programming-languages"),
+    ("scala programming", "programming-languages"),
+    ("haskell programming", "programming-languages"),
+    ("lua scripting", "programming-languages"),
+    ("shell scripting", "programming-languages"),
+    ("sql database queries", "programming-languages"),
+    ("web application development", "web-development"),
+    ("frontend user interface", "web-development"),
+    ("backend server development", "web-development"),
+    ("single page application", "web-development"),
+    ("server side rendering", "web-development"),
+    ("progressive web app", "web-development"),
+    ("responsive web design", "web-development"),
+    ("web accessibility", "web-development"),
+    ("web performance optimization", "web-development"),
+    ("static site generation", "web-development"),
+    ("content management system", "web-development"),
+    ("rest api design", "api-and-protocols"),
+    ("graphql api", "api-and-protocols"),
+    ("grpc remote procedure call", "api-and-protocols"),
+    ("websocket real-time communication", "api-and-protocols"),
+    ("http protocol", "api-and-protocols"),
+    ("oauth authentication protocol", "api-and-protocols"),
+    ("json web token authentication", "api-and-protocols"),
+    ("relational database management", "databases"),
+    ("nosql database", "databases"),
+    ("vector database search", "databases"),
+    ("graph database", "databases"),
+    ("key value store", "databases"),
+    ("time series database", "databases"),
+    ("database indexing", "databases"),
+    ("query optimization", "databases"),
+    ("database migration", "databases"),
+    ("object relational mapping", "databases"),
+    ("cloud computing infrastructure", "cloud-and-infrastructure"),
+    ("kubernetes container orchestration", "cloud-and-infrastructure"),
+    ("docker containerization", "cloud-and-infrastructure"),
+    ("serverless computing", "cloud-and-infrastructure"),
+    ("infrastructure as code", "cloud-and-infrastructure"),
+    ("continuous integration deployment", "cloud-and-infrastructure"),
+    ("load balancing", "cloud-and-infrastructure"),
+    ("service mesh", "cloud-and-infrastructure"),
+    ("cloud native architecture", "cloud-and-infrastructure"),
+    ("microservices architecture", "cloud-and-infrastructure"),
+    ("machine learning algorithms", "machine-learning"),
+    ("deep learning neural networks", "machine-learning"),
+    ("natural language processing", "machine-learning"),
+    ("computer vision image recognition", "machine-learning"),
+    ("reinforcement learning", "machine-learning"),
+    ("model training and evaluation", "machine-learning"),
+    ("feature engineering", "machine-learning"),
+    ("transfer learning", "machine-learning"),
+    ("large language model", "machine-learning"),
+    ("embedding vector representation", "machine-learning"),
+    ("recommendation system", "machine-learning"),
+    ("anomaly detection", "machine-learning"),
+    ("data pipeline processing", "data-engineering"),
+    ("etl extract transform load", "data-engineering"),
+    ("data warehouse", "data-engineering"),
+    ("stream processing real-time", "data-engineering"),
+    ("batch data processing", "data-engineering"),
+    ("data lake storage", "data-engineering"),
+    ("data quality validation", "data-engineering"),
+    ("schema management", "data-engineering"),
+    ("application security", "security"),
+    ("encryption and cryptography", "security"),
+    ("access control authorization", "security"),
+    ("vulnerability scanning", "security"),
+    ("penetration testing", "security"),
+    ("security audit compliance", "security"),
+    ("input validation sanitization", "security"),
+    ("cross site scripting prevention", "security"),
+    ("sql injection prevention", "security"),
+    ("unit testing", "testing"),
+    ("integration testing", "testing"),
+    ("end to end testing", "testing"),
+    ("test driven development", "testing"),
+    ("property based testing", "testing"),
+    ("performance benchmarking", "testing"),
+    ("load testing", "testing"),
+    ("mocking and stubbing", "testing"),
+    ("code coverage analysis", "testing"),
+    ("event driven architecture", "architecture-patterns"),
+    ("domain driven design", "architecture-patterns"),
+    ("clean architecture", "architecture-patterns"),
+    ("hexagonal architecture", "architecture-patterns"),
+    ("cqrs command query separation", "architecture-patterns"),
+    ("saga pattern distributed transactions", "architecture-patterns"),
+    ("circuit breaker pattern", "architecture-patterns"),
+    ("observer pattern", "architecture-patterns"),
+    ("factory pattern", "architecture-patterns"),
+    ("dependency injection", "architecture-patterns"),
+    ("plugin architecture", "architecture-patterns"),
+    ("async await programming", "concurrency"),
+    ("multi-threaded programming", "concurrency"),
+    ("concurrent data structures", "concurrency"),
+    ("message passing concurrency", "concurrency"),
+    ("actor model", "concurrency"),
+    ("lock free programming", "concurrency"),
+    ("parallel computing", "concurrency"),
+    ("task scheduling", "concurrency"),
+    ("network programming", "networking"),
+    ("tcp ip networking", "networking"),
+    ("dns domain name system", "networking"),
+    ("proxy and reverse proxy", "networking"),
+    ("vpn virtual private network", "networking"),
+    ("network security firewall", "networking"),
+    ("monitoring and observability", "devops"),
+    ("logging and tracing", "devops"),
+    ("alerting system", "devops"),
+    ("deployment automation", "devops"),
+    ("configuration management", "devops"),
+    ("incident response", "devops"),
+    ("site reliability engineering", "devops"),
+    ("chaos engineering", "devops"),
+    ("ios application development", "mobile-development"),
+    ("android application development", "mobile-development"),
+    ("cross platform mobile", "mobile-development"),
+    ("react native mobile", "mobile-development"),
+    ("flutter mobile development", "mobile-development"),
+    ("mobile ui design", "mobile-development"),
+    ("operating system development", "systems-programming"),
+    ("memory management", "systems-programming"),
+    ("file system operations", "systems-programming"),
+    ("process management", "systems-programming"),
+    ("system call interface", "systems-programming"),
+    ("embedded systems programming", "systems-programming"),
+    ("device driver development", "systems-programming"),
+    ("real-time operating system", "systems-programming"),
+    ("build system automation", "build-and-tooling"),
+    ("package management", "build-and-tooling"),
+    ("code generation", "build-and-tooling"),
+    ("linting and formatting", "build-and-tooling"),
+    ("refactoring tools", "build-and-tooling"),
+    ("ide integration", "build-and-tooling"),
+    ("version control git", "build-and-tooling"),
+    ("monorepo management", "build-and-tooling"),
+    ("api documentation", "documentation"),
+    ("technical writing", "documentation"),
+    ("code documentation", "documentation"),
+    ("user guide manual", "documentation"),
+    ("architecture decision record", "documentation"),
+    ("changelog release notes", "documentation"),
+    ("functional programming patterns", "functional-programming"),
+    ("immutable data structures", "functional-programming"),
+    ("higher order functions", "functional-programming"),
+    ("monads and functors", "functional-programming"),
+    ("pattern matching", "functional-programming"),
+    ("type inference", "functional-programming"),
+    ("game engine development", "game-development"),
+    ("game physics simulation", "game-development"),
+    ("rendering graphics pipeline", "game-development"),
+    ("game audio programming", "game-development"),
+    ("game networking multiplayer", "game-development"),
+    ("smart contract development", "blockchain"),
+    ("decentralized application", "blockchain"),
+    ("consensus algorithm", "blockchain"),
+    ("cryptocurrency token", "blockchain"),
+    ("performance optimization", "performance"),
+    ("memory optimization", "performance"),
+    ("cache optimization strategy", "performance"),
+    ("profiling and benchmarking", "performance"),
+    ("algorithmic complexity", "performance"),
+    ("resource management", "performance"),
+    ("json serialization", "serialization"),
+    ("protocol buffers", "serialization"),
+    ("yaml configuration", "serialization"),
+    ("binary serialization", "serialization"),
+    ("xml processing", "serialization"),
+    ("full text search", "search"),
+    ("semantic search", "search"),
+    ("search ranking algorithm", "search"),
+    ("information retrieval", "search"),
+    ("inverted index", "search"),
+    ("compiler design", "compiler"),
+    ("parser and lexer", "compiler"),
+    ("abstract syntax tree", "compiler"),
+    ("code optimization passes", "compiler"),
+    ("intermediate representation", "compiler")
+  )
+
+  /** The deterministic stand-in embedding shared with store_points'
+    * digest scheme (Ingest.pointRows): 16 md5 nibbles of the text,
+    * v/8 − 1 per coordinate. The real system embeds with a sentence
+    * model (tier2.rs docs); the container has none, so classification
+    * runs over this fake tower — the SELECTION machinery (threshold,
+    * per-category retention, truncation) is the operator under test,
+    * exactly like the multimodal module's fake encoder.
+    */
+  def digestEmbed(text: Column, dim: Int = 16): Column =
+    array((0 until dim).map(j =>
+      conv(substring(md5(text), j + 1, 1), 16, 10).cast("double") / 8.0 - 1.0): _*)
+
+  /** Tier2Tagger::classify (tier2.rs:167) over a (doc_id, embedding)
+    * frame: cosine against every taxonomy-term embedding (the ~190-row
+    * table BROADCAST over one scan), matches below the 0.35 default
+    * threshold dropped (compared on round(score,6) for engine
+    * stability), score-descending order, per-category retention — the
+    * best term of each category always survives, a further term only
+    * when it trails the category best by MORE than min_score_gap × 3
+    * (tier2.rs:193) — then truncation to max_tags. Ties order by term
+    * (the reference's unstable float sort never ties on real scores).
+    */
+  def tier2ClassifyOf(docs: DataFrame, threshold: Double = 0.35,
+                      maxTags: Int = 10, minScoreGap: Double = 0.02): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tax = taxonomy.toDF("term", "category")
+      .withColumn("tax_emb", digestEmbed(col("term")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("category"))
+      .orderBy(col("score").desc, col("term"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    docs.crossJoin(broadcast(tax))
+      .withColumn("score",
+        round(graft.GraftFunctions.cosine(col("embedding"), col("tax_emb")), 6))
+      .filter(col("score") >= threshold)
+      .withColumn("cat_best", max(col("score")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"), col("category"))))
+      .withColumn("cat_rnk", row_number().over(w))
+      .filter(col("cat_rnk") === 1 || col("cat_best") - col("score") > minScoreGap * 3)
+      .withColumn("rnk", row_number().over(wDoc))
+      .filter(col("rnk") <= maxTags)
+      .select(col("doc_id"), col("rnk"), col("term"), col("category"), col("score"))
+  }
+
+  /** tier2_tags query: classification of each document's digest
+    * embedding against the full taxonomy. */
+  def tier2Tags(spark: SparkSession, dir: String): DataFrame =
+    tier2ClassifyOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), digestEmbed(col("text")).as("embedding")))
+      .orderBy(col("doc_id"), col("rnk"))
 }

@@ -75,4 +75,36 @@ class TaggingSpec extends SparkSpec {
     // cargo tenants (n%4==0) carry serde's serialization concept
     assert(rows.exists(_._2 == "dep:serialization"))
   }
+
+  test("tier2 classify: threshold, per-category retention, truncation (tier2.rs)") {
+    // hand-built embeddings against a controlled 2-term taxonomy slice:
+    // verify via the generic operator on a single doc whose embedding is
+    // exactly one taxonomy term's digest embedding — self-similarity 1.0
+    // must rank first and its category's runner-up must clear the gap
+    // rule to appear
+    val docs = Seq(1L).toDF("doc_id")
+      .withColumn("embedding", Tagging.digestEmbed(lit("rust programming")))
+    val rows = Tagging.tier2ClassifyOf(docs).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3), r.getDouble(4)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.head._2 == "rust programming" && rows.head._4 == 1.0,
+      s"self-match must rank first: ${rows.head}")
+    // scores are sorted descending and unique ranks 1..n
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq)
+    // per-category: any category with 2+ retained terms obeys the gap rule
+    rows.groupBy(_._3).foreach { case (_, ms) =>
+      val best = ms.map(_._4).max
+      ms.filter(_._4 != best).foreach(m => assert(best - m._4 > 0.06))
+    }
+  }
+
+  test("tier2_tags on the corpus: every doc classifies, max 10 tags each") {
+    val rows = Tagging.tier2Tags(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val perDoc = rows.groupBy(_.getLong(0))
+    perDoc.values.foreach(ms => assert(ms.length <= 10))
+    // with the digest tower most docs clear the 0.35 threshold somewhere
+    assert(perDoc.size > 100)
+  }
 }
