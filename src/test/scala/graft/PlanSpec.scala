@@ -158,4 +158,17 @@ class PlanSpec extends SparkSpec {
     val p = q.queryExecution.executedPlan.toString
     assert(!p.contains("Join"), "route_file is a literal-set projection:\n" + p.take(1500))
   }
+
+  test("tier-1 concept tagging joins the concept table broadcast") {
+    val p = plan("tier1_tags")
+    assert(p.contains("Broadcast"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tier-2 taxonomy classification broadcasts the taxonomy, never the corpus") {
+    val p = plan("tier2_tags")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 190-row taxonomy must be the broadcast side:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
