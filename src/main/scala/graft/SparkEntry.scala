@@ -57,6 +57,7 @@ object SparkEntry {
     "component_detect" -> ((s, d) => ComponentDetection.componentDetect(s, d)),
     "dependency_groups" -> ((s, d) => DependencyGrouping.dependencyGroups(s, d)),
     "file_routes"      -> ((s, d) => AllowedExtensionsOps.fileRoutes(s, d)),
+    "format_route"     -> ((s, d) => AllowedExtensionsOps.formatRoute(s, d)),
     "project_groups"   -> ((s, d) => Grouping.projectGroups(s, d)),
     "workspace_detect" -> ((s, d) => WorkspaceDetection.workspaceDetect(s, d)),
     "affinity_groups"  -> ((s, d) => Grouping.affinityGroups(s, d)),
@@ -1298,6 +1299,38 @@ object SparkEntry {
         |  '/proj/' || tenant_id || '/' || member AS member_path
         |FROM members
         |ORDER BY tenant_id, member_path""".stripMargin,
+    // route_project_file twin (format_routing.rs:143): extension-less →
+    // excluded, the default routing list (LIBRARY_ROUTED minus .chm)
+    // with docx/pptx at their "libraries" defaults → the originating
+    // tenant's <tenant>-refs partition + format_based reason, else
+    // projects.
+    "format_route" ->
+      """WITH f AS (
+        |  SELECT doc_id, source AS tenant_id,
+        |    '/proj/' || source || '/' ||
+        |      ['src','tests','lib','config','e2e'][(doc_id % 5) + 1] || '/' ||
+        |      ['main.py','lib.rs','util.ts','types.d.ts','README.md','guide.pdf',
+        |       'index.html','deck.pptx','app.yaml','data.json','table.csv','dist.whl',
+        |       'bundle.tar.gz','.gitignore','LICENSE','test_core.py','app.test.ts'
+        |      ][(doc_id % 17) + 1] AS file_path
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, tenant_id, file_path,
+        |    CASE WHEN regexp_matches(lower(string_split(file_path, '/')[-1]), '^.+\.[^.]+$')
+        |      THEN regexp_extract(lower(string_split(file_path, '/')[-1]), '\.([^.]+)$', 1)
+        |    END AS ext
+        |  FROM f),
+        |d AS (
+        |  SELECT doc_id, file_path, tenant_id,
+        |    CASE WHEN ext IS NULL THEN 'excluded'
+        |         WHEN ext IN ('pdf', 'pptx') THEN 'libraries'
+        |         ELSE 'projects' END AS decision
+        |  FROM x)
+        |SELECT doc_id, file_path, decision,
+        |  CASE WHEN decision = 'libraries' THEN tenant_id END AS source_project_id,
+        |  CASE WHEN decision = 'libraries' THEN tenant_id || '-refs' END AS library_name,
+        |  CASE WHEN decision = 'libraries' THEN 'format_based' END AS routing_reason
+        |FROM d ORDER BY doc_id""".stripMargin,
     // route_file twin (allowed_extensions/extensions.rs:240): PLAIN
     // Path::extension (no compound .d.ts — types.d.ts routes on .ts),
     // library watch → library allowlist, project watch → library-routed

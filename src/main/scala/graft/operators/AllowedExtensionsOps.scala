@@ -99,6 +99,52 @@ object AllowedExtensionsOps {
       route.as("route"), source.as("source_project_id"))
   }
 
+  /** Format-routing default library extensions (format_routing.rs:33
+    * RoutingConfig::default) — nearly the allowed-extensions
+    * LIBRARY_ROUTED set but WITHOUT `.chm` (a documented divergence
+    * between the two reference modules). */
+  val routingLibraryExtensions: Seq[String] = Seq(
+    "pdf", "epub", "docx", "doc", "rtf", "odt", "mobi", "pptx", "ppt",
+    "pages", "key", "odp", "xlsx", "xls", "ods", "numbers", "parquet"
+  ).map("." + _)
+
+  /** should_route_to_library (format_routing.rs:63): the configurable
+    * docx/doc and pptx/ppt overrides take precedence over the list. */
+  def shouldRouteToLibrary(ext: Column, routeDocxTo: String = "libraries",
+                           routePptxTo: String = "libraries"): Column =
+    when(ext.isin(".docx", ".doc"), lit(routeDocxTo == "libraries"))
+      .when(ext.isin(".pptx", ".ppt"), lit(routePptxTo == "libraries"))
+      .otherwise(ext.isInCollection(routingLibraryExtensions))
+
+  /** route_project_file (format_routing.rs:143) + the routing metadata
+    * (:98 generate_library_name, :103 build_routing_metadata) over a
+    * (doc_id, file_path, tenant_id) frame of PROJECT watch files:
+    * extension-less files are Excluded, library-format files route to
+    * the originating project's `<tenant>-refs` library partition with
+    * `format_based` traceability, everything else stays in projects
+    * (allowlist exclusion is handled upstream by file_routes).
+    */
+  def routeProjectFilesOf(files: DataFrame, routeDocxTo: String = "libraries",
+                          routePptxTo: String = "libraries"): DataFrame = {
+    val ext = dottedExtension(col("file_path"))
+    val decision = when(ext.isNull, "excluded")
+      .when(shouldRouteToLibrary(ext, routeDocxTo, routePptxTo), "libraries")
+      .otherwise("projects")
+    files.select(col("doc_id"), col("file_path"), decision.as("decision"),
+      when(decision === "libraries", col("tenant_id")).as("source_project_id"),
+      when(decision === "libraries", concat(col("tenant_id"), lit("-refs")))
+        .as("library_name"),
+      when(decision === "libraries", lit("format_based")).as("routing_reason"))
+  }
+
+  /** format_route query: the format-routing decision layer over the
+    * synthetic path corpus as project-watch files. */
+  def formatRoute(spark: SparkSession, dir: String): DataFrame =
+    routeProjectFilesOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source").as("tenant_id"),
+        FileClassification.syntheticPathCol.as("file_path")))
+      .orderBy(col("doc_id"))
+
   /** file_routes query: the router over the shared synthetic path
     * corpus, with every third tenant-doc on a `libraries` watch folder
     * — exercising both watch kinds, the library re-route with

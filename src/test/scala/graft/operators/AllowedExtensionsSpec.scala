@@ -102,4 +102,29 @@ class AllowedExtensionsSpec extends SparkSpec {
     assert(rerouted.nonEmpty, "pdf/pptx in project watches must carry source_project_id")
     rerouted.foreach(r => assert(r.getString(2) == "projects" && r.getString(3) == "library"))
   }
+
+  test("format routing: overrides, -refs partition, excluded no-ext (format_routing.rs)") {
+    import org.apache.spark.sql.functions.col
+    val files = Seq(
+      (1L, "/project/docs/manual.pdf", "proj-a"),
+      (2L, "/project/slides/deck.pptx", "proj-a"),
+      (3L, "/project/src/main.rs", "proj-a"),
+      (4L, "/project/help.chm", "proj-a"),  // .chm: allowed-ext routed but NOT format-routed
+      (5L, "/project/LICENSE", "proj-a")
+    ).toDF("doc_id", "file_path", "tenant_id")
+    val out = AllowedExtensionsOps.routeProjectFilesOf(files).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), Option(r.getString(4)))).toMap
+    assert(out(1L) == ("libraries", Some("proj-a-refs")))
+    assert(out(2L) == ("libraries", Some("proj-a-refs")))
+    assert(out(3L) == ("projects", None))
+    assert(out(4L) == ("projects", None), ".chm is absent from the routing default list")
+    assert(out(5L) == ("excluded", None))
+
+    // configurable overrides: docx to projects, pptx stays libraries
+    val ov = Seq((1L, "report.docx", "t"), (2L, "deck.pptx", "t"))
+      .toDF("doc_id", "file_path", "tenant_id")
+    val routed = AllowedExtensionsOps.routeProjectFilesOf(ov, routeDocxTo = "projects")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(routed(1L) == "projects" && routed(2L) == "libraries")
+  }
 }
