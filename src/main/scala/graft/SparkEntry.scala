@@ -58,6 +58,7 @@ object SparkEntry {
     "dependency_groups" -> ((s, d) => DependencyGrouping.dependencyGroups(s, d)),
     "file_routes"      -> ((s, d) => AllowedExtensionsOps.fileRoutes(s, d)),
     "format_route"     -> ((s, d) => AllowedExtensionsOps.formatRoute(s, d)),
+    "ignore_filter"    -> ((s, d) => IgnoreRules.ignoreFilter(s, d)),
     "project_groups"   -> ((s, d) => Grouping.projectGroups(s, d)),
     "workspace_detect" -> ((s, d) => WorkspaceDetection.workspaceDetect(s, d)),
     "affinity_groups"  -> ((s, d) => Grouping.affinityGroups(s, d)),
@@ -1299,6 +1300,22 @@ object SparkEntry {
         |  '/proj/' || tenant_id || '/' || member AS member_path
         |FROM members
         |ORDER BY tenant_id, member_path""".stripMargin,
+    // Gate-0 ignore matcher twin (patterns/gitignore.rs): the oracle
+    // carries the EXPECTED ignored flag per synthetic path against the
+    // fixed .gitignore/.wqmignore rule set — validating the Spark-side
+    // pattern compiler, ancestor walk, union, and re-inclusion override
+    // end-to-end.
+    "ignore_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id, (doc_id % 10) AS i,
+        |    ['src/main.rs', 'target/debug/app.o', 'logs/app.log', 'logs/keep.log',
+        |     'dist/bundle.js', 'subdir/dist/x.js', 'docs/internal/readme.md',
+        |     'tmp/cache.bin', 'packages/web/index.ts', 'notes.txt'
+        |    ][(doc_id % 10) + 1] AS rel_path
+        |  FROM documents)
+        |SELECT doc_id, rel_path, CAST(FALSE AS BOOLEAN) AS is_dir,
+        |  CASE WHEN i IN (1, 2, 4, 6, 7) THEN 1 ELSE 0 END AS ignored
+        |FROM f ORDER BY doc_id""".stripMargin,
     // route_project_file twin (format_routing.rs:143): extension-less →
     // excluded, the default routing list (LIBRARY_ROUTED minus .chm)
     // with docx/pptx at their "libraries" defaults → the originating
