@@ -59,6 +59,7 @@ object SparkEntry {
     "file_routes"      -> ((s, d) => AllowedExtensionsOps.fileRoutes(s, d)),
     "format_route"     -> ((s, d) => AllowedExtensionsOps.formatRoute(s, d)),
     "ignore_filter"    -> ((s, d) => IgnoreRules.ignoreFilter(s, d)),
+    "lang_detect"      -> ((s, d) => FileClassification.langDetect(s, d)),
     "project_groups"   -> ((s, d) => Grouping.projectGroups(s, d)),
     "workspace_detect" -> ((s, d) => WorkspaceDetection.workspaceDetect(s, d)),
     "affinity_groups"  -> ((s, d) => Grouping.affinityGroups(s, d)),
@@ -1300,6 +1301,69 @@ object SparkEntry {
         |  '/proj/' || tenant_id || '/' || member AS member_path
         |FROM members
         |ORDER BY tenant_id, member_path""".stripMargin,
+    // Content-based language detection twin (comprehensive.rs:231
+    // detect_language_from_shebang over the first 3 lines, :245
+    // keyword scoring with alphabetical tie determinization).
+    "lang_detect" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN '#!/usr/bin/env python3' || chr(10) || text
+        |      WHEN 1 THEN '#!/bin/bash' || chr(10) || 'set -e' || chr(10) || text
+        |      WHEN 2 THEN '#!/usr/bin/env node' || chr(10) || text
+        |      WHEN 3 THEN '#!/bin/sh' || chr(10) || text
+        |      WHEN 4 THEN 'fn main() { }' || chr(10) || 'struct Point;' || chr(10) || 'impl Point { }' || chr(10)
+        |      ELSE text
+        |    END AS content
+        |  FROM documents),
+        |lines AS (SELECT doc_id, content, string_split(content, chr(10)) AS ls FROM c),
+        |sb AS (
+        |  SELECT doc_id, content,
+        |    coalesce(
+        |      CASE WHEN ls[1] LIKE '#!%' THEN
+        |        CASE WHEN contains(ls[1], '#!/bin/bash') THEN 'bash'
+        |             WHEN contains(ls[1], '#!/bin/sh') THEN 'sh'
+        |             WHEN contains(ls[1], '#!/usr/bin/env node') THEN 'javascript'
+        |             WHEN contains(ls[1], '#!/usr/bin/env python') THEN 'python' END END,
+        |      CASE WHEN ls[2] LIKE '#!%' THEN
+        |        CASE WHEN contains(ls[2], '#!/bin/bash') THEN 'bash'
+        |             WHEN contains(ls[2], '#!/bin/sh') THEN 'sh'
+        |             WHEN contains(ls[2], '#!/usr/bin/env node') THEN 'javascript'
+        |             WHEN contains(ls[2], '#!/usr/bin/env python') THEN 'python' END END,
+        |      CASE WHEN ls[3] LIKE '#!%' THEN
+        |        CASE WHEN contains(ls[3], '#!/bin/bash') THEN 'bash'
+        |             WHEN contains(ls[3], '#!/bin/sh') THEN 'sh'
+        |             WHEN contains(ls[3], '#!/usr/bin/env node') THEN 'javascript'
+        |             WHEN contains(ls[3], '#!/usr/bin/env python') THEN 'python' END END
+        |    ) AS shebang_lang
+        |  FROM lines),
+        |kw AS (
+        |  SELECT doc_id, shebang_lang,
+        |    (CASE WHEN contains(content, 'function ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(content, 'const ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(content, 'let ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(content, 'var ') THEN 1 ELSE 0 END) AS s_js,
+        |    (CASE WHEN contains(content, 'def ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(content, 'class ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(content, 'import ') THEN 1 ELSE 0 END) AS s_py,
+        |    (CASE WHEN contains(content, 'fn ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(content, 'struct ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(content, 'impl ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(content, 'trait ') THEN 1 ELSE 0 END) AS s_rs
+        |  FROM sb)
+        |SELECT doc_id, shebang_lang,
+        |  CASE WHEN greatest(s_js, s_py, s_rs) > 0 THEN
+        |    CASE WHEN s_js = greatest(s_js, s_py, s_rs) THEN 'javascript'
+        |         WHEN s_py = greatest(s_js, s_py, s_rs) THEN 'python'
+        |         ELSE 'rust' END
+        |  END AS keyword_lang,
+        |  coalesce(shebang_lang,
+        |    CASE WHEN greatest(s_js, s_py, s_rs) > 0 THEN
+        |      CASE WHEN s_js = greatest(s_js, s_py, s_rs) THEN 'javascript'
+        |           WHEN s_py = greatest(s_js, s_py, s_rs) THEN 'python'
+        |           ELSE 'rust' END
+        |    END) AS language
+        |FROM kw ORDER BY doc_id""".stripMargin,
     // Gate-0 ignore matcher twin (patterns/gitignore.rs): the oracle
     // carries the EXPECTED ignored flag per synthetic path against the
     // fixed .gitignore/.wqmignore rule set — validating the Spark-side

@@ -199,4 +199,74 @@ object FileClassification {
     * corpus. */
   def fileClassify(spark: SparkSession, dir: String): DataFrame =
     classifyOf(syntheticFiles(spark, dir)).orderBy(col("doc_id"))
+
+  // ── Content-based language detection (patterns/comprehensive.rs) ──
+
+  /** Shebang → language signatures (assets/internal_configuration.yaml
+    * content_signatures.shebangs), in a FIXED alphabetical order — the
+    * reference iterates a HashMap (order nondeterministic), but its
+    * four entries are mutually exclusive on any single line, so the
+    * fixed order is observationally identical. */
+  val shebangSignatures: Seq[(String, String)] = Seq(
+    "#!/bin/bash" -> "bash",
+    "#!/bin/sh" -> "sh",
+    "#!/usr/bin/env node" -> "javascript",
+    "#!/usr/bin/env python" -> "python")
+
+  /** Keyword → language signatures (content_signatures.keyword_patterns). */
+  val keywordSignatures: Seq[(String, Seq[String])] = Seq(
+    "javascript" -> Seq("function ", "const ", "let ", "var "),
+    "python" -> Seq("def ", "class ", "import "),
+    "rust" -> Seq("fn ", "struct ", "impl ", "trait "))
+
+  /** detect_language_from_shebang (comprehensive.rs:231): the first
+    * `#!` line among the first three that CONTAINS a signature. */
+  def shebangLanguage(content: Column): Column = {
+    def ofLine(l: Column): Column = when(l.startsWith("#!"),
+      shebangSignatures.foldLeft(lit(null).cast("string")) { case (acc, (sig, lang)) =>
+        coalesce(acc, when(l.contains(sig), lang))
+      })
+    val lines = split(content, "\n")
+    // try_element_at: a one-line document has no lines 2-3 (ANSI mode
+    // throws on out-of-bounds element_at)
+    coalesce((1 to 3).map(i => ofLine(try_element_at(lines, lit(i)))): _*)
+  }
+
+  /** detect_language_from_keywords (comprehensive.rs:245): one point
+    * per contained keyword, highest total wins; zero scores yield null.
+    * Ties break alphabetically (the reference's HashMap max_by_key tie
+    * order is nondeterministic — a documented determinization). */
+  def keywordLanguage(content: Column): Column = {
+    val scores = keywordSignatures.map { case (lang, kws) =>
+      lang -> kws.map(k => when(content.contains(k), 1).otherwise(0)).reduce(_ + _)
+    }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val chain = scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, s)) =>
+      coalesce(acc, when(s === maxScore, lang))
+    }
+    when(maxScore > 0, chain)
+  }
+
+  /** lang_detect query: content-based detection over the corpus with a
+    * deterministic shebang/code-snippet prologue exercising all four
+    * shebangs, the keyword fallback on a synthetic snippet, and plain
+    * prose (whatever keywords English text happens to contain —
+    * deterministic either way).
+    */
+  def langDetect(spark: SparkSession, dir: String): DataFrame = {
+    val sel = pmod(col("doc_id"), lit(6))
+    val content = when(sel === 0, concat(lit("#!/usr/bin/env python3\n"), col("text")))
+      .when(sel === 1, concat(lit("#!/bin/bash\nset -e\n"), col("text")))
+      .when(sel === 2, concat(lit("#!/usr/bin/env node\n"), col("text")))
+      .when(sel === 3, concat(lit("#!/bin/sh\n"), col("text")))
+      .when(sel === 4, lit("fn main() { }\nstruct Point;\nimpl Point { }\n"))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), content.as("content"))
+      .select(col("doc_id"),
+        shebangLanguage(col("content")).as("shebang_lang"),
+        keywordLanguage(col("content")).as("keyword_lang"))
+      .withColumn("language", coalesce(col("shebang_lang"), col("keyword_lang")))
+      .orderBy(col("doc_id"))
+  }
 }

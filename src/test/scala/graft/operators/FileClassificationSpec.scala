@@ -110,4 +110,27 @@ class FileClassificationSpec extends SparkSpec {
     assert(json.exists(_.getString(4) == "config"))
     assert(json.exists(_.getString(4) == "data"))
   }
+
+  test("shebang + keyword language detection (comprehensive.rs signatures)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def sheb(c: String): Option[String] =
+      Seq(c).toDF("c").select(FileClassification.shebangLanguage(col("c")))
+        .collect().map(r => Option(r.getString(0))).head
+    assert(sheb("#!/usr/bin/env python3\nprint('x')") == Some("python"))
+    assert(sheb("#!/bin/bash\necho hi") == Some("bash"))
+    assert(sheb("#!/bin/sh\necho hi") == Some("sh"))
+    assert(sheb("#!/usr/bin/env node\nconsole.log(1)") == Some("javascript"))
+    // shebang must sit in the first three lines
+    assert(sheb("a\nb\nc\n#!/bin/bash") == None)
+    // an unknown #! line does not stop the scan of later lines
+    assert(sheb("#!/usr/bin/perl\n#!/bin/sh\nx") == Some("sh"))
+
+    def kw(c: String): Option[String] =
+      Seq(c).toDF("c").select(FileClassification.keywordLanguage(col("c")))
+        .collect().map(r => Option(r.getString(0))).head
+    assert(kw("fn main() { } struct X; impl X { }") == Some("rust"))
+    assert(kw("def f():\n  import os\nclass A:") == Some("python"))
+    assert(kw("const a = 1; let b = 2; var c; function f() {}") == Some("javascript"))
+    assert(kw("nothing codey here") == None)
+  }
 }
