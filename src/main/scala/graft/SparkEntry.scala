@@ -60,6 +60,7 @@ object SparkEntry {
     "format_route"     -> ((s, d) => AllowedExtensionsOps.formatRoute(s, d)),
     "ignore_filter"    -> ((s, d) => IgnoreRules.ignoreFilter(s, d)),
     "lang_detect"      -> ((s, d) => FileClassification.langDetect(s, d)),
+    "doc_sections"     -> ((s, d) => Narrative.docSections(s, d)),
     "project_groups"   -> ((s, d) => Grouping.projectGroups(s, d)),
     "workspace_detect" -> ((s, d) => WorkspaceDetection.workspaceDetect(s, d)),
     "affinity_groups"  -> ((s, d) => Grouping.affinityGroups(s, d)),
@@ -1301,6 +1302,63 @@ object SparkEntry {
         |  '/proj/' || tenant_id || '/' || member AS member_path
         |FROM members
         |ORDER BY tenant_id, member_path""".stripMargin,
+    // Markdown section extraction + depth estimation twin
+    // (narrative/sections.rs collect_markdown_headings + depth.rs
+    // estimate_depth at the production (0, false) arguments).
+    "doc_sections" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    '# Overview' || chr(10) || substr(text, 1, 80) ||
+        |    chr(10) || '## Usage' || chr(10) || substr(text, 81, 400) ||
+        |    chr(10) || '## Math Appendix' || chr(10) || '```' || chr(10) ||
+        |    'code sample $x$' || chr(10) || '```' || chr(10) ||
+        |    'The value $y$ is defined above. ' || repeat(substr(text, 1, 150), 5) AS content
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, ls, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS lineno
+        |  FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM c)),
+        |h AS (
+        |  SELECT doc_id, ls, lineno,
+        |    trim(regexp_extract(line, '^#{1,6}\s+(.+)$', 1)) AS heading
+        |  FROM l
+        |  WHERE regexp_matches(line, '^#{1,6}\s+.+$')
+        |    AND trim(regexp_extract(line, '^#{1,6}\s+(.+)$', 1)) <> ''),
+        |s AS (
+        |  SELECT doc_id, ls,
+        |    CAST(row_number() OVER w - 1 AS INTEGER) AS section_index,
+        |    heading, lineno AS start_line,
+        |    coalesce(lead(lineno) OVER w - 1, len(ls)) AS end_line
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY lineno)),
+        |t AS (
+        |  SELECT doc_id, section_index, heading, start_line, end_line,
+        |    array_to_string(ls[start_line:end_line], chr(10)) AS st
+        |  FROM s),
+        |f AS (
+        |  SELECT doc_id, section_index, heading, start_line, end_line, st,
+        |    len(list_filter(regexp_split_to_array(st, '\s+'), x -> x <> '')) AS words,
+        |    length(st) AS chars,
+        |    contains(st, '```') AS code,
+        |    (contains(st, '$') OR contains(st, '\(')) AS eq,
+        |    CASE WHEN len(list_filter(regexp_split_to_array(st, '\s+'), x -> x <> '')) > 0
+        |      THEN len(list_filter(regexp_split_to_array(st, '\s+'),
+        |        x -> x <> '' AND (contains(x, '_') OR contains(x, '::') OR
+        |          contains(x, '->') OR contains(x, '.') OR
+        |          regexp_matches(x, '^[A-Z]{3,}$') OR regexp_matches(x, '[a-z][A-Z]'))))::DOUBLE
+        |        / len(list_filter(regexp_split_to_array(st, '\s+'), x -> x <> ''))
+        |      ELSE 0.0 END AS tech
+        |  FROM t)
+        |SELECT doc_id, section_index, heading,
+        |  CAST(start_line AS INTEGER) AS start_line,
+        |  CAST(end_line AS INTEGER) AS end_line,
+        |  CASE WHEN words < 50 THEN 'reference'
+        |       WHEN words > 2000 OR (code AND eq) OR tech > 0.3 THEN 'rigorous'
+        |       WHEN chars < 200 AND tech < 0.1 THEN 'qualitative'
+        |       -- production args (heading_level 0, no subsections) make the
+        |       -- introductory branch unconditional past this point
+        |       ELSE 'introductory' END AS depth
+        |FROM f ORDER BY doc_id, section_index""".stripMargin,
     // Content-based language detection twin (comprehensive.rs:231
     // detect_language_from_shebang over the first 3 lines, :245
     // keyword scoring with alphabetical tie determinization).

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Narrative section extraction + depth estimation — the narrative
+  * graph layer's document input (narrative/sections.rs
+  * `collect_markdown_headings` / `section_spans`, narrative/depth.rs
+  * `estimate_depth`).
+  *
+  * Markdown sections are ATX-heading-delimited: a heading line matches
+  * `^#{1,6}\s+(.+)$` with non-empty trimmed text, and its section runs
+  * from the heading line to the line before the next heading (EOF for
+  * the last). Depth classifies each section's coverage as reference /
+  * rigorous / qualitative / introductory / intermediate from word and
+  * char counts, code fences, equation markers, and the technical-word
+  * density (underscores, `::`/`->`/`.` separators, ALL_CAPS >= 3,
+  * camelCase transitions). The production caller
+  * (strategies/processing/file/narrative_phase.rs:221) passes
+  * heading_level 0 and has_subsections false, which collapses the
+  * intermediate branch — mirrored here with the full cascade kept
+  * parameterizable.
+  *
+  * Relational shape: one posexplode of the line axis, a lead window for
+  * span ends keyed per doc, and codegen'd HOF aggregates for the depth
+  * features — no join at all.
+  */
+object Narrative {
+
+  /** is_technical_word (depth.rs:14). */
+  def isTechnicalWord(w: Column): Column =
+    w.contains("_") || w.contains("::") || w.contains("->") || w.contains(".") ||
+      w.rlike("^[A-Z]{3,}$") || w.rlike("[a-z][A-Z]")
+
+  /** technical_density (depth.rs:36) over a section text column. */
+  def technicalDensity(text: Column): Column = {
+    val words = filter(split(text, "\\s+"), w => w =!= "")
+    val tech = size(filter(words, w => isTechnicalWord(w)))
+    when(size(words) > 0, tech.cast("double") / size(words)).otherwise(0.0)
+  }
+
+  /** estimate_depth (depth.rs:52): the full cascade; the corpus query
+    * passes the production (heading_level = 0, has_subsections = false)
+    * arguments. */
+  def estimateDepth(text: Column, headingLevel: Column = lit(0),
+                    hasSubsections: Column = lit(false)): Column = {
+    val words = size(filter(split(text, "\\s+"), w => w =!= ""))
+    val chars = length(text)
+    val code = text.contains("```")
+    val eq = text.contains("$") || text.contains("\\(")
+    val tech = technicalDensity(text)
+    when(words < 50 || headingLevel >= 5, "reference")
+      .when(words > 2000 || (code && eq) || tech > 0.3, "rigorous")
+      .when(chars < 200 && tech < 0.1, "qualitative")
+      .when(words <= 500 || (headingLevel <= 2 && !hasSubsections), "introductory")
+      .when(words <= 2000 && tech >= 0.15, "intermediate")
+      .otherwise("introductory")
+  }
+
+  /** Markdown sections over a (doc_id, content) frame: one row per
+    * heading with its 0-based index, trimmed heading text, 1-indexed
+    * inclusive line span, and the section's estimated depth (section
+    * text = the span's lines joined, heading line included). */
+  def sectionsOf(docs: DataFrame): DataFrame = {
+    val lines = docs.select(col("doc_id"), split(col("content"), "\n").as("ls"))
+      .select(col("doc_id"), col("ls"), posexplode(col("ls")))
+      .withColumn("lineno", col("pos") + 1)
+      .withColumn("heading", trim(regexp_extract(col("col"), "^#{1,6}\\s+(.+)$", 1)))
+      .filter(col("col").rlike("^#{1,6}\\s+.+$") && col("heading") =!= "")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("lineno"))
+    lines
+      .withColumn("section_index", row_number().over(w) - 1)
+      .withColumn("end_line",
+        coalesce(lead(col("lineno"), 1).over(w) - 1, size(col("ls"))))
+      .withColumn("section_text",
+        array_join(slice(col("ls"), col("lineno"), col("end_line") - col("lineno") + 1), "\n"))
+      .select(col("doc_id"), col("section_index"), col("heading"),
+        col("lineno").as("start_line"), col("end_line"),
+        estimateDepth(col("section_text")).as("depth"))
+  }
+
+  /** doc_sections query: the corpus prose wrapped into a deterministic
+    * three-section markdown shape — a short overview (reference), a
+    * long prose body (introductory at typical lengths), and an appendix
+    * carrying a code fence + equation markers plus enough prose to
+    * clear the 50-word floor (rigorous). */
+  def docSections(spark: SparkSession, dir: String): DataFrame = {
+    // the corpus documents run ~50-560 chars, so the appendix repeats a
+    // slice to clear the 50-word reference floor for typical docs
+    val content = concat(
+      lit("# Overview\n"), substring(col("text"), 1, 80),
+      lit("\n## Usage\n"), substring(col("text"), 81, 400),
+      lit("\n## Math Appendix\n```\ncode sample $x$\n```\n"),
+      lit("The value $y$ is defined above. "),
+      repeat(substring(col("text"), 1, 150), 5))
+    sectionsOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), content.as("content")))
+      .orderBy(col("doc_id"), col("section_index"))
+  }
+}
