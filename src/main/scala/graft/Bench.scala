@@ -44,7 +44,13 @@ object Bench {
     val wall0 = System.nanoTime(); val cpu0 = cpuNanos; val gc0 = gcMillis
     try { SparkEntry.queries("q1_agg")(spark, sfDir).count() }
     catch { case _: Throwable => () } // warmup — untimed
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated filter for isolated fresh-JVM probes of
+    // individual queries (regression bisection without a full run).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

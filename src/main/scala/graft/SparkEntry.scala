@@ -61,6 +61,7 @@ object SparkEntry {
     "ignore_filter"    -> ((s, d) => IgnoreRules.ignoreFilter(s, d)),
     "lang_detect"      -> ((s, d) => FileClassification.langDetect(s, d)),
     "doc_sections"     -> ((s, d) => Narrative.docSections(s, d)),
+    "doc_explains"     -> ((s, d) => Explains.docExplains(s, d)),
     "project_groups"   -> ((s, d) => Grouping.projectGroups(s, d)),
     "workspace_detect" -> ((s, d) => WorkspaceDetection.workspaceDetect(s, d)),
     "affinity_groups"  -> ((s, d) => Grouping.affinityGroups(s, d)),
@@ -1359,6 +1360,102 @@ object SparkEntry {
         |       -- introductory branch unconditional past this point
         |       ELSE 'introductory' END AS depth
         |FROM f ORDER BY doc_id, section_index""".stripMargin,
+    // Narrative EXPLAINS edges twin (explains.rs + symbol_index.rs):
+    // Aho-Corasick LeftmostLongest over literal symbol names == a
+    // longest-first ordered regex alternation in RE2's leftmost-first
+    // scan, so the match sets coincide exactly (incl. `windo` being
+    // suppressed by `window`). The symbol axis is re-derived with the
+    // same tenant arithmetic; sections reuse the doc_sections CTEs.
+    "doc_explains" ->
+      """WITH c AS (
+        |  SELECT doc_id, source AS tenant_id,
+        |    CAST(substr(source, 4) AS INT) AS t,
+        |    source || '/doc' || doc_id ||
+        |      (CASE doc_id % 12 WHEN 7 THEN '.rs' WHEN 8 THEN '.markdown'
+        |        WHEN 9 THEN '.txt' WHEN 10 THEN '.MD' ELSE '.md' END) AS file_path,
+        |    '# Overview' || chr(10) || substr(text, 1, 80) ||
+        |    chr(10) || '## Usage' || chr(10) || substr(text, 81, 400) ||
+        |    chr(10) || '## Math Appendix' || chr(10) || '```' || chr(10) ||
+        |    'code sample $x$' || chr(10) || '```' || chr(10) ||
+        |    'The value $y$ is defined above. ' || repeat(substr(text, 1, 150), 5) AS content
+        |  FROM documents),
+        |nd AS (
+        |  SELECT * FROM c
+        |  WHERE lower(regexp_extract(file_path, '\.([^./\\]+)$', 1))
+        |          IN ('md', 'markdown', 'txt')
+        |    AND strlen(content) <= 256 * 1024),
+        |l AS (
+        |  SELECT doc_id, tenant_id, t, ls, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS lineno
+        |  FROM (SELECT doc_id, tenant_id, t, string_split(content, chr(10)) AS ls FROM nd)),
+        |h AS (
+        |  SELECT doc_id, tenant_id, t, ls, lineno
+        |  FROM l
+        |  WHERE regexp_matches(line, '^#{1,6}\s+.+$')
+        |    AND trim(regexp_extract(line, '^#{1,6}\s+(.+)$', 1)) <> ''),
+        |s AS (
+        |  SELECT doc_id, tenant_id, t, ls,
+        |    CAST(row_number() OVER w - 1 AS INTEGER) AS section_index,
+        |    lineno AS start_line,
+        |    coalesce(lead(lineno) OVER w - 1, len(ls)) AS end_line
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY lineno)),
+        |st AS (
+        |  SELECT doc_id, tenant_id, t, section_index,
+        |    array_to_string(ls[start_line:end_line], chr(10)) AS sect
+        |  FROM s),
+        |m AS (
+        |  SELECT tenant_id, t, doc_id, section_index,
+        |    unnest(regexp_extract_all(sect,
+        |      '(customer|column|filter|stream|vector|window|batch|group|merge|order|query|small|spark|table|value|windo|data|hash|join|scan|slow|sort)',
+        |      1)) AS symbol
+        |  FROM st),
+        |fm AS (
+        |  SELECT * FROM m
+        |  WHERE length(symbol) >= 4
+        |    AND lower(symbol) NOT IN (
+        |      'self','impl','test','main','init','drop','send','sync','read','from','into','next',
+        |      'iter','push','poll','copy','move','loop','data','name','type','path','node','file',
+        |      'list','true','none','some','this','that','will','with','have','been','also','when',
+        |      'then','each','used','only','more','than','both','most','string','result','option',
+        |      'error','value','index')),
+        |cnt AS (
+        |  SELECT tenant_id, doc_id, section_index, symbol, count(*) AS n_occ
+        |  FROM fm GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+        |tn AS (
+        |  SELECT DISTINCT source AS tenant_id, CAST(substr(source, 4) AS INT) AS t
+        |  FROM documents),
+        |sy AS (
+        |  SELECT tenant_id,
+        |    name AS symbol_name,
+        |    'node:' || tenant_id || '/f' || fidx || '.rs:' || name AS node_id
+        |  FROM tn, (VALUES
+        |    ('window',0,'all'),('batch',0,'all'),('spark',0,'all'),('filter',0,'all'),
+        |    ('stream',0,'all'),('customer',0,'all'),('query',0,'all'),('table',0,'all'),
+        |    ('column',0,'all'),('vector',0,'all'),('order',0,'all'),('small',0,'all'),
+        |    ('sort',0,'all'),('group',0,'all'),('scan',0,'all'),
+        |    ('merge',0,'all'),('merge',1,'even'),
+        |    ('slow',0,'all'),('slow',1,'mod3'),
+        |    ('hash',0,'all'),('hash',1,'all'),
+        |    ('join',1,'all'),('join',2,'all'),
+        |    ('value',0,'all'),('data',0,'all'),('windo',0,'all')
+        |  ) AS v(name, fidx, cond)
+        |  WHERE cond = 'all' OR (cond = 'even' AND t % 2 = 0)
+        |     OR (cond = 'mod3' AND t % 3 = 0)),
+        |res AS (
+        |  SELECT tenant_id, symbol_name, min(node_id) AS node_id
+        |  FROM sy GROUP BY 1, 2 HAVING count(DISTINCT node_id) = 1),
+        |ranked AS (
+        |  SELECT c.tenant_id, c.doc_id, c.section_index, c.symbol,
+        |    r.node_id, c.n_occ,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY c.tenant_id, c.doc_id, c.section_index
+        |      ORDER BY c.n_occ DESC, c.symbol) AS INTEGER) AS rnk
+        |  FROM cnt c JOIN res r
+        |    ON c.tenant_id = r.tenant_id AND c.symbol = r.symbol_name)
+        |SELECT tenant_id, doc_id, section_index, symbol, node_id, n_occ, rnk
+        |FROM ranked WHERE rnk <= 10
+        |ORDER BY doc_id, section_index, rnk""".stripMargin,
     // Content-based language detection twin (comprehensive.rs:231
     // detect_language_from_shebang over the first 3 lines, :245
     // keyword scoring with alphabetical tie determinization).

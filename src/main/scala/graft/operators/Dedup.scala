@@ -70,10 +70,17 @@ object Dedup {
     // exact-Jaccard verification both run on int arrays (≈10× cheaper
     // than string sets; hash collisions are vanishingly rare and
     // deterministic).
+    // Checkpointed: the hashed shingle table feeds signature computation
+    // AND both stage-2 join-backs — without this the xxhash64-over-3-grams
+    // scan recomputes three times, and AQE sees estimated (not exact)
+    // sizes for the join-backs, which let runtime join-strategy flips
+    // inflate run-to-run variance up to 4× (round-6 fresh-JVM probes on
+    // identical code/data: 21-130 s swings; exact sizes pin the plan).
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         array_distinct(transform(shinglesExpr, s => xxhash64(s))).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
 
     val sigCols = (0 until bands * rowsPerBand).map { i =>
       val (a, b) = coeffs(i)
@@ -98,9 +105,21 @@ object Dedup {
     val exploded = sig.select(col("doc_id"), explode(col("bandsig")).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bucket").as("bucket"))
 
-    val candidates = exploded
-      .join(exploded.select(col("band"), col("bucket"), col("doc_id").as("b")),
-        Seq("band", "bucket"))
+    // The bucket self-join is skew-SALTED: a near-dup cluster of k docs
+    // puts all k members in one (band, bucket) key, and the k² pair
+    // generation would otherwise run inside a single task (measured as
+    // 16-59 s run-to-run swings at sf0.1, where clusters reach ~10³
+    // docs — one straggler task serializes the stage). Salting the left
+    // side by doc_id and replicating the right side SALT times spreads
+    // each hot bucket's pair generation across SALT tasks; the
+    // replicated side is the exploded (band, bucket, id) table — tiny —
+    // so the extra shuffle is SALT × |exploded|, never corpus-squared.
+    val SALT = 8
+    val left = exploded.withColumn("salt", pmod(col("doc_id"), lit(SALT)))
+    val right = exploded.select(col("band"), col("bucket"), col("doc_id").as("b"))
+      .withColumn("salt", explode(array((0 until SALT).map(lit(_)): _*)))
+    val candidates = left
+      .join(right, Seq("band", "bucket", "salt"))
       .filter(col("doc_id") < col("b"))
       .select(col("doc_id").as("a"), col("b"))
       .distinct()

@@ -60,13 +60,18 @@ object Narrative {
       .otherwise("introductory")
   }
 
-  /** Markdown sections over a (doc_id, content) frame: one row per
-    * heading with its 0-based index, trimmed heading text, 1-indexed
-    * inclusive line span, and the section's estimated depth (section
-    * text = the span's lines joined, heading line included). */
-  def sectionsOf(docs: DataFrame): DataFrame = {
-    val lines = docs.select(col("doc_id"), split(col("content"), "\n").as("ls"))
-      .select(col("doc_id"), col("ls"), posexplode(col("ls")))
+  /** Section spans with their text over a (doc_id, content [, *]) frame:
+    * one row per ATX heading with its 0-based index, trimmed heading
+    * text, 1-indexed inclusive line span, and the span's joined text
+    * (heading line included) — the `SectionSpan` axis the EXPLAINS
+    * extractor consumes (narrative/sections.rs section_spans). Extra
+    * input columns (tenant_id, file_path, ...) pass through.
+    */
+  def sectionSpansOf(docs: DataFrame): DataFrame = {
+    val passThrough = docs.columns.filterNot(c => c == "content").map(col).toSeq
+    val lines = docs.withColumn("ls", split(col("content"), "\n"))
+      .select(passThrough :+ col("ls"): _*)
+      .select(passThrough ++ Seq(col("ls"), posexplode(col("ls"))): _*)
       .withColumn("lineno", col("pos") + 1)
       .withColumn("heading", trim(regexp_extract(col("col"), "^#{1,6}\\s+(.+)$", 1)))
       .filter(col("col").rlike("^#{1,6}\\s+.+$") && col("heading") =!= "")
@@ -77,27 +82,42 @@ object Narrative {
         coalesce(lead(col("lineno"), 1).over(w) - 1, size(col("ls"))))
       .withColumn("section_text",
         array_join(slice(col("ls"), col("lineno"), col("end_line") - col("lineno") + 1), "\n"))
-      .select(col("doc_id"), col("section_index"), col("heading"),
-        col("lineno").as("start_line"), col("end_line"),
-        estimateDepth(col("section_text")).as("depth"))
+      .withColumn("start_line", col("lineno"))
+      .drop("ls", "pos", "col", "lineno")
   }
+
+  /** Markdown sections over a (doc_id, content) frame: one row per
+    * heading with its 0-based index, trimmed heading text, 1-indexed
+    * inclusive line span, and the section's estimated depth (section
+    * text = the span's lines joined, heading line included). */
+  def sectionsOf(docs: DataFrame): DataFrame =
+    sectionSpansOf(docs)
+      .select(col("doc_id"), col("section_index"), col("heading"),
+        col("start_line"), col("end_line"),
+        estimateDepth(col("section_text")).as("depth"))
 
   /** doc_sections query: the corpus prose wrapped into a deterministic
     * three-section markdown shape — a short overview (reference), a
     * long prose body (introductory at typical lengths), and an appendix
     * carrying a code fence + equation markers plus enough prose to
     * clear the 50-word floor (rigorous). */
-  def docSections(spark: SparkSession, dir: String): DataFrame = {
-    // the corpus documents run ~50-560 chars, so the appendix repeats a
-    // slice to clear the 50-word reference floor for typical docs
-    val content = concat(
-      lit("# Overview\n"), substring(col("text"), 1, 80),
-      lit("\n## Usage\n"), substring(col("text"), 81, 400),
-      lit("\n## Math Appendix\n```\ncode sample $x$\n```\n"),
-      lit("The value $y$ is defined above. "),
-      repeat(substring(col("text"), 1, 150), 5))
+  /** The corpus prose wrapped into a deterministic three-section
+    * markdown shape — a short overview, a longer prose body, and an
+    * appendix carrying a code fence + equation markers plus repeated
+    * prose (shared by doc_sections and the narrative edge queries so
+    * their section axes agree). The corpus documents run ~50-560
+    * chars, so the appendix repeats a slice to clear the 50-word
+    * reference floor for typical docs.
+    */
+  def syntheticMarkdown(text: Column): Column = concat(
+    lit("# Overview\n"), substring(text, 1, 80),
+    lit("\n## Usage\n"), substring(text, 81, 400),
+    lit("\n## Math Appendix\n```\ncode sample $x$\n```\n"),
+    lit("The value $y$ is defined above. "),
+    repeat(substring(text, 1, 150), 5))
+
+  def docSections(spark: SparkSession, dir: String): DataFrame =
     sectionsOf(Tables.documents(spark, dir)
-      .select(col("doc_id"), content.as("content")))
+      .select(col("doc_id"), syntheticMarkdown(col("text")).as("content")))
       .orderBy(col("doc_id"), col("section_index"))
-  }
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Narrative EXPLAINS edges — documentation sections resolved against a
+  * tenant's REAL code symbols (narrative/explains.rs + the per-tenant
+  * `SymbolAutomaton` of narrative/symbol_index.rs).
+  *
+  * The reference builds an Aho-Corasick automaton (LeftmostLongest) over
+  * a tenant's code-symbol names, scans each narrative (`.md`/`.markdown`/
+  * `.txt`) document, and tallies matches per containing section span. A
+  * (section, symbol) pair becomes an EXPLAINS edge only when every gate
+  * passes (explains.rs:7-12):
+  *   - the symbol resolves to exactly ONE code node (symbol_index.rs:112
+  *     `resolve_unique`; ambiguous → dropped, never stubbed);
+  *   - its name is >= `explains_min_symbol_length` chars (default 4,
+  *     config/narrative.rs:16 — applied both at automaton build,
+  *     symbol_index.rs:44, and per match, explains.rs:148);
+  *   - it occurs >= 2 times within the section (explains.rs:176);
+  *   - it is not on the 46-word STOP_LIST (explains.rs:30);
+  *   - the section has emitted fewer than `explains_max_per_section`
+  *     edges (default 10), ranked by occurrence count desc then name asc
+  *     (explains.rs:179).
+  * Files over `max_input_kb` (default 256) are skipped whole
+  * (explains.rs:127), as are non-narrative extensions (explains.rs:85).
+  *
+  * Spark-first shape: Aho-Corasick LeftmostLongest over a LITERAL
+  * pattern set is exactly a longest-first ordered regex alternation —
+  * both Java regex (Spark) and RE2 (DuckDB) scan leftmost with ordered
+  * alternation, so `(longest|...|shortest)` reproduces the automaton's
+  * match set, including the "HttpServer beats its Http substring
+  * symbol" suppression the reference calls out (symbol_index.rs:58).
+  * The symbol axis is per-tenant and config-sized → the compiled
+  * pattern joins BROADCAST onto the corpus-shaped section scan; one
+  * regexp pass per section, a groupBy keyed (doc, section, symbol)
+  * whose shuffle is proportional to matches, and a broadcast resolution
+  * join. No corpus-side explosion at any scale.
+  */
+object Explains {
+
+  /** Words filtered out even when they look like code identifiers
+    * (explains.rs:30 STOP_LIST, verbatim — a public rule table). */
+  val StopList: Seq[String] = Seq(
+    "self", "impl", "test", "main", "init", "drop", "send", "sync", "read", "from", "into", "next",
+    "iter", "push", "poll", "copy", "move", "loop", "data", "name", "type", "path", "node", "file",
+    "list", "true", "none", "some", "this", "that", "will", "with", "have", "been", "also", "when",
+    "then", "each", "used", "only", "more", "than", "both", "most", "string", "result", "option",
+    "error", "value", "index")
+
+  /** Narrative-file + input-size gate over a frame carrying `file_path`
+    * and `content` (explains.rs:85 is_narrative_file — case-folded
+    * extension in md/markdown/txt — and :127 the byte-size cap). */
+  def narrativeDocs(docs: DataFrame, maxInputKb: Int = 256): DataFrame =
+    docs
+      .filter(lower(regexp_extract(col("file_path"), "\\.([^./\\\\]+)$", 1))
+        .isin("md", "markdown", "txt"))
+      .filter(octet_length(col("content")) <= maxInputKb * 1024)
+
+  /** symbol_name -> (n_nodes, node_id) per tenant: the automaton's
+    * resolution map (symbol_index.rs:41 build — names under
+    * `minSymbolLength` never enter; :112 resolve_unique — a name
+    * resolves only when exactly one distinct node id bears it).
+    */
+  def resolutionOf(symbols: DataFrame, minSymbolLength: Int = 4): DataFrame =
+    symbols
+      .filter(length(col("symbol_name")) >= minSymbolLength)
+      .groupBy(col("tenant_id"), col("symbol_name"))
+      .agg(countDistinct(col("node_id")).as("n_nodes"), min(col("node_id")).as("node_id"))
+
+  /** Per-tenant leftmost-longest alternation pattern over the symbol
+    * names (the automaton twin). Names sort by length desc then name
+    * asc and are \Q...\E-quoted (names containing a literal `\E` are
+    * not supported — code identifiers never do).
+    */
+  def symbolPatternsOf(symbols: DataFrame, minSymbolLength: Int = 4): DataFrame =
+    symbols
+      .filter(length(col("symbol_name")) >= minSymbolLength)
+      .select(col("tenant_id"), col("symbol_name")).distinct()
+      .groupBy(col("tenant_id"))
+      .agg(array_sort(collect_list(col("symbol_name")),
+        (l, r) => when(length(l) =!= length(r), length(r) - length(l))
+          .otherwise(when(l < r, -1).when(l > r, 1).otherwise(lit(0)))).as("names"))
+      .select(col("tenant_id"),
+        concat(lit("("),
+          array_join(transform(col("names"),
+            n => concat(lit("\\Q"), n, lit("\\E"))), "|"),
+          lit(")")).as("pat"))
+
+  /** EXPLAINS edges over a section-span frame (tenant_id, doc_id,
+    * section_index, section_text, ...) and a symbol frame (tenant_id,
+    * symbol_name, node_id). Returns one row per emitted edge with the
+    * occurrence count and per-section rank.
+    *
+    * Scanning per-section text is equivalent to the reference's
+    * whole-document scan + line_at_offset mapping (explains.rs:94-105):
+    * symbol names contain no newlines, so no match crosses a section
+    * boundary, and preamble text outside any span is simply absent
+    * from the section axis.
+    */
+  def explainsOf(sections: DataFrame, symbols: DataFrame,
+                 minSymbolLength: Int = 4, maxPerSection: Int = 10): DataFrame = {
+    val patterns = symbolPatternsOf(symbols, minSymbolLength)
+    val matches = sections
+      .join(broadcast(patterns), Seq("tenant_id"))
+      .select(col("tenant_id"), col("doc_id"), col("section_index"),
+        explode(expr("regexp_extract_all(section_text, pat, 1)")).as("symbol"))
+      // per-match gates (explains.rs:148-153): min length, stop list
+      .filter(length(col("symbol")) >= minSymbolLength)
+      .filter(!lower(col("symbol")).isin(StopList: _*))
+    val counts = matches
+      .groupBy(col("tenant_id"), col("doc_id"), col("section_index"), col("symbol"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2) // explains.rs:176 min-occurrence gate
+    val resolution = resolutionOf(symbols, minSymbolLength)
+      .filter(col("n_nodes") === 1) // unique resolution only — skipped
+      // symbols never consume cap budget (explains.rs:186 continue)
+      .withColumnRenamed("symbol_name", "symbol")
+      .drop("n_nodes")
+    val w = Window.partitionBy(col("tenant_id"), col("doc_id"), col("section_index"))
+      .orderBy(col("n_occ").desc, col("symbol"))
+    counts
+      .join(broadcast(resolution), Seq("tenant_id", "symbol"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= maxPerSection) // explains.rs:183 per-section cap
+  }
+
+  /** The corpus symbol axis: per tenant, a fixed identifier set drawn
+    * from the corpus vocabulary so occurrence counting happens on the
+    * NATURAL prose (no planted mentions) —
+    *   - 15 unconditionally unique names;
+    *   - `merge` gains a second node for even tenants, `slow` for
+    *     tenants divisible by 3 (tenant-varying ambiguity);
+    *   - `hash` and `join` are ambiguous everywhere;
+    *   - `value`/`data` resolve but sit on the stop list;
+    *   - `agg`/`row`/`key` are under the 4-char automaton floor;
+    *   - `windo` is a strict prefix of `window` — LeftmostLongest means
+    *     it can never match (symbol_index.rs:58 semantics).
+    */
+  def corpusSymbols(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows: Seq[(String, Int, String)] =
+      Seq("window", "batch", "spark", "filter", "stream", "customer", "query",
+        "table", "column", "vector", "order", "small", "sort", "group", "scan")
+        .map(n => (n, 0, "all")) ++ Seq(
+        ("merge", 0, "all"), ("merge", 1, "even"),
+        ("slow", 0, "all"), ("slow", 1, "mod3"),
+        ("hash", 0, "all"), ("hash", 1, "all"),
+        ("join", 1, "all"), ("join", 2, "all"),
+        ("value", 0, "all"), ("data", 0, "all"), ("windo", 0, "all"),
+        ("agg", 0, "all"), ("row", 0, "all"), ("key", 0, "all"))
+    val defs = rows.toDF("symbol_name", "fidx", "cond")
+    val tenants = Tables.documents(spark, dir)
+      .select(col("source").as("tenant_id"),
+        expr("CAST(substring(source, 4, 10) AS INT)").as("t")).distinct()
+    tenants.crossJoin(broadcast(defs))
+      .filter(col("cond") === "all" ||
+        (col("cond") === "even" && col("t") % 2 === 0) ||
+        (col("cond") === "mod3" && col("t") % 3 === 0))
+      .select(col("tenant_id"), col("symbol_name"),
+        concat(lit("node:"), col("tenant_id"), lit("/f"), col("fidx"),
+          lit(".rs:"), col("symbol_name")).as("node_id"))
+  }
+
+  /** doc_explains query: the corpus prose in its three-section markdown
+    * shape (shared with doc_sections) scanned against the per-tenant
+    * symbol axis. ~10% of paths get a `.rs` extension (excluded), plus
+    * `.markdown`/`.txt`/uppercase-`.MD` variants (all accepted via the
+    * case fold).
+    */
+  def docExplains(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("source").as("tenant_id"), col("doc_id"),
+      concat(col("source"), lit("/doc"), col("doc_id"),
+        when(col("doc_id") % 12 === 7, ".rs")
+          .when(col("doc_id") % 12 === 8, ".markdown")
+          .when(col("doc_id") % 12 === 9, ".txt")
+          .when(col("doc_id") % 12 === 10, ".MD")
+          .otherwise(".md")).as("file_path"),
+      Narrative.syntheticMarkdown(col("text")).as("content"))
+    val sections = Narrative.sectionSpansOf(narrativeDocs(docs))
+    explainsOf(sections, corpusSymbols(spark, dir))
+      .select(col("tenant_id"), col("doc_id"), col("section_index"),
+        col("symbol"), col("node_id"), col("n_occ"), col("rnk"))
+      .orderBy(col("doc_id"), col("section_index"), col("rnk"))
+  }
+}
