@@ -62,6 +62,7 @@ object SparkEntry {
     "lang_detect"      -> ((s, d) => FileClassification.langDetect(s, d)),
     "doc_sections"     -> ((s, d) => Narrative.docSections(s, d)),
     "doc_explains"     -> ((s, d) => Explains.docExplains(s, d)),
+    "doc_references"   -> ((s, d) => DocReferences.docReferences(s, d)),
     "project_groups"   -> ((s, d) => Grouping.projectGroups(s, d)),
     "workspace_detect" -> ((s, d) => WorkspaceDetection.workspaceDetect(s, d)),
     "affinity_groups"  -> ((s, d) => Grouping.affinityGroups(s, d)),
@@ -1456,6 +1457,56 @@ object SparkEntry {
         |SELECT tenant_id, doc_id, section_index, symbol, node_id, n_occ, rnk
         |FROM ranked WHERE rnk <= 10
         |ORDER BY doc_id, section_index, rnk""".stripMargin,
+    // REFERENCES_DOC twin (references.rs): the link regexes run in
+    // DuckDB too (verified behavior-identical: (?m) anchoring and the
+    // newline-excluded classes); resolution re-derives the join +
+    // lexical normalization with independent CASE arithmetic covering
+    // the corpus link shapes (./x, ../x with a one-segment parent,
+    // bare-relative x) rather than a generic component fold.
+    "doc_references" ->
+      """WITH d AS (
+        |  SELECT doc_id, source AS tenant_id,
+        |    source || '/doc' || doc_id ||
+        |      (CASE doc_id % 12 WHEN 7 THEN '.rs' WHEN 8 THEN '.markdown'
+        |        WHEN 9 THEN '.txt' WHEN 10 THEN '.MD' ELSE '.md' END) AS file_path,
+        |    '# Doc' || chr(10) ||
+        |    'See [guide](./guide' || (doc_id % 5) || '.md) and [spec](specs/spec' ||
+        |      (doc_id % 3) || '.md) here.' || chr(10) ||
+        |    substr(text, 1, 60) || chr(10) ||
+        |    'Visit [site](https://example.com/page) or [mail](mailto:x@y.z) or [anchor](#top).' || chr(10) ||
+        |    'Back [root](../shared/common.md) plus [dup](./guide' || (doc_id % 5) ||
+        |      '.md) again.' || chr(10) ||
+        |    'Jump [frag](./install.md#quickstart) now.' || chr(10) ||
+        |    '[api]: refs/api-' || (doc_id % 4) || '.md' || chr(10) ||
+        |    '[ext]: https://remote.example.com/x' || chr(10) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '[extra]: ./extra.md' || chr(10) ELSE '' END) AS content
+        |  FROM documents),
+        |md AS (
+        |  SELECT * FROM d
+        |  WHERE lower(regexp_extract(file_path, '\.([^./\\]+)$', 1)) IN ('md', 'markdown')),
+        |raw AS (
+        |  SELECT tenant_id, doc_id, file_path,
+        |    unnest(regexp_extract_all(content, '\[[^\]\n]+\]\(([^)\n]+)\)', 1)) AS raw_target
+        |  FROM md
+        |  UNION ALL
+        |  SELECT tenant_id, doc_id, file_path,
+        |    unnest(regexp_extract_all(content, '(?m)^\[[^\]\n]+\]:[^\S\n]+(\S+)', 1))
+        |  FROM md),
+        |loc AS (
+        |  SELECT tenant_id, doc_id, file_path,
+        |    string_split(raw_target, '#')[1] AS path_part
+        |  FROM raw
+        |  WHERE NOT (lower(raw_target) LIKE 'http://%' OR lower(raw_target) LIKE 'https://%'
+        |         OR lower(raw_target) LIKE 'mailto:%' OR raw_target LIKE '#%')),
+        |res AS (
+        |  SELECT DISTINCT tenant_id, doc_id, file_path,
+        |    CASE WHEN path_part LIKE '../%' THEN substr(path_part, 4)
+        |         WHEN path_part LIKE './%' THEN tenant_id || '/' || substr(path_part, 3)
+        |         ELSE tenant_id || '/' || path_part END AS target_path
+        |  FROM loc WHERE path_part <> '')
+        |SELECT tenant_id, doc_id, file_path, target_path,
+        |  regexp_extract(target_path, '([^/]*)$', 1) AS target_filename
+        |FROM res ORDER BY doc_id, target_path""".stripMargin,
     // Content-based language detection twin (comprehensive.rs:231
     // detect_language_from_shebang over the first 3 lines, :245
     // keyword scoring with alphabetical tie determinization).

@@ -165,26 +165,146 @@ object Explains {
           lit(".rs:"), col("symbol_name")).as("node_id"))
   }
 
+  /** The corpus file-path scheme shared by the narrative edge queries:
+    * ~8% `.rs` (never narrative), plus `.markdown`/`.txt`/uppercase
+    * `.MD` variants exercising the extension case fold (txt counts for
+    * EXPLAINS but not REFERENCES_DOC, per the two extractors' gates).
+    */
+  def corpusFilePath: Column =
+    concat(col("source"), lit("/doc"), col("doc_id"),
+      when(col("doc_id") % 12 === 7, ".rs")
+        .when(col("doc_id") % 12 === 8, ".markdown")
+        .when(col("doc_id") % 12 === 9, ".txt")
+        .when(col("doc_id") % 12 === 10, ".MD")
+        .otherwise(".md"))
+
   /** doc_explains query: the corpus prose in its three-section markdown
     * shape (shared with doc_sections) scanned against the per-tenant
-    * symbol axis. ~10% of paths get a `.rs` extension (excluded), plus
-    * `.markdown`/`.txt`/uppercase-`.MD` variants (all accepted via the
-    * case fold).
+    * symbol axis.
     */
   def docExplains(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(
       col("source").as("tenant_id"), col("doc_id"),
-      concat(col("source"), lit("/doc"), col("doc_id"),
-        when(col("doc_id") % 12 === 7, ".rs")
-          .when(col("doc_id") % 12 === 8, ".markdown")
-          .when(col("doc_id") % 12 === 9, ".txt")
-          .when(col("doc_id") % 12 === 10, ".MD")
-          .otherwise(".md")).as("file_path"),
+      corpusFilePath.as("file_path"),
       Narrative.syntheticMarkdown(col("text")).as("content"))
     val sections = Narrative.sectionSpansOf(narrativeDocs(docs))
     explainsOf(sections, corpusSymbols(spark, dir))
       .select(col("tenant_id"), col("doc_id"), col("section_index"),
         col("symbol"), col("node_id"), col("n_occ"), col("rnk"))
       .orderBy(col("doc_id"), col("section_index"), col("rnk"))
+  }
+}
+
+/** REFERENCES_DOC edges from markdown cross-references
+  * (narrative/references.rs): inline `[text](target)` and
+  * reference-style `[label]: target` links, remote/anchor targets
+  * dropped, fragments stripped, paths resolved against the source
+  * file's directory and normalized lexically, one edge per UNIQUE
+  * resolved target per document.
+  *
+  * Pure projection work — two regexp_extract_all passes over one
+  * pruned scan, a codegen'd path-normalization fold, and a distinct
+  * keyed (doc, target). No join at any scale.
+  */
+object DocReferences {
+
+  /** Inline `[text](target)` — references.rs:27. The reference scans
+    * line-by-line; excluding `\n` from both character classes makes the
+    * whole-content scan equivalent (no part of a match may cross a
+    * line).
+    */
+  private val InlinePattern = """\[[^\]\n]+\]\(([^)\n]+)\)"""
+
+  /** Reference-style `[label]: target` — references.rs:28, `^`
+    * anchored per line (multiline flag replaces the per-line loop;
+    * `[^\S\n]` is the reference's `\s+` minus the newline a per-line
+    * scan could never consume).
+    */
+  private val RefStylePattern = """(?m)^\[[^\]\n]+\]:[^\S\n]+(\S+)"""
+
+  /** URL-scheme / anchor prefixes marking non-local targets
+    * (references.rs:41, case-folded check :45). */
+  private def isRemoteOrAnchor(target: Column): Column =
+    Seq("http://", "https://", "mailto:", "#")
+      .map(p => lower(target).startsWith(p)).reduce(_ || _)
+
+  /** Lexical `.`/`..` normalization (references.rs:59 normalize_path):
+    * a fold over `/`-components — `.` and empty segments skip, `..`
+    * pops whatever precedes it (including the root marker, matching
+    * Rust's `Components` behaviour where `/../a` collapses to `a`).
+    */
+  def normalizePath(p: Column): Column = {
+    val cleaned = filter(split(p, "/"), c => c =!= "" && c =!= ".")
+    val comps = when(p.startsWith("/"), concat(array(lit("/")), cleaned))
+      .otherwise(cleaned)
+    val folded = aggregate(comps, array().cast("array<string>"),
+      (acc, c) => when(c === "..", slice(acc, lit(1), greatest(size(acc) - 1, lit(0))))
+        .otherwise(array_append(acc, c)))
+    when(size(folded) > 0 && folded.getItem(0) === "/",
+      concat(lit("/"), array_join(slice(folded, lit(2), greatest(size(folded) - 1, lit(0))), "/")))
+      .otherwise(array_join(folded, "/"))
+  }
+
+  /** REFERENCES_DOC edges over a (tenant_id, doc_id, file_path,
+    * content) frame: one row per unique resolved local target, with
+    * the resolved path and its filename (the target node identity —
+    * references.rs:189-191).
+    */
+  def referencesOf(docs: DataFrame): DataFrame = {
+    // only markdown files are processed (references.rs:88 — txt is not
+    // a REFERENCES_DOC source, unlike EXPLAINS)
+    val md = docs.filter(
+      lower(regexp_extract(col("file_path"), "\\.([^./\\\\]+)$", 1))
+        .isin("md", "markdown"))
+    val keys = Seq(col("tenant_id"), col("doc_id"), col("file_path"))
+    val raw = md.select(keys :+
+      explode(regexp_extract_all(col("content"), lit(InlinePattern), lit(1))).as("raw_target"): _*)
+      .unionByName(md.select(keys :+
+        explode(regexp_extract_all(col("content"), lit(RefStylePattern), lit(1))).as("raw_target"): _*))
+    val parent = when(col("file_path").contains("/"),
+      regexp_extract(col("file_path"), "^(.*)/[^/]*$", 1)).otherwise("")
+    raw
+      .filter(!isRemoteOrAnchor(col("raw_target")))
+      // strip_fragment (references.rs:51): everything before the first #
+      .withColumn("path_part", substring_index(col("raw_target"), "#", 1))
+      .filter(col("path_part") =!= "")
+      // Path::join semantics: an absolute right side replaces the parent
+      .withColumn("joined",
+        when(col("path_part").startsWith("/"), col("path_part"))
+          .otherwise(when(parent === "", col("path_part"))
+            .otherwise(concat(parent, lit("/"), col("path_part")))))
+      .withColumn("target_path", normalizePath(col("joined")))
+      .select(col("tenant_id"), col("doc_id"), col("file_path"), col("target_path"))
+      .distinct() // seen_targets dedup (references.rs:184) — per doc run
+      .withColumn("target_filename", regexp_extract(col("target_path"), "([^/]*)$", 1))
+  }
+
+  /** doc_references query: deterministic link scaffolding around the
+    * corpus prose — inline local/remote/anchor/mailto targets,
+    * `..`-relative and fragment-carrying paths, a duplicate link, and
+    * reference-style definitions (one conditional on doc_id so edge
+    * counts vary per doc). Paths reuse the shared corpus scheme, so
+    * `.rs`/`.txt` docs are excluded here.
+    */
+  def docReferences(spark: SparkSession, dir: String): DataFrame = {
+    def mod(k: Int): Column = (col("doc_id") % k).cast("string")
+    val content = concat(
+      lit("# Doc\n"),
+      lit("See [guide](./guide"), mod(5), lit(".md) and [spec](specs/spec"),
+      mod(3), lit(".md) here.\n"),
+      substring(col("text"), 1, 60), lit("\n"),
+      lit("Visit [site](https://example.com/page) or [mail](mailto:x@y.z) or [anchor](#top).\n"),
+      lit("Back [root](../shared/common.md) plus [dup](./guide"), mod(5),
+      lit(".md) again.\n"),
+      lit("Jump [frag](./install.md#quickstart) now.\n"),
+      lit("[api]: refs/api-"), mod(4), lit(".md\n"),
+      lit("[ext]: https://remote.example.com/x\n"),
+      when(col("doc_id") % 3 === 0, "[extra]: ./extra.md\n").otherwise(""))
+    val docs = Tables.documents(spark, dir).select(
+      col("source").as("tenant_id"), col("doc_id"),
+      Explains.corpusFilePath.as("file_path"),
+      content.as("content"))
+    referencesOf(docs)
+      .orderBy(col("doc_id"), col("target_path"))
   }
 }
