@@ -63,6 +63,7 @@ object SparkEntry {
     "doc_sections"     -> ((s, d) => Narrative.docSections(s, d)),
     "doc_explains"     -> ((s, d) => Explains.docExplains(s, d)),
     "doc_references"   -> ((s, d) => DocReferences.docReferences(s, d)),
+    "code_comments"    -> ((s, d) => Comments.codeComments(s, d)),
     "project_groups"   -> ((s, d) => Grouping.projectGroups(s, d)),
     "workspace_detect" -> ((s, d) => WorkspaceDetection.workspaceDetect(s, d)),
     "affinity_groups"  -> ((s, d) => Grouping.affinityGroups(s, d)),
@@ -1457,6 +1458,132 @@ object SparkEntry {
         |SELECT tenant_id, doc_id, section_index, symbol, node_id, n_occ, rnk
         |FROM ranked WHERE rnk <= 10
         |ORDER BY doc_id, section_index, rnk""".stripMargin,
+    // CodeComment + comment-EXPLAINS twin (comments.rs): gaps-and-islands
+    // comment runs, prefix stripping, the extract_symbol_name CASE chain
+    // (including its return-early keyword arms), the 5-candidate-line
+    // proximity search (blank/comment lines skipped without consuming
+    // budget), and unique-node resolution. Nullable symbol/node_id are
+    // coalesced to '' on both engines.
+    "code_comments" ->
+      """WITH base AS (
+        |  SELECT doc_id, source AS tenant_id, text,
+        |    CASE doc_id % 5 WHEN 0 THEN 'rust' WHEN 1 THEN 'python'
+        |      WHEN 2 THEN 'lua' WHEN 3 THEN 'java' ELSE 'text' END AS language,
+        |    CASE doc_id % 5 WHEN 1 THEN '#' WHEN 2 THEN '--' ELSE '//' END AS p,
+        |    CASE doc_id % 4 WHEN 2 THEN 'proc_amb' WHEN 3 THEN 'proc_unknown'
+        |      ELSE 'proc_a_' || (doc_id % 3) END AS name
+        |  FROM documents),
+        |sigd AS (
+        |  SELECT *,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'pub fn ' || name || '(x: i32) -> bool {'
+        |      WHEN 1 THEN CASE WHEN doc_id % 2 = 0 THEN 'async def ' || name || '():'
+        |                       ELSE 'def ' || name || '(x):' END
+        |      WHEN 2 THEN 'function ' || name || '()'
+        |      ELSE 'static int ' || name || '(int x) {' END AS sig,
+        |    substr(text, 1, 24) AS w
+        |  FROM base),
+        |c AS (
+        |  SELECT doc_id, tenant_id, p,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN p||' intro '||w||chr(10)||p||' middle line'||chr(10)||
+        |        p||' end of block'||chr(10)||sig||chr(10)||'x = 1;'
+        |      WHEN 1 THEN p||' short '||w||chr(10)||p||' two lines'||chr(10)||sig
+        |      WHEN 2 THEN p||' far '||w||chr(10)||p||' comment b'||chr(10)||
+        |        p||' comment c'||chr(10)||'a = 1;'||chr(10)||'b = 2;'||chr(10)||
+        |        'c = 3;'||chr(10)||'d = 4;'||chr(10)||'e = 5;'||chr(10)||sig
+        |      WHEN 3 THEN p||' skip '||w||chr(10)||p||' over blanks'||chr(10)||
+        |        p||' and comments'||chr(10)||chr(10)||p||' stray note'||chr(10)||
+        |        p||' another'||chr(10)||chr(10)||sig
+        |      WHEN 4 THEN p||' second '||w||chr(10)||p||' candidate line'||chr(10)||
+        |        p||' wins'||chr(10)||'notasig = value'||chr(10)||sig
+        |      ELSE 'setup = true'||chr(10)||p||' trailing '||w||chr(10)||
+        |        p||' block at'||chr(10)||p||' file end' END AS content
+        |  FROM sigd WHERE language <> 'text'),
+        |l AS (
+        |  SELECT tenant_id, doc_id, p, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS lineno
+        |  FROM (SELECT tenant_id, doc_id, p, string_split(content, chr(10)) AS ls FROM c)),
+        |cl AS (
+        |  SELECT tenant_id, doc_id, p, lineno,
+        |    regexp_replace(line, '^\s+|\s+$', '', 'g') AS t,
+        |    starts_with(regexp_replace(line, '^\s+|\s+$', '', 'g'), p) AS is_comment
+        |  FROM l),
+        |cb AS (
+        |  SELECT tenant_id, doc_id, lineno,
+        |    lineno - row_number() OVER (PARTITION BY doc_id ORDER BY lineno) AS grp,
+        |    CASE WHEN substr(t, length(p) + 1, 1) = ' ' THEN substr(t, length(p) + 2)
+        |         ELSE substr(t, length(p) + 1) END AS stripped
+        |  FROM cl WHERE is_comment),
+        |blocks AS (
+        |  SELECT tenant_id, doc_id,
+        |    CAST(min(lineno) AS INTEGER) AS start_line,
+        |    CAST(max(lineno) AS INTEGER) AS end_line,
+        |    count(*) AS n_lines,
+        |    string_agg(stripped, chr(10) ORDER BY lineno) AS btext,
+        |    arg_min(stripped, lineno) AS first_line
+        |  FROM cb GROUP BY tenant_id, doc_id, grp
+        |  HAVING count(*) >= 3),
+        |cand0 AS (
+        |  SELECT doc_id, lineno, t,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY lineno) AS seq,
+        |    regexp_replace(substr(t, 1, greatest(strpos(t, '(') - 1, 0)),
+        |      '^\s+|\s+$', '', 'g') AS bp
+        |  FROM cl WHERE t <> '' AND NOT is_comment),
+        |cand AS (
+        |  SELECT doc_id, lineno, seq,
+        |    CASE
+        |      WHEN strpos(t, 'fn ') > 0 THEN
+        |        nullif(regexp_extract(substr(t, strpos(t, 'fn ') + 3), '^([A-Za-z0-9_]+)', 1), '')
+        |      WHEN strpos(t, 'func ') > 0 THEN
+        |        nullif(regexp_extract(substr(t, strpos(t, 'func ') + 5), '^([A-Za-z0-9_]+)', 1), '')
+        |      WHEN strpos(t, 'fun ') > 0 THEN
+        |        nullif(regexp_extract(substr(t, strpos(t, 'fun ') + 4), '^([A-Za-z0-9_]+)', 1), '')
+        |      WHEN t LIKE 'def %' THEN
+        |        nullif(regexp_extract(substr(t, 5), '^([A-Za-z0-9_]+)', 1), '')
+        |      WHEN t LIKE 'async def %' THEN
+        |        nullif(regexp_extract(substr(t, 11), '^([A-Za-z0-9_]+)', 1), '')
+        |      WHEN t LIKE 'function %' THEN
+        |        nullif(regexp_extract(substr(t, 10), '^([A-Za-z0-9_]+)', 1), '')
+        |      WHEN strpos(t, '(') > 0 AND contains(bp, ' ')
+        |        AND regexp_matches(regexp_extract(bp, '([^ ]*)$', 1), '^[A-Za-z_][A-Za-z0-9_]*$')
+        |        AND regexp_extract(bp, '([^ ]*)$', 1) NOT IN (
+        |          'if','else','for','while','return','match','let','var','val',
+        |          'const','static','class','struct','enum','trait','impl','pub',
+        |          'super','self','new','void','int','bool','true','false',
+        |          'import','export','async','await','type','interface')
+        |      THEN regexp_extract(bp, '([^ ]*)$', 1)
+        |    END AS symbol
+        |  FROM cand0),
+        |bf AS (
+        |  SELECT b.*,
+        |    (SELECT min(c2.seq) FROM cand c2
+        |     WHERE c2.doc_id = b.doc_id AND c2.lineno > b.end_line) AS f
+        |  FROM blocks b),
+        |hit AS (
+        |  SELECT bf.tenant_id, bf.doc_id, bf.start_line,
+        |    arg_min(c3.symbol, c3.seq) AS symbol
+        |  FROM bf JOIN cand c3
+        |    ON c3.doc_id = bf.doc_id AND c3.seq BETWEEN bf.f AND bf.f + 4
+        |   AND c3.symbol IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |tn AS (SELECT DISTINCT source AS tenant_id FROM documents),
+        |sy AS (
+        |  SELECT tenant_id, name AS symbol_name,
+        |    'node:' || tenant_id || '/f' || fidx || '.rs:' || name AS node_id
+        |  FROM tn, (VALUES ('proc_a_0',0),('proc_a_1',0),('proc_a_2',0),
+        |    ('proc_amb',0),('proc_amb',1)) AS v(name, fidx)),
+        |res AS (
+        |  SELECT tenant_id, symbol_name, min(node_id) AS node_id
+        |  FROM sy GROUP BY 1, 2 HAVING count(DISTINCT node_id) = 1)
+        |SELECT b.tenant_id, b.doc_id, b.start_line, b.end_line, b.n_lines,
+        |  b.first_line, b.btext AS text,
+        |  coalesce(CASE WHEN r.node_id IS NOT NULL THEN h.symbol END, '') AS symbol,
+        |  coalesce(r.node_id, '') AS node_id
+        |FROM blocks b
+        |LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.start_line = b.start_line
+        |LEFT JOIN res r ON r.tenant_id = b.tenant_id AND r.symbol_name = h.symbol
+        |ORDER BY b.doc_id, b.start_line""".stripMargin,
     // REFERENCES_DOC twin (references.rs): the link regexes run in
     // DuckDB too (verified behavior-identical: (?m) anchoring and the
     // newline-excluded classes); resolution re-derives the join +
