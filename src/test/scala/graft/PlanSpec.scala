@@ -110,6 +110,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("regex search pushes its literal contains-prefilter into the scan") {
+    val p = plan("regex_search")
+    assert(!p.contains("Join"), "two-phase regex search is a pure filter:\n" + p.take(1500))
+    assert(p.contains("StringContains") || p.contains("Contains"),
+      "the literal prefilter must survive into the scan as a pushable " +
+        "predicate ahead of the regex verify:\n" + p.take(2000))
+  }
+
   test("glob search pushes the literal path prefix work to one scan") {
     val p = plan("glob_search")
     assert(!p.contains("Join"), "glob scoping is a pure filter, no join:\n" + p.take(1500))
