@@ -81,11 +81,27 @@ object StreamOps {
   /** Streaming sessionization: Spark's native `session_window` (30-min
     * gap) under a watermark, run to completion over the static events
     * file — the stream twin of the batch `session_window_agg` operator,
-    * same column expressions, so the two agree row-for-row wherever the
-    * final watermark closed the session (asserted in StreamOpsSpec).
+    * same column expressions. COMPLETE output mode (like
+    * streamingWindowOnce) keeps every session in state through the
+    * final trigger, so on a closed log the emitted table equals the
+    * batch result row-for-row and sits under the SAME DuckDB oracle —
+    * sessions still open at the final watermark included. The
+    * append-mode variant (only watermark-closed sessions emitted) is
+    * what a truly unbounded deployment runs; StreamOpsSpec asserts its
+    * prefix property against this complete-mode table.
     */
-  def sessionWindowOnce(spark: SparkSession, dir: String): DataFrame = {
-    val name = "graft_streaming_sessions"
+  def sessionWindowOnce(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowRun(spark, dir, "complete", "graft_streaming_sessions")
+
+  /** The append-mode variant an unbounded deployment runs: only
+    * watermark-closed sessions are emitted. StreamOpsSpec asserts it is
+    * exactly the complete-mode table minus sessions still open at the
+    * final watermark. */
+  def sessionWindowAppendOnce(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowRun(spark, dir, "append", "graft_streaming_sessions_append")
+
+  private def sessionWindowRun(spark: SparkSession, dir: String,
+                               mode: String, name: String): DataFrame = {
     val q = eventsStream(spark, dir)
       .withWatermark("ts", "30 minutes")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -96,7 +112,7 @@ object StreamOps {
       .writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("append")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

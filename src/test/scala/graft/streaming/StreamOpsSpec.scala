@@ -23,14 +23,22 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
-  test("streaming session windows equal the batch twin for watermark-closed sessions") {
+  test("streaming session windows equal the batch twin (complete mode), " +
+    "append mode withholds exactly the watermark-open tail") {
     val gapMs = 1800L * 1000L
-    val streamed = StreamOps.sessionWindowOnce(spark, sfDir).collect()
+    val complete = StreamOps.sessionWindowOnce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     val batch = PayloadOps.sessionWindowAgg(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // complete mode retains every session through the final trigger: the
+    // streamed table IS the batch result (this is what the oracle gates)
+    assert(complete.nonEmpty && complete == batch,
+      s"complete-mode stream must equal batch: ${complete.size} vs ${batch.size}")
+    // the unbounded-deployment append mode emits only watermark-closed
+    // sessions, each matching the batch twin exactly
+    val streamed = StreamOps.sessionWindowAppendOnce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(streamed.nonEmpty, "stream must emit closed sessions")
-    // every emitted session matches the batch twin exactly
     streamed.foreach { case (k, v) =>
       assert(batch.get(k).contains(v), s"session $k: stream=$v batch=${batch.get(k)}")
     }
