@@ -40,11 +40,13 @@ object SparkEntry {
     "sparse_vectors"   -> ((s, d) => SparseSearch.sparseVectors(s, d)),
     "hybrid_rrf"       -> ((s, d) => SparseSearch.hybridRrf(s, d)),
     "grep_search"      -> ((s, d) => SparseSearch.grepSearch(s, d)),
+    "regex_search"     -> ((s, d) => RegexSearch.regexSearch(s, d)),
     "exact_search"     -> ((s, d) => ExactSearch.exactSearch(s, d)),
     "glob_search"      -> ((s, d) => ExactSearch.globSearch(s, d)),
     "semantic_rerank"  -> ((s, d) => SemanticRerank.semanticRerank(s, d)),
     "diversity_rerank" -> ((s, d) => SparseSearch.diversityRerank(s, d)),
     "keyword_tfidf"    -> ((s, d) => SparseSearch.keywordTfidf(s, d)),
+    "keyword_select"   -> ((s, d) => KeywordSelect.keywordSelect(s, d)),
     "idf_rebalance"    -> ((s, d) => SparseSearch.idfRebalance(s, d)),
     "keyword_tags"     -> ((s, d) => KeywordTags.keywordTags(s, d)),
     "structural_tags"  -> ((s, d) => StructuralTags.structuralTags(s, d)),
@@ -551,6 +553,63 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, 'quer(y|ies)')) AS INTEGER) AS n_matches
         |FROM documents
         |WHERE len(regexp_extract_all(text, 'quer(y|ies)')) > 0
+        |ORDER BY doc_id""".stripMargin,
+    // Keyword final-selection twin (keyword_selector.rs:69): DF-ratio
+    // gate, idf_weight-scored ranking on round(score, 9) with a phrase
+    // tiebreak, top-5 per doc; all floats rounded at 6 in the output.
+    "keyword_select" ->
+      """WITH cnt AS (SELECT count(*) AS n FROM documents),
+        |toks AS (
+        |  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS ws
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, ws,
+        |    list_transform(range(0, CAST(ceil(length(text) / 200.0) AS INT)),
+        |      i -> substr(text, CAST(i * 200 + 1 AS INT), 200)) AS chunks
+        |  FROM toks),
+        |uni AS (
+        |  SELECT doc_id, chunks, unnest(ws) AS phrase, 1 AS ngram_size FROM base),
+        |bi AS (
+        |  SELECT doc_id, chunks, ws[i] || ' ' || ws[i + 1] AS phrase, 2 AS ngram_size
+        |  FROM base, unnest(range(1, len(ws))) AS g(i)),
+        |tf AS (
+        |  SELECT doc_id, phrase, ngram_size, count(*) AS tf, any_value(chunks) AS chunks
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |  GROUP BY 1, 2, 3),
+        |dfs AS (SELECT phrase, count(DISTINCT doc_id) AS doc_freq FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT t.doc_id, t.phrase, t.ngram_size, s.doc_freq,
+        |    t.tf / (t.tf + 1.2) AS lexical_score,
+        |    (strpos('0123456789abcdef', substr(md5(t.phrase || ':' || t.doc_id), 1, 1)) - 1) / 15.0 AS semantic_score,
+        |    CAST(len(list_filter(t.chunks, c -> contains(c, t.phrase))) AS INTEGER) AS stability_count
+        |  FROM tf t JOIN dfs s USING (phrase)),
+        |gated AS (
+        |  SELECT sc.*, cnt.n,
+        |    0.6 * semantic_score + 0.4 * lexical_score AS combined
+        |  FROM sc, cnt
+        |  WHERE NOT (CAST(doc_freq AS DOUBLE) / cnt.n > 0.80)),
+        |scored AS (
+        |  SELECT *, combined * (CASE WHEN n = 0 OR doc_freq = 0 THEN 1.0
+        |    ELSE greatest(ln((CAST(n AS DOUBLE) - doc_freq + 0.5) / (CAST(doc_freq AS DOUBLE) + 0.5)), 0.0) END) AS score
+        |  FROM gated),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY round(score, 9) DESC, phrase) AS INTEGER) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, phrase, ngram_size, round(score, 6) AS score,
+        |  round(semantic_score, 6) AS semantic_score,
+        |  round(lexical_score, 6) AS lexical_score, stability_count, rnk
+        |FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
+    // Two-phase literal-prefilter regex search twin: the prefilter is a
+    // necessary condition, so the oracle is the bare regex count — the
+    // Spark-side prefilter correctness is locked by RegexSearchSpec's
+    // grep-equivalence cases and PlanSpec's pushdown lock.
+    "regex_search" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '(batch|stream) window')) AS INTEGER) AS n_matches
+        |FROM documents
+        |WHERE len(regexp_extract_all(text, '(batch|stream) window')) > 0
         |ORDER BY doc_id""".stripMargin,
     "exact_search" ->
       """SELECT doc_id,
@@ -2194,6 +2253,26 @@ object SparkEntry {
         |FROM led
         |WHERE next_us IS NULL OR next_us - epoch_us(ts) > 600000000
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    // streaming_sessions runs Spark's native session_window under a
+    // watermark to completion in COMPLETE mode, so on the closed log it
+    // sits under the SAME oracle as the batch session_window_agg twin.
+    "streaming_sessions" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 4) AS session_value
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
     "session_window_agg" ->
       """WITH lagged AS (
         |  SELECT user_id, ts, value, event_id,
