@@ -195,6 +195,69 @@ object Explains {
   }
 }
 
+/** ELABORATES edges — shallow narrative nodes linked to deeper ones
+  * covering the same concept (idle/tasks/elaborates_maintenance.rs:
+  * run_elaborates_pass + :150 generate_elaborates_edges). The reference
+  * runs this as an idle-time single batch over all COVERS_TOPIC edges:
+  * group by concept, and for every ordered depth pair (shallow < deep by
+  * the DepthLevel ordinal, graph/mod.rs:327 — qualitative 0 <
+  * introductory 1 < intermediate 2 < rigorous 3 < reference 4) link
+  * every shallow node to every deep node, tenant `__global__`, source
+  * `elaborates_task`. Edges with unparseable depth metadata are dropped
+  * (elaborates_maintenance.rs:109 filter_map).
+  *
+  * Spark-first shape: ONE key-equality self-join on the concept id with
+  * an ordinal inequality filter — shuffle proportional to per-concept
+  * coverage pairs (the reference materializes exactly the same pair
+  * set); a pathologically hot concept would take the skew-salting path
+  * dedup_minhash demonstrates.
+  */
+object Elaborates {
+
+  /** DepthLevel::as_ordinal (graph/mod.rs:327); null for strings
+    * from_str rejects — the caller's drop-unparseable filter. */
+  def depthOrdinal(depth: Column): Column =
+    when(depth === "qualitative", 0)
+      .when(depth === "introductory", 1)
+      .when(depth === "intermediate", 2)
+      .when(depth === "rigorous", 3)
+      .when(depth === "reference", 4)
+
+  /** ELABORATES edges over a COVERS_TOPIC frame (source_node_id,
+    * concept_id, depth). */
+  def elaboratesOf(covers: DataFrame): DataFrame = {
+    val withOrd = covers
+      .withColumn("ord", depthOrdinal(col("depth")))
+      .filter(col("ord").isNotNull)
+    val shallow = withOrd.select(col("concept_id"),
+      col("source_node_id").as("shallow_id"), col("ord").as("shallow_ord"))
+    val deep = withOrd.select(col("concept_id"),
+      col("source_node_id").as("deep_id"), col("ord").as("deep_ord"))
+    shallow.join(deep, Seq("concept_id"))
+      .filter(col("shallow_ord") < col("deep_ord"))
+      .select(lit("__global__").as("tenant_id"), col("concept_id"),
+        col("shallow_id"), col("deep_id"),
+        lit("elaborates").as("edge_type"),
+        lit("elaborates_task").as("source_file"))
+  }
+
+  /** doc_elaborates query: COVERS_TOPIC edges derived from the
+    * doc_sections axis — each section covers a deterministic concept
+    * (doc_id % 60) at ITS OWN estimated depth, so the depth mix
+    * (reference overviews, introductory bodies, rigorous appendixes)
+    * produces real shallow→deep structure per concept.
+    */
+  def docElaborates(spark: SparkSession, dir: String): DataFrame = {
+    val covers = Narrative.docSections(spark, dir).select(
+      concat(lit("sec:"), col("doc_id"), lit(":"), col("section_index"))
+        .as("source_node_id"),
+      concat(lit("concept-"), (col("doc_id") % 60).cast("string")).as("concept_id"),
+      col("depth"))
+    elaboratesOf(covers)
+      .orderBy(col("concept_id"), col("shallow_id"), col("deep_id"))
+  }
+}
+
 /** REFERENCES_DOC edges from markdown cross-references
   * (narrative/references.rs): inline `[text](target)` and
   * reference-style `[label]: target` links, remote/anchor targets

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ELABORATES parity with the reference's own unit vectors
+  * (idle/tasks/elaborates_maintenance.rs:206-340, cited per case).
+  */
+class ElaboratesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesOf(records: Seq[(String, String, String)]): Seq[(String, String)] =
+    Elaborates.elaboratesOf(
+      records.toDF("source_node_id", "concept_id", "depth"))
+      .orderBy("shallow_id", "deep_id")
+      .collect()
+      .map(r => (r.getAs[String]("shallow_id"), r.getAs[String]("deep_id")))
+      .toSeq
+
+  // elaborates_maintenance.rs:217 two_nodes_different_depth_creates_elaborates
+  test("elaborates: shallow links to deep, with the reference edge shape") {
+    val out = Elaborates.elaboratesOf(Seq(
+      ("intro-node", "concept-1", "introductory"),
+      ("rigorous-node", "concept-1", "rigorous"))
+      .toDF("source_node_id", "concept_id", "depth")).collect()
+    assert(out.length == 1)
+    val e = out.head
+    assert(e.getAs[String]("shallow_id") == "intro-node")
+    assert(e.getAs[String]("deep_id") == "rigorous-node")
+    assert(e.getAs[String]("edge_type") == "elaborates")
+    assert(e.getAs[String]("tenant_id") == "__global__")
+    assert(e.getAs[String]("source_file") == "elaborates_task")
+  }
+
+  // elaborates_maintenance.rs:236 two_nodes_same_depth_no_edge
+  test("elaborates: same depth produces no edges") {
+    assert(edgesOf(Seq(
+      ("node-a", "concept-1", "intermediate"),
+      ("node-b", "concept-1", "intermediate"))).isEmpty)
+  }
+
+  // elaborates_maintenance.rs:249 three_nodes_different_depths — note the
+  // ordinal order puts qualitative (0) below introductory (1) below
+  // rigorous (3).
+  test("elaborates: three depths produce all shallow->deep pairs") {
+    val pairs = edgesOf(Seq(
+      ("qualitative-node", "concept-1", "qualitative"),
+      ("intro-node", "concept-1", "introductory"),
+      ("rigorous-node", "concept-1", "rigorous"))).toSet
+    assert(pairs == Set(
+      ("qualitative-node", "intro-node"),
+      ("qualitative-node", "rigorous-node"),
+      ("intro-node", "rigorous-node")))
+  }
+
+  // elaborates_maintenance.rs:278 single_node_no_edges
+  test("elaborates: a lone covering node produces nothing") {
+    assert(edgesOf(Seq(("lonely", "concept-1", "reference"))).isEmpty)
+  }
+
+  // elaborates_maintenance.rs:287 multiple_nodes_at_two_depths — 2x2
+  // cross product, and reference (ordinal 4) is DEEPER than
+  // qualitative (0).
+  test("elaborates: two depth buckets cross-product shallow x deep") {
+    val pairs = edgesOf(Seq(
+      ("qual-a", "concept-1", "qualitative"),
+      ("qual-b", "concept-1", "qualitative"),
+      ("ref-a", "concept-1", "reference"),
+      ("ref-b", "concept-1", "reference")))
+    assert(pairs.size == 4)
+    assert(pairs.forall { case (s, d) => s.startsWith("qual-") && d.startsWith("ref-") })
+  }
+
+  // elaborates_maintenance.rs:109 — unparseable depth metadata drops the
+  // record entirely.
+  test("elaborates: unparseable depth drops the coverage record") {
+    assert(edgesOf(Seq(
+      ("bad", "concept-1", "unknown-depth"),
+      ("deep", "concept-1", "reference"))).isEmpty)
+  }
+
+  // concepts never mix: same depths across DIFFERENT concepts stay apart
+  test("elaborates: edges never cross concepts") {
+    val pairs = edgesOf(Seq(
+      ("a", "concept-1", "qualitative"),
+      ("b", "concept-2", "reference")))
+    assert(pairs.isEmpty)
+  }
+}
