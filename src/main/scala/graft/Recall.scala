@@ -9,8 +9,43 @@ import graft.operators.VectorSearch
   * `runMain graft.Recall [sfDir]`.
   */
 object Recall {
+
+  /** Deterministic scale-up of the embeddings table for larger-SF ANN
+    * sweeps (the driver testdata stops at sf0.1 = 2,000 vectors):
+    * each source vector is replicated `scale` times with an
+    * xxhash64-seeded per-coordinate perturbation. The amplitude (0.12 ≈
+    * the component stddev) matters: replicas land WITHIN their source's
+    * label cluster but not on top of the source — a 0.04 probe run left
+    * top-10 sets dominated by same-source replicas and the unscaled
+    * quantizer scored an uninformative 0.98 recall. At 0.12 the
+    * neighbour sets mix replicas of different sources, which is how a
+    * larger corpus actually densifies a semantic region.
+    * New ids are `replica * n + vec_id`, keeping probe ids 0..4 on
+    * DISTINCT source vectors. Written once under target/ and reused.
+    */
+  def scaledDir(spark: SparkSession, sfDir: String, scale: Int): String = {
+    import org.apache.spark.sql.functions._
+    val out = s"target/synth-emb-a12-x$scale"
+    if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
+      val src = graft.Tables.embeddings(spark, sfDir)
+      val n = src.count()
+      src.select(col("vec_id"), col("embedding"), col("label"),
+        explode(sequence(lit(0), lit(scale - 1))).as("r"))
+        .select(
+          (col("r") * n + col("vec_id")).as("vec_id"),
+          when(col("r") === 0, col("embedding")).otherwise(
+            expr("transform(embedding, (x, j) -> CAST(x + 0.12 * " +
+              "(pmod(xxhash64(vec_id, r, j), 2001) / 1000.0 - 1.0) AS FLOAT))"))
+            .as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scale = args.drop(1).headOption.map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,6 +53,7 @@ object Recall {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val sfDir = if (scale > 1) scaledDir(spark, baseDir, scale) else baseDir
     val k = 10
     def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -32,7 +68,22 @@ object Recall {
           replicas = r, kmeansIters = it, kmeansInit = init),
         () => VectorSearch.ivfCandidates(spark, sfDir, numCentroids = nc, nprobe = np,
           replicas = r, kmeansIters = it, kmeansInit = init))
-    val sweeps = Seq(
+    val sweeps = if (scale > 1)
+      // The k ~ sqrt(n) validation sweep: at scale x the tuned sf0.1
+      // point (k=500, np=18 @ n=2000), the rule predicts
+      // k = 500·sqrt(x) with nprobe scaled to hold the ~4-5% scan
+      // budget. The UNSCALED (k=500) point shows what happens when the
+      // quantizer is not re-sized with the corpus.
+      Seq(
+        ivf("unscaled k=500 np=18 it=5", 500, 18, it = 5),
+        ivf("unscaled k=500 np=8 it=5", 500, 8, it = 5),
+        ivf(s"sqrt-scaled k=${(500 * math.sqrt(scale)).toInt} np=18 it=5",
+          (500 * math.sqrt(scale)).toInt, 18, it = 5),
+        ivf(s"sqrt-scaled k=${(500 * math.sqrt(scale)).toInt} np=32 it=5",
+          (500 * math.sqrt(scale)).toInt, 32, it = 5),
+        ivf(s"sqrt-scaled k=${(500 * math.sqrt(scale)).toInt} np=${(18 * math.sqrt(scale)).toInt} it=5",
+          (500 * math.sqrt(scale)).toInt, (18 * math.sqrt(scale)).toInt, it = 5))
+    else Seq(
       ("ann_lsh tables=4", () => VectorSearch.annLsh(spark, sfDir, tables = 4), null),
       ("ann_lsh tables=8", () => VectorSearch.annLsh(spark, sfDir, tables = 8), null),
       ("ann_lsh tables=16", () => VectorSearch.annLsh(spark, sfDir, tables = 16), null),
