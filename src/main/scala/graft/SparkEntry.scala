@@ -63,6 +63,7 @@ object SparkEntry {
     "ignore_filter"    -> ((s, d) => IgnoreRules.ignoreFilter(s, d)),
     "lang_detect"      -> ((s, d) => FileClassification.langDetect(s, d)),
     "doc_sections"     -> ((s, d) => Narrative.docSections(s, d)),
+    "text_sections"    -> ((s, d) => Narrative.textSections(s, d)),
     "doc_explains"     -> ((s, d) => Explains.docExplains(s, d)),
     "doc_references"   -> ((s, d) => DocReferences.docReferences(s, d)),
     "code_comments"    -> ((s, d) => Comments.codeComments(s, d)),
@@ -1422,6 +1423,39 @@ object SparkEntry {
         |       -- introductory branch unconditional past this point
         |       ELSE 'introductory' END AS depth
         |FROM f ORDER BY doc_id, section_index""".stripMargin,
+    // Plain-text paragraph sections twin (sections.rs:186
+    // collect_text_paragraphs): blank = whitespace-only line, heading =
+    // trimmed first line, span = first..last non-blank of the run.
+    "text_sections" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 1 THEN chr(10) || '  ' || chr(10) ELSE '' END) ||
+        |    substr(text, 1, 60) || chr(10) ||
+        |    substr(text, 61, 60) || chr(10) || chr(10) ||
+        |    '  ' || substr(text, 121, 40) || chr(10) || chr(9) || chr(10) ||
+        |    substr(text, 161, 80) AS content
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS lineno
+        |  FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM c)),
+        |nb AS (
+        |  SELECT doc_id, lineno,
+        |    regexp_replace(line, '^\s+|\s+$', '', 'g') AS t
+        |  FROM l WHERE regexp_replace(line, '^\s+|\s+$', '', 'g') <> ''),
+        |g AS (
+        |  SELECT doc_id, lineno, t,
+        |    lineno - row_number() OVER (PARTITION BY doc_id ORDER BY lineno) AS grp
+        |  FROM nb),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(min(lineno) AS INTEGER) AS start_line,
+        |    CAST(max(lineno) AS INTEGER) AS end_line,
+        |    arg_min(t, lineno) AS heading
+        |  FROM g GROUP BY doc_id, grp)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_line) - 1 AS INTEGER) AS section_index,
+        |  heading, start_line, end_line
+        |FROM p ORDER BY doc_id, section_index""".stripMargin,
     // Narrative EXPLAINS edges twin (explains.rs + symbol_index.rs):
     // Aho-Corasick LeftmostLongest over literal symbol names == a
     // longest-first ordered regex alternation in RE2's leftmost-first
@@ -1442,14 +1476,16 @@ object SparkEntry {
         |    'The value $y$ is defined above. ' || repeat(substr(text, 1, 150), 5) AS content
         |  FROM documents),
         |nd AS (
-        |  SELECT * FROM c
+        |  SELECT *, lower(regexp_extract(file_path, '\.([^./\\]+)$', 1)) AS ext
+        |  FROM c
         |  WHERE lower(regexp_extract(file_path, '\.([^./\\]+)$', 1))
         |          IN ('md', 'markdown', 'txt')
         |    AND strlen(content) <= 256 * 1024),
         |l AS (
         |  SELECT doc_id, tenant_id, t, ls, unnest(ls) AS line,
         |    generate_subscripts(ls, 1) AS lineno
-        |  FROM (SELECT doc_id, tenant_id, t, string_split(content, chr(10)) AS ls FROM nd)),
+        |  FROM (SELECT doc_id, tenant_id, t, string_split(content, chr(10)) AS ls
+        |        FROM nd WHERE ext <> 'txt')),
         |h AS (
         |  SELECT doc_id, tenant_id, t, ls, lineno
         |  FROM l
@@ -1462,10 +1498,31 @@ object SparkEntry {
         |    coalesce(lead(lineno) OVER w - 1, len(ls)) AS end_line
         |  FROM h
         |  WINDOW w AS (PARTITION BY doc_id ORDER BY lineno)),
+        |tl AS (
+        |  SELECT doc_id, tenant_id, t, ls, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS lineno
+        |  FROM (SELECT doc_id, tenant_id, t, string_split(content, chr(10)) AS ls
+        |        FROM nd WHERE ext = 'txt')),
+        |tg AS (
+        |  SELECT doc_id, tenant_id, t, ls, lineno,
+        |    lineno - row_number() OVER (PARTITION BY doc_id ORDER BY lineno) AS grp
+        |  FROM tl WHERE regexp_replace(line, '^\s+|\s+$', '', 'g') <> ''),
+        |tp AS (
+        |  SELECT doc_id, tenant_id, t, any_value(ls) AS ls,
+        |    min(lineno) AS sl, max(lineno) AS el
+        |  FROM tg GROUP BY doc_id, tenant_id, t, grp),
         |st AS (
         |  SELECT doc_id, tenant_id, t, section_index,
         |    array_to_string(ls[start_line:end_line], chr(10)) AS sect
-        |  FROM s),
+        |  FROM s
+        |  UNION ALL
+        |  -- txt routes through blank-line paragraph extraction
+        |  -- (sections.rs FileKind::PlainText) — docs shorter than the
+        |  -- Usage slice leave an EMPTY body line, a real paragraph break
+        |  SELECT doc_id, tenant_id, t,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sl) - 1 AS INTEGER) AS section_index,
+        |    array_to_string(ls[sl:el], chr(10)) AS sect
+        |  FROM tp),
         |m AS (
         |  SELECT tenant_id, t, doc_id, section_index,
         |    unnest(regexp_extract_all(sect,

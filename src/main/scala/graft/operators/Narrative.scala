@@ -86,6 +86,57 @@ object Narrative {
       .drop("ls", "pos", "col", "lineno")
   }
 
+  /** Plain-text section spans: blank-line-separated paragraphs
+    * (narrative/sections.rs:186 collect_text_paragraphs — the
+    * `FileKind::PlainText` half of the section extractor). A paragraph
+    * is a maximal run of non-blank lines (blank = whitespace-only,
+    * Rust `str::trim` semantics, so tabs count); its heading is the
+    * TRIMMED first line, its span the 1-indexed first..last non-blank
+    * lines. Gaps-and-islands over the exploded line axis, same shape
+    * as the comment-run detection. Extra input columns pass through.
+    */
+  def textSectionSpansOf(docs: DataFrame): DataFrame = {
+    val passThrough = docs.columns.filterNot(c => c == "content").map(col).toSeq
+    val lines = docs.withColumn("ls", split(col("content"), "\n"))
+      .select(passThrough ++ Seq(col("ls"), posexplode(col("ls"))): _*)
+      .withColumn("lineno", col("pos") + 1)
+      .withColumn("t", regexp_replace(col("col"), "^\\s+|\\s+$", ""))
+      .filter(col("t") =!= "")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("lineno"))
+    lines
+      .withColumn("grp", col("lineno") - row_number().over(w))
+      .groupBy(passThrough :+ col("grp"): _*)
+      .agg(min(col("lineno")).as("start_line"), max(col("lineno")).as("end_line"),
+        min_by(col("t"), col("lineno")).as("heading"),
+        first(col("ls")).as("ls"))
+      .withColumn("section_index",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("start_line"))) - 1)
+      .withColumn("section_text",
+        array_join(slice(col("ls"), col("start_line"),
+          col("end_line") - col("start_line") + 1), "\n"))
+      .drop("ls", "grp")
+  }
+
+  /** text_sections query: the corpus prose reshaped as plain text —
+    * optional leading blank lines, a two-line paragraph, an indented
+    * paragraph behind a whitespace-only (tab) separator, and a
+    * trailing paragraph with no closing newline (absent for short
+    * docs, so paragraph counts vary).
+    */
+  def textSections(spark: SparkSession, dir: String): DataFrame = {
+    val content = concat(
+      when(col("doc_id") % 4 === 1, "\n  \n").otherwise(""),
+      substring(col("text"), 1, 60), lit("\n"),
+      substring(col("text"), 61, 60), lit("\n\n"),
+      lit("  "), substring(col("text"), 121, 40), lit("\n\t\n"),
+      substring(col("text"), 161, 80))
+    textSectionSpansOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), content.as("content")))
+      .select(col("doc_id"), col("section_index"), col("heading"),
+        col("start_line"), col("end_line"))
+      .orderBy(col("doc_id"), col("section_index"))
+  }
+
   /** Markdown sections over a (doc_id, content) frame: one row per
     * heading with its 0-based index, trimmed heading text, 1-indexed
     * inclusive line span, and the section's estimated depth (section

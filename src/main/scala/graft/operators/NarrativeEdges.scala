@@ -178,16 +178,30 @@ object Explains {
         .when(col("doc_id") % 12 === 10, ".MD")
         .otherwise(".md"))
 
+  /** Section spans routed by FileKind exactly as the reference's
+    * section extractor (sections.rs:106 is_supported_extension →
+    * markdown ATX headings for md/markdown, blank-line paragraphs for
+    * txt) over an already-gated narrative frame. */
+  def routedSectionSpans(gated: DataFrame): DataFrame = {
+    val ext = lower(regexp_extract(col("file_path"), "\\.([^./\\\\]+)$", 1))
+    val common = Seq(col("tenant_id"), col("doc_id"), col("section_index"), col("section_text"))
+    Narrative.sectionSpansOf(gated.filter(ext.isin("md", "markdown"))).select(common: _*)
+      .unionByName(
+        Narrative.textSectionSpansOf(gated.filter(ext === "txt")).select(common: _*))
+  }
+
   /** doc_explains query: the corpus prose in its three-section markdown
     * shape (shared with doc_sections) scanned against the per-tenant
-    * symbol axis.
+    * symbol axis. Sections route by FileKind: the ~8% `.txt` docs parse
+    * as blank-line paragraphs (one paragraph here — the synthetic
+    * content has no blank lines), the rest as ATX markdown.
     */
   def docExplains(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(
       col("source").as("tenant_id"), col("doc_id"),
       corpusFilePath.as("file_path"),
       Narrative.syntheticMarkdown(col("text")).as("content"))
-    val sections = Narrative.sectionSpansOf(narrativeDocs(docs))
+    val sections = routedSectionSpans(narrativeDocs(docs))
     explainsOf(sections, corpusSymbols(spark, dir))
       .select(col("tenant_id"), col("doc_id"), col("section_index"),
         col("symbol"), col("node_id"), col("n_occ"), col("rnk"))

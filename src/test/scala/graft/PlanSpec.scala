@@ -110,6 +110,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("doc_explains joins the symbol pattern and resolution broadcast, never a cross") {
+    val p = plan("doc_explains")
+    assert(!p.contains("CartesianProduct"), "pattern/resolution axes are keyed joins")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-tenant pattern and resolution sides must broadcast:\n" + p.take(2000))
+  }
+
+  test("code_comments proximity search is an equi-join on (doc, seq), never lines^2") {
+    val p = plan("code_comments")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate explode"),
+      "the 5-key sequence explode must bound the candidate join:\n" + p.take(2000))
+  }
+
+  test("doc_elaborates pairs by concept key equality, never a cross product") {
+    val p = plan("doc_elaborates")
+    assert(!p.contains("CartesianProduct"),
+      "shallow x deep pairing must join on the concept id:\n" + p.take(2000))
+  }
+
+  test("doc_references is pure projection work — no join at all") {
+    val p = plan("doc_references")
+    assert(!p.contains("Join"), "link extraction + normalization is join-free:\n" + p.take(1500))
+  }
+
   test("regex search pushes its literal contains-prefilter into the scan") {
     val p = plan("regex_search")
     assert(!p.contains("Join"), "two-phase regex search is a pure filter:\n" + p.take(1500))

@@ -25,6 +25,38 @@ class NarrativeSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  /** (heading, start, end) triples from textSectionSpansOf. */
+  private def paras(txt: String): Seq[(String, Int, Int)] =
+    Narrative.textSectionSpansOf(Seq((1L, txt)).toDF("doc_id", "content"))
+      .orderBy("section_index").collect()
+      .map(r => (r.getAs[String]("heading"), r.getAs[Int]("start_line"),
+        r.getAs[Int]("end_line"))).toSeq
+
+  // sections.rs:533 test_plain_text_paragraphs
+  test("text sections: blank-line-separated paragraphs with first-line headings") {
+    val txt = "First paragraph title\nSome body text here.\n\n" +
+      "Second paragraph title\nMore body text.\n\n" +
+      "Third paragraph title\nEven more text.\n"
+    assert(paras(txt) == Seq(
+      ("First paragraph title", 1, 2),
+      ("Second paragraph title", 4, 5),
+      ("Third paragraph title", 7, 8)))
+  }
+
+  // sections.rs:564 test_txt_empty_returns_empty
+  test("text sections: empty content yields no paragraphs") {
+    assert(paras("").isEmpty)
+  }
+
+  // collect_text_paragraphs semantics: whitespace-only lines are blank
+  // (Rust str::trim), headings trim their indentation, trailing
+  // paragraphs flush at EOF, leading blanks shift start lines
+  test("text sections: whitespace blanks, trimmed headings, trailing flush") {
+    assert(paras("Alpha\n  \n  Beta indented\nbody\n\t\nGamma no newline") == Seq(
+      ("Alpha", 1, 1), ("Beta indented", 3, 4), ("Gamma no newline", 6, 6)))
+    assert(paras("\n\nLate start\n") == Seq(("Late start", 3, 3)))
+  }
+
   test("is_technical_word vectors (depth.rs tests)") {
     val yes = Seq("snake_case", "MY_CONST", "camelCase", "getHttpResponse",
       "MAX", "HTTP", "std::vec", "self.field", "a->b")
