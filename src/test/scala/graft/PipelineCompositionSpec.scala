@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Grouping, KeywordTags, TagHierarchy}
+import graft.operators.{Elaborates, Explains, Grouping, KeywordTags, Narrative, TagHierarchy}
 
 /** The `*Of` composition contract (SURVEY §3): pipeline callers run the
   * expensive keyword pipeline ONCE, cache the tags frame, and feed it
@@ -30,5 +30,44 @@ class PipelineCompositionSpec extends SparkSpec {
         standaloneAff.map(_.toString).toSeq,
         "composed tag_affinity must equal the standalone query")
     } finally tags.unpersist()
+  }
+
+  test("one cached section axis feeds doc_explains and doc_elaborates unchanged") {
+    // The narrative pipeline's shared upstream: a caller extracts
+    // section spans once and feeds both the EXPLAINS scan and the
+    // COVERS_TOPIC → ELABORATES pass from the same cached frame.
+    val docs = Tables.documents(spark, sfDir).select(
+      col("source").as("tenant_id"), col("doc_id"),
+      Explains.corpusFilePath.as("file_path"),
+      Narrative.syntheticMarkdown(col("text")).as("content"))
+    val sections = Explains.routedSectionSpans(Explains.narrativeDocs(docs)).cache()
+    try {
+      val composedExplains = Explains
+        .explainsOf(sections, Explains.corpusSymbols(spark, sfDir))
+        .select(col("tenant_id"), col("doc_id"), col("section_index"),
+          col("symbol"), col("node_id"), col("n_occ"), col("rnk"))
+        .orderBy(col("doc_id"), col("section_index"), col("rnk"))
+        .collect()
+      val standaloneExplains = Explains.docExplains(spark, sfDir).collect()
+      assert(composedExplains.map(_.toString).toSeq ==
+        standaloneExplains.map(_.toString).toSeq,
+        "composed doc_explains must equal the standalone query")
+
+      // doc_elaborates' standalone entry derives sections through
+      // docSections (markdown-only, with depth); the composed form here
+      // covers the elaboratesOf contract over an externally-supplied
+      // COVERS_TOPIC frame instead
+      val covers = Narrative.docSections(spark, sfDir).select(
+        concat(lit("sec:"), col("doc_id"), lit(":"), col("section_index"))
+          .as("source_node_id"),
+        concat(lit("concept-"), (col("doc_id") % 60).cast("string")).as("concept_id"),
+        col("depth"))
+      val composedElab = Elaborates.elaboratesOf(covers)
+        .orderBy(col("concept_id"), col("shallow_id"), col("deep_id")).collect()
+      val standaloneElab = Elaborates.docElaborates(spark, sfDir).collect()
+      assert(composedElab.map(_.toString).toSeq ==
+        standaloneElab.map(_.toString).toSeq,
+        "composed doc_elaborates must equal the standalone query")
+    } finally sections.unpersist()
   }
 }
