@@ -97,6 +97,11 @@ object SparkEntry {
     "retrieve_scroll"  -> ((s, d) => Ingest.retrieveScroll(s, d)),
     "library_rollup"   -> ((s, d) => Ingest.libraryRollup(s, d)),
     "collection_stats" -> ((s, d) => Ingest.collectionStats(s, d)),
+    // Graph-augmented search (graph_fusion.rs / graph_context.rs /
+    // sqlite_store.rs impact_analysis)
+    "graph_fusion"  -> ((s, d) => GraphFusion.graphFusion(s, d)),
+    "graph_context" -> ((s, d) => GraphFusion.graphContext(s, d)),
+    "graph_impact"  -> ((s, d) => GraphFusion.graphImpact(s, d)),
     // Graph analytics
     "graph_degree"      -> ((s, d) => GraphAlgorithms.degree(s, d)),
     "graph_pagerank"    -> ((s, d) => GraphAlgorithms.pageRank(s, d)),
@@ -390,6 +395,155 @@ object SparkEntry {
       |      ['a','an','and','are','as','at','be','by','for','from','has','he','in','is','it','its','of','on','or','that','the','to','was','were','will','with','this','but','they','have','had','what','when','where','who','which','why','how'], t)))) AS INTEGER) AS sparse_nnz,
       |  lang, source, chunk_len
       |FROM nib ORDER BY doc_id, chunk_index""".stripMargin
+
+  /** doc_explains oracle CTE chain (sections -> symbol scan ->
+    * gates -> resolution -> per-section ranking) -- shared prefix
+    * of the narrative-graph oracles (graph_fusion / graph_context /
+    * graph_impact), which build their node and edge axes on
+    * `ranked` / `sy` / `c`. */
+  private val explainsChainCte: String =
+    """c AS (
+        |  SELECT doc_id, source AS tenant_id,
+        |    CAST(substr(source, 4) AS INT) AS t,
+        |    source || '/doc' || doc_id ||
+        |      (CASE doc_id % 12 WHEN 7 THEN '.rs' WHEN 8 THEN '.markdown'
+        |        WHEN 9 THEN '.txt' WHEN 10 THEN '.MD' ELSE '.md' END) AS file_path,
+        |    '# Overview' || chr(10) || substr(text, 1, 80) ||
+        |    chr(10) || '## Usage' || chr(10) || substr(text, 81, 400) ||
+        |    chr(10) || '## Math Appendix' || chr(10) || '```' || chr(10) ||
+        |    'code sample $x$' || chr(10) || '```' || chr(10) ||
+        |    'The value $y$ is defined above. ' || repeat(substr(text, 1, 150), 5) AS content
+        |  FROM documents),
+        |nd AS (
+        |  SELECT *, lower(regexp_extract(file_path, '\.([^./\\]+)$', 1)) AS ext
+        |  FROM c
+        |  WHERE lower(regexp_extract(file_path, '\.([^./\\]+)$', 1))
+        |          IN ('md', 'markdown', 'txt')
+        |    AND strlen(content) <= 256 * 1024),
+        |l AS (
+        |  SELECT doc_id, tenant_id, t, ls, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS lineno
+        |  FROM (SELECT doc_id, tenant_id, t, string_split(content, chr(10)) AS ls
+        |        FROM nd WHERE ext <> 'txt')),
+        |h AS (
+        |  SELECT doc_id, tenant_id, t, ls, lineno
+        |  FROM l
+        |  WHERE regexp_matches(line, '^#{1,6}\s+.+$')
+        |    AND trim(regexp_extract(line, '^#{1,6}\s+(.+)$', 1)) <> ''),
+        |s AS (
+        |  SELECT doc_id, tenant_id, t, ls,
+        |    CAST(row_number() OVER w - 1 AS INTEGER) AS section_index,
+        |    lineno AS start_line,
+        |    coalesce(lead(lineno) OVER w - 1, len(ls)) AS end_line
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY lineno)),
+        |tl AS (
+        |  SELECT doc_id, tenant_id, t, ls, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS lineno
+        |  FROM (SELECT doc_id, tenant_id, t, string_split(content, chr(10)) AS ls
+        |        FROM nd WHERE ext = 'txt')),
+        |tg AS (
+        |  SELECT doc_id, tenant_id, t, ls, lineno,
+        |    lineno - row_number() OVER (PARTITION BY doc_id ORDER BY lineno) AS grp
+        |  FROM tl WHERE regexp_replace(line, '^\s+|\s+$', '', 'g') <> ''),
+        |tp AS (
+        |  SELECT doc_id, tenant_id, t, any_value(ls) AS ls,
+        |    min(lineno) AS sl, max(lineno) AS el
+        |  FROM tg GROUP BY doc_id, tenant_id, t, grp),
+        |st AS (
+        |  SELECT doc_id, tenant_id, t, section_index,
+        |    array_to_string(ls[start_line:end_line], chr(10)) AS sect
+        |  FROM s
+        |  UNION ALL
+        |  -- txt routes through blank-line paragraph extraction
+        |  -- (sections.rs FileKind::PlainText) — docs shorter than the
+        |  -- Usage slice leave an EMPTY body line, a real paragraph break
+        |  SELECT doc_id, tenant_id, t,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sl) - 1 AS INTEGER) AS section_index,
+        |    array_to_string(ls[sl:el], chr(10)) AS sect
+        |  FROM tp),
+        |m AS (
+        |  SELECT tenant_id, t, doc_id, section_index,
+        |    unnest(regexp_extract_all(sect,
+        |      '(customer|column|filter|stream|vector|window|batch|group|merge|order|query|small|spark|table|value|windo|data|hash|join|scan|slow|sort)',
+        |      1)) AS symbol
+        |  FROM st),
+        |fm AS (
+        |  SELECT * FROM m
+        |  WHERE length(symbol) >= 4
+        |    AND lower(symbol) NOT IN (
+        |      'self','impl','test','main','init','drop','send','sync','read','from','into','next',
+        |      'iter','push','poll','copy','move','loop','data','name','type','path','node','file',
+        |      'list','true','none','some','this','that','will','with','have','been','also','when',
+        |      'then','each','used','only','more','than','both','most','string','result','option',
+        |      'error','value','index')),
+        |cnt AS (
+        |  SELECT tenant_id, doc_id, section_index, symbol, count(*) AS n_occ
+        |  FROM fm GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+        |tn AS (
+        |  SELECT DISTINCT source AS tenant_id, CAST(substr(source, 4) AS INT) AS t
+        |  FROM documents),
+        |sy AS (
+        |  SELECT tenant_id,
+        |    name AS symbol_name,
+        |    'node:' || tenant_id || '/f' || fidx || '.rs:' || name AS node_id
+        |  FROM tn, (VALUES
+        |    ('window',0,'all'),('batch',0,'all'),('spark',0,'all'),('filter',0,'all'),
+        |    ('stream',0,'all'),('customer',0,'all'),('query',0,'all'),('table',0,'all'),
+        |    ('column',0,'all'),('vector',0,'all'),('order',0,'all'),('small',0,'all'),
+        |    ('sort',0,'all'),('group',0,'all'),('scan',0,'all'),
+        |    ('merge',0,'all'),('merge',1,'even'),
+        |    ('slow',0,'all'),('slow',1,'mod3'),
+        |    ('hash',0,'all'),('hash',1,'all'),
+        |    ('join',1,'all'),('join',2,'all'),
+        |    ('value',0,'all'),('data',0,'all'),('windo',0,'all'),
+        |    -- sub-min-length symbols: invisible to the EXPLAINS match
+        |    -- gates, but real CONTAINS members of f0.rs
+        |    ('agg',0,'all'),('row',0,'all'),('key',0,'all')
+        |  ) AS v(name, fidx, cond)
+        |  WHERE cond = 'all' OR (cond = 'even' AND t % 2 = 0)
+        |     OR (cond = 'mod3' AND t % 3 = 0)),
+        |res AS (
+        |  SELECT tenant_id, symbol_name, min(node_id) AS node_id
+        |  FROM sy GROUP BY 1, 2 HAVING count(DISTINCT node_id) = 1),
+        |ranked AS (
+        |  SELECT c.tenant_id, c.doc_id, c.section_index, c.symbol,
+        |    r.node_id, c.n_occ,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY c.tenant_id, c.doc_id, c.section_index
+        |      ORDER BY c.n_occ DESC, c.symbol) AS INTEGER) AS rnk
+        |  FROM cnt c JOIN res r
+        |    ON c.tenant_id = r.tenant_id AND c.symbol = r.symbol_name)""".stripMargin
+
+  /** Narrative-graph axes over the explains chain: doc-chunk nodes
+    * (compute_node_id over the corpus payload — graph_context.rs:62
+    * sha256(tenant|file|symbol|type)[..32]), symbol nodes, and the
+    * symmetric EXPLAINS edge set (doc —EXPLAINS→ symbol plus
+    * symbol —EXPLAINS_REVERSE→ doc). Requires `explainsChainCte`. */
+  private val narrativeGraphCte: String =
+    """docn AS (
+      |  SELECT doc_id, tenant_id, file_path,
+      |    'doc' || doc_id AS symbol_name,
+      |    CASE WHEN doc_id % 7 = 3 THEN 'text' ELSE 'module' END AS chunk_type,
+      |    substr(sha256(tenant_id || '|' || file_path || '|' || 'doc' || doc_id || '|' ||
+      |      (CASE WHEN doc_id % 7 = 3 THEN 'text' ELSE 'module' END)), 1, 32) AS node_id
+      |  FROM c),
+      |epairs AS (
+      |  SELECT DISTINCT r2.tenant_id, d.node_id AS doc_node, r2.node_id AS sym_node
+      |  FROM ranked r2 JOIN docn d USING (doc_id)
+      |  WHERE r2.rnk <= 10),
+      |gedges AS (
+      |  SELECT tenant_id, doc_node AS src, sym_node AS dst, 'EXPLAINS' AS edge_type FROM epairs
+      |  UNION ALL
+      |  SELECT tenant_id, sym_node AS src, doc_node AS dst, 'EXPLAINS_REVERSE' AS edge_type FROM epairs),
+      |syn AS (
+      |  SELECT DISTINCT tenant_id, node_id, symbol_name, 'function' AS symbol_type,
+      |    regexp_extract(node_id, '^node:(.+\.rs):', 1) AS file_path
+      |  FROM sy),
+      |gnodes AS (
+      |  SELECT tenant_id, node_id, symbol_name, chunk_type AS symbol_type, file_path FROM docn
+      |  UNION ALL
+      |  SELECT tenant_id, node_id, symbol_name, symbol_type, file_path FROM syn)""".stripMargin
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
   def oracleSql: Map[String, String] = Map(
@@ -1566,118 +1720,220 @@ object SparkEntry {
     // suppressed by `window`). The symbol axis is re-derived with the
     // same tenant arithmetic; sections reuse the doc_sections CTEs.
     "doc_explains" ->
-      """WITH c AS (
-        |  SELECT doc_id, source AS tenant_id,
-        |    CAST(substr(source, 4) AS INT) AS t,
-        |    source || '/doc' || doc_id ||
-        |      (CASE doc_id % 12 WHEN 7 THEN '.rs' WHEN 8 THEN '.markdown'
-        |        WHEN 9 THEN '.txt' WHEN 10 THEN '.MD' ELSE '.md' END) AS file_path,
-        |    '# Overview' || chr(10) || substr(text, 1, 80) ||
-        |    chr(10) || '## Usage' || chr(10) || substr(text, 81, 400) ||
-        |    chr(10) || '## Math Appendix' || chr(10) || '```' || chr(10) ||
-        |    'code sample $x$' || chr(10) || '```' || chr(10) ||
-        |    'The value $y$ is defined above. ' || repeat(substr(text, 1, 150), 5) AS content
-        |  FROM documents),
-        |nd AS (
-        |  SELECT *, lower(regexp_extract(file_path, '\.([^./\\]+)$', 1)) AS ext
-        |  FROM c
-        |  WHERE lower(regexp_extract(file_path, '\.([^./\\]+)$', 1))
-        |          IN ('md', 'markdown', 'txt')
-        |    AND strlen(content) <= 256 * 1024),
-        |l AS (
-        |  SELECT doc_id, tenant_id, t, ls, unnest(ls) AS line,
-        |    generate_subscripts(ls, 1) AS lineno
-        |  FROM (SELECT doc_id, tenant_id, t, string_split(content, chr(10)) AS ls
-        |        FROM nd WHERE ext <> 'txt')),
-        |h AS (
-        |  SELECT doc_id, tenant_id, t, ls, lineno
-        |  FROM l
-        |  WHERE regexp_matches(line, '^#{1,6}\s+.+$')
-        |    AND trim(regexp_extract(line, '^#{1,6}\s+(.+)$', 1)) <> ''),
-        |s AS (
-        |  SELECT doc_id, tenant_id, t, ls,
-        |    CAST(row_number() OVER w - 1 AS INTEGER) AS section_index,
-        |    lineno AS start_line,
-        |    coalesce(lead(lineno) OVER w - 1, len(ls)) AS end_line
-        |  FROM h
-        |  WINDOW w AS (PARTITION BY doc_id ORDER BY lineno)),
-        |tl AS (
-        |  SELECT doc_id, tenant_id, t, ls, unnest(ls) AS line,
-        |    generate_subscripts(ls, 1) AS lineno
-        |  FROM (SELECT doc_id, tenant_id, t, string_split(content, chr(10)) AS ls
-        |        FROM nd WHERE ext = 'txt')),
-        |tg AS (
-        |  SELECT doc_id, tenant_id, t, ls, lineno,
-        |    lineno - row_number() OVER (PARTITION BY doc_id ORDER BY lineno) AS grp
-        |  FROM tl WHERE regexp_replace(line, '^\s+|\s+$', '', 'g') <> ''),
-        |tp AS (
-        |  SELECT doc_id, tenant_id, t, any_value(ls) AS ls,
-        |    min(lineno) AS sl, max(lineno) AS el
-        |  FROM tg GROUP BY doc_id, tenant_id, t, grp),
-        |st AS (
-        |  SELECT doc_id, tenant_id, t, section_index,
-        |    array_to_string(ls[start_line:end_line], chr(10)) AS sect
-        |  FROM s
-        |  UNION ALL
-        |  -- txt routes through blank-line paragraph extraction
-        |  -- (sections.rs FileKind::PlainText) — docs shorter than the
-        |  -- Usage slice leave an EMPTY body line, a real paragraph break
-        |  SELECT doc_id, tenant_id, t,
-        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sl) - 1 AS INTEGER) AS section_index,
-        |    array_to_string(ls[sl:el], chr(10)) AS sect
-        |  FROM tp),
-        |m AS (
-        |  SELECT tenant_id, t, doc_id, section_index,
-        |    unnest(regexp_extract_all(sect,
-        |      '(customer|column|filter|stream|vector|window|batch|group|merge|order|query|small|spark|table|value|windo|data|hash|join|scan|slow|sort)',
-        |      1)) AS symbol
-        |  FROM st),
-        |fm AS (
-        |  SELECT * FROM m
-        |  WHERE length(symbol) >= 4
-        |    AND lower(symbol) NOT IN (
-        |      'self','impl','test','main','init','drop','send','sync','read','from','into','next',
-        |      'iter','push','poll','copy','move','loop','data','name','type','path','node','file',
-        |      'list','true','none','some','this','that','will','with','have','been','also','when',
-        |      'then','each','used','only','more','than','both','most','string','result','option',
-        |      'error','value','index')),
-        |cnt AS (
-        |  SELECT tenant_id, doc_id, section_index, symbol, count(*) AS n_occ
-        |  FROM fm GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
-        |tn AS (
-        |  SELECT DISTINCT source AS tenant_id, CAST(substr(source, 4) AS INT) AS t
-        |  FROM documents),
-        |sy AS (
-        |  SELECT tenant_id,
-        |    name AS symbol_name,
-        |    'node:' || tenant_id || '/f' || fidx || '.rs:' || name AS node_id
-        |  FROM tn, (VALUES
-        |    ('window',0,'all'),('batch',0,'all'),('spark',0,'all'),('filter',0,'all'),
-        |    ('stream',0,'all'),('customer',0,'all'),('query',0,'all'),('table',0,'all'),
-        |    ('column',0,'all'),('vector',0,'all'),('order',0,'all'),('small',0,'all'),
-        |    ('sort',0,'all'),('group',0,'all'),('scan',0,'all'),
-        |    ('merge',0,'all'),('merge',1,'even'),
-        |    ('slow',0,'all'),('slow',1,'mod3'),
-        |    ('hash',0,'all'),('hash',1,'all'),
-        |    ('join',1,'all'),('join',2,'all'),
-        |    ('value',0,'all'),('data',0,'all'),('windo',0,'all')
-        |  ) AS v(name, fidx, cond)
-        |  WHERE cond = 'all' OR (cond = 'even' AND t % 2 = 0)
-        |     OR (cond = 'mod3' AND t % 3 = 0)),
-        |res AS (
-        |  SELECT tenant_id, symbol_name, min(node_id) AS node_id
-        |  FROM sy GROUP BY 1, 2 HAVING count(DISTINCT node_id) = 1),
-        |ranked AS (
-        |  SELECT c.tenant_id, c.doc_id, c.section_index, c.symbol,
-        |    r.node_id, c.n_occ,
-        |    CAST(row_number() OVER (
-        |      PARTITION BY c.tenant_id, c.doc_id, c.section_index
-        |      ORDER BY c.n_occ DESC, c.symbol) AS INTEGER) AS rnk
-        |  FROM cnt c JOIN res r
-        |    ON c.tenant_id = r.tenant_id AND c.symbol = r.symbol_name)
-        |SELECT tenant_id, doc_id, section_index, symbol, node_id, n_occ, rnk
-        |FROM ranked WHERE rnk <= 10
-        |ORDER BY doc_id, section_index, rnk""".stripMargin,
+      s"""WITH $explainsChainCte
+         |SELECT tenant_id, doc_id, section_index, symbol, node_id, n_occ, rnk
+         |FROM ranked WHERE rnk <= 10
+         |ORDER BY doc_id, section_index, rnk""".stripMargin,
+    // Graph-augmented fusion twin (graph_fusion.rs expand_and_fuse_with
+    // _graph): hybrid top-20 seeds, the daemon's recursive 2-hop
+    // traversal (DISTINCT node/edge/depth/path, ORDER BY depth,
+    // symbol_name + path/node tiebreaks), per-candidate slice of 5,
+    // then the sequential cap/bonus/break loop as a recursive-CTE fold
+    // (DuckDB 1.0's list_reduce corrupts struct-typed accumulators, so
+    // the state steps one examined element per recursion instead).
+    "graph_fusion" ->
+      s"""${bm25StatsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$bm25ScoredCte,
+         |$hybridCte,
+         |$explainsChainCte,
+         |$narrativeGraphCte,
+         |resl AS (
+         |  SELECT d.node_id AS id, 1.0 / (60.0 + h2.rnk) AS score, h2.rnk, d.tenant_id,
+         |    d.file_path AS relative_path, d.file_path, d.symbol_name, d.chunk_type
+         |  FROM hyb h2 JOIN docn d ON d.doc_id = h2.id),
+         |fcands AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY rnk) AS INTEGER) AS cand,
+         |    tenant_id, id AS cnode
+         |  FROM resl
+         |  WHERE chunk_type IN ('function','async_function','method','class','struct',
+         |    'trait','interface','enum','impl','module')
+         |  QUALIFY cand <= 20),
+         |trav AS (
+         |  SELECT c2.cand, c2.cnode, c2.tenant_id, e.dst AS node_id, e.edge_type,
+         |    1 AS depth, e.src || ' -> ' || e.dst AS path
+         |  FROM fcands c2 JOIN gedges e ON e.tenant_id = c2.tenant_id AND e.src = c2.cnode
+         |  UNION ALL
+         |  SELECT t2.cand, t2.cnode, t2.tenant_id, e.dst, e.edge_type, t2.depth + 1,
+         |    t2.path || ' -> ' || e.dst
+         |  FROM trav t2 JOIN gedges e ON e.tenant_id = t2.tenant_id AND e.src = t2.node_id
+         |  WHERE t2.depth < 2),
+         |tdist AS (
+         |  SELECT DISTINCT cand, cnode, tenant_id, node_id, edge_type, depth, path FROM trav),
+         |sliced AS (
+         |  SELECT td.cand, td.cnode, td.node_id, td.depth,
+         |    CAST(row_number() OVER (PARTITION BY td.cand
+         |      ORDER BY td.depth, gn.symbol_name, td.path, td.node_id) AS INTEGER) AS pos
+         |  FROM tdist td JOIN gnodes gn
+         |    ON gn.tenant_id = td.tenant_id AND gn.node_id = td.node_id
+         |  QUALIFY pos <= 5),
+         |exelem AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY cand, pos) AS INTEGER) AS i,
+         |    cand, cnode, node_id AS node, depth
+         |  FROM sliced),
+         |origl AS (
+         |  SELECT list(id ORDER BY rnk) AS oids, CAST(count(*) AS INTEGER) AS n_orig FROM resl),
+         |candn AS (SELECT CAST(count(*) AS INTEGER) AS n_cand FROM fcands),
+         |fold AS (
+         |  SELECT 0 AS step, oids AS existing,
+         |    CAST([] AS STRUCT(node_id VARCHAR, depth INTEGER, aseq INTEGER)[]) AS added,
+         |    CAST([] AS VARCHAR[]) AS bonus, 0 AS total, -1 AS broken
+         |  FROM origl
+         |  UNION ALL
+         |  SELECT f.step + 1,
+         |    CASE WHEN (f.broken = e.cand OR e.node = e.cnode)
+         |           OR list_contains(f.existing, e.node) OR f.total >= 50
+         |         THEN f.existing ELSE list_append(f.existing, e.node) END,
+         |    CASE WHEN (f.broken = e.cand OR e.node = e.cnode)
+         |           OR list_contains(f.existing, e.node) OR f.total >= 50
+         |         THEN f.added
+         |         ELSE list_append(f.added,
+         |           {'node_id': e.node, 'depth': e.depth, 'aseq': f.total}) END,
+         |    CASE WHEN NOT (f.broken = e.cand OR e.node = e.cnode)
+         |           AND list_contains(f.existing, e.node)
+         |         THEN list_append(f.bonus, e.node) ELSE f.bonus END,
+         |    CASE WHEN NOT (f.broken = e.cand OR e.node = e.cnode)
+         |           AND NOT list_contains(f.existing, e.node) AND f.total < 50
+         |         THEN f.total + 1 ELSE f.total END,
+         |    CASE WHEN NOT (f.broken = e.cand OR e.node = e.cnode)
+         |           AND NOT list_contains(f.existing, e.node) AND f.total >= 50
+         |         THEN e.cand ELSE f.broken END
+         |  FROM fold f JOIN exelem e ON e.i = f.step + 1),
+         |ffinal AS (SELECT * FROM fold ORDER BY step DESC LIMIT 1),
+         |vecrows AS (
+         |  SELECT r3.id,
+         |    CASE WHEN cn.n_cand > 0 THEN
+         |      (r3.score + 0.1 * len(list_filter(ff.bonus, b -> b = r3.id))) * 0.7
+         |    ELSE r3.score END AS fscore,
+         |    r3.rnk - 1 AS seq, 'vector' AS source, CAST(NULL AS INTEGER) AS depth
+         |  FROM resl r3, ffinal ff, candn cn),
+         |aexp AS (SELECT unnest(ff.added) AS a, o.n_orig FROM ffinal ff, origl o),
+         |exprows AS (
+         |  SELECT a.node_id AS id,
+         |    (1 - 0.7) * (CASE WHEN a.depth = 0 THEN 1.0
+         |                      WHEN a.depth = 1 THEN 0.8 ELSE 0.5 END) AS fscore,
+         |    n_orig + a.aseq AS seq, 'graph_expansion' AS source, a.depth AS depth
+         |  FROM aexp),
+         |allrows AS (SELECT * FROM vecrows UNION ALL SELECT * FROM exprows)
+         |SELECT CAST(row_number() OVER (ORDER BY round(fscore, 9) DESC, seq) AS INTEGER) AS rank,
+         |  id, round(fscore, 9) AS score, source, depth
+         |FROM allrows ORDER BY rank""".stripMargin,
+    // 1-hop context enrichment twin (graph_context.rs
+    // expand_graph_context): wide 13-type eligibility with plain
+    // Option-or path fallback, no edge-type filter, CONTAINS -> callers
+    // else callees, response order preserved per direction.
+    "graph_context" ->
+      s"""$bm25StatsCte,
+         |$bm25ScoredCte,
+         |$hybridCte,
+         |$explainsChainCte,
+         |$narrativeGraphCte,
+         |cfiles AS (
+         |  SELECT DISTINCT tenant_id, file_path,
+         |    'f' || regexp_extract(file_path, '/f(\\d+)\\.rs$$', 1) AS symbol_name
+         |  FROM syn),
+         |cfnodes AS (
+         |  SELECT tenant_id,
+         |    substr(sha256(tenant_id || '|' || file_path || '|' || symbol_name || '|module'), 1, 32) AS node_id,
+         |    symbol_name, 'module' AS symbol_type, file_path
+         |  FROM cfiles),
+         |cedges AS (
+         |  SELECT s2.tenant_id, f2.node_id AS src, s2.node_id AS dst, 'CONTAINS' AS edge_type
+         |  FROM syn s2 JOIN cfnodes f2
+         |    ON f2.tenant_id = s2.tenant_id AND f2.file_path = s2.file_path),
+         |gedges2 AS (SELECT * FROM gedges UNION ALL SELECT * FROM cedges),
+         |gnodes2 AS (SELECT DISTINCT * FROM (
+         |  SELECT * FROM gnodes UNION ALL SELECT * FROM cfnodes)),
+         |dres AS (
+         |  SELECT d.node_id AS id, h2.rnk, d.tenant_id, d.file_path AS fp,
+         |    d.symbol_name, d.chunk_type
+         |  FROM hyb h2 JOIN docn d ON d.doc_id = h2.id),
+         |ttop AS (
+         |  SELECT tenant_id, CAST(row_number() OVER (ORDER BY tenant_id) AS INTEGER) AS trnk
+         |  FROM (SELECT DISTINCT d.tenant_id
+         |        FROM hyb h3 JOIN docn d ON d.doc_id = h3.id WHERE h3.rnk <= 5)),
+         |fres AS (
+         |  SELECT 'file:' || tenant_id || '/f0.rs' AS id, trnk + 20 AS rnk, tenant_id,
+         |    tenant_id || '/f0.rs' AS fp, 'f0' AS symbol_name, 'module' AS chunk_type
+         |  FROM ttop),
+         |cres AS (SELECT * FROM dres UNION ALL SELECT * FROM fres),
+         |elig AS (
+         |  SELECT id, rnk, tenant_id, fp, symbol_name AS res_symbol,
+         |    substr(sha256(tenant_id || '|' || fp || '|' || symbol_name || '|' || chunk_type), 1, 32) AS node_id
+         |  FROM cres
+         |  WHERE chunk_type IN ('function','async_function','method','class','struct',
+         |    'trait','interface','enum','impl','module','constant','type_alias','macro')),
+         |chop AS (
+         |  SELECT el.rnk AS seed_id, el.node_id AS origin, el.tenant_id,
+         |    e.dst AS node_id, e.edge_type, e.src || ' -> ' || e.dst AS path
+         |  FROM elig el JOIN gedges2 e
+         |    ON e.tenant_id = el.tenant_id AND e.src = el.node_id),
+         |cdist AS (
+         |  SELECT DISTINCT seed_id, origin, tenant_id, node_id, edge_type, path FROM chop),
+         |cpos AS (
+         |  SELECT cd.seed_id, cd.origin, cd.node_id, cd.edge_type,
+         |    gn.symbol_name AS rel_symbol, gn.file_path AS rel_file_path,
+         |    CAST(row_number() OVER (PARTITION BY cd.seed_id
+         |      ORDER BY gn.symbol_name, cd.path, cd.node_id) AS INTEGER) AS pos
+         |  FROM cdist cd JOIN gnodes2 gn
+         |    ON gn.tenant_id = cd.tenant_id AND gn.node_id = cd.node_id),
+         |cdir AS (
+         |  SELECT seed_id,
+         |    CASE WHEN edge_type IN ('CALLS_REVERSE', 'CONTAINS') THEN 'callers'
+         |         ELSE 'callees' END AS direction,
+         |    pos, rel_symbol, rel_file_path
+         |  FROM cpos WHERE node_id <> origin),
+         |cord AS (
+         |  SELECT seed_id, direction,
+         |    CAST(row_number() OVER (PARTITION BY seed_id, direction ORDER BY pos) AS INTEGER) AS ord,
+         |    rel_symbol, rel_file_path
+         |  FROM cdir)
+         |SELECT el.id, el.res_symbol, el.fp AS res_file_path,
+         |  o2.direction, o2.ord, o2.rel_symbol, o2.rel_file_path
+         |FROM elig el JOIN cord o2 ON o2.seed_id = el.rnk
+         |ORDER BY el.id, o2.direction, o2.ord""".stripMargin,
+    // Impact-analysis twin (sqlite_store.rs:1231 reverse_traverse +
+    // mod.rs impact_analysis): per-tenant targets for the probe symbol,
+    // recursive <=3-hop reverse traversal with DISTINCT
+    // (node, edge_type, depth), stable distance sort across
+    // node_id-ordered targets, first-occurrence dedup.
+    "graph_impact" ->
+      s"""WITH RECURSIVE $explainsChainCte,
+         |$narrativeGraphCte,
+         |probes AS (SELECT DISTINCT source AS probe_id, source AS tenant_id FROM documents),
+         |itargets AS (
+         |  SELECT p.probe_id, gn.tenant_id, gn.node_id,
+         |    CAST(row_number() OVER (PARTITION BY p.probe_id ORDER BY gn.node_id) AS INTEGER) AS target_ord
+         |  FROM probes p JOIN gnodes gn
+         |    ON gn.tenant_id = p.tenant_id AND gn.symbol_name = 'window'),
+         |rtrav AS (
+         |  SELECT t3.probe_id, t3.target_ord, t3.tenant_id,
+         |    e.src AS node_id, e.edge_type, 1 AS depth
+         |  FROM itargets t3 JOIN gedges e
+         |    ON e.tenant_id = t3.tenant_id AND e.dst = t3.node_id
+         |  UNION ALL
+         |  SELECT r4.probe_id, r4.target_ord, r4.tenant_id, e.src, e.edge_type, r4.depth + 1
+         |  FROM rtrav r4 JOIN gedges e
+         |    ON e.tenant_id = r4.tenant_id AND e.dst = r4.node_id
+         |  WHERE r4.depth < 3),
+         |rdist AS (
+         |  SELECT DISTINCT probe_id, target_ord, tenant_id, node_id, edge_type, depth FROM rtrav),
+         |rattr AS (
+         |  SELECT rd.probe_id, rd.target_ord, rd.node_id, rd.edge_type, rd.depth,
+         |    gn.symbol_name, gn.file_path
+         |  FROM rdist rd JOIN gnodes gn
+         |    ON gn.tenant_id = rd.tenant_id AND gn.node_id = rd.node_id),
+         |rseq AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY depth, target_ord, symbol_name, edge_type, node_id) AS INTEGER) AS seq
+         |  FROM rattr),
+         |rfirst AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id, node_id ORDER BY seq) AS rn
+         |  FROM rseq)
+         |SELECT probe_id,
+         |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY seq) AS INTEGER) AS impact_rank,
+         |  node_id, symbol_name, file_path, edge_type AS impact_type, depth AS distance
+         |FROM rfirst WHERE rn = 1
+         |ORDER BY probe_id, impact_rank""".stripMargin,
     // ELABORATES twin (elaborates_maintenance.rs): the doc_sections
     // depth CTEs feed COVERS_TOPIC records; per concept, every
     // shallower node links to every deeper node by the DepthLevel
