@@ -102,6 +102,9 @@ object SparkEntry {
     "graph_fusion"  -> ((s, d) => GraphFusion.graphFusion(s, d)),
     "graph_context" -> ((s, d) => GraphFusion.graphContext(s, d)),
     "graph_impact"  -> ((s, d) => GraphFusion.graphImpact(s, d)),
+    // Graph relationship extraction (graph/extractor/)
+    "graph_extract" -> ((s, d) => GraphExtraction.graphExtract(s, d)),
+    "import_edges"  -> ((s, d) => GraphExtraction.importEdges(s, d)),
     // Graph analytics
     "graph_degree"      -> ((s, d) => GraphAlgorithms.degree(s, d)),
     "graph_pagerank"    -> ((s, d) => GraphAlgorithms.pageRank(s, d)),
@@ -544,6 +547,170 @@ object SparkEntry {
       |  SELECT tenant_id, node_id, symbol_name, chunk_type AS symbol_type, file_path FROM docn
       |  UNION ALL
       |  SELECT tenant_id, node_id, symbol_name, symbol_type, file_path FROM syn)""".stripMargin
+
+  /** Shared chunk-axis + extraction CTE chain of the graph_extract /
+    * import_edges oracles (graph/extractor/ twin): the deterministic
+    * four-language chunk axis, node rows, CONTAINS/CALLS/USES_TYPE edge
+    * derivations (qualified-name base, the validity gate as a bool_and
+    * over `::`-segments, signature tokenization -- the keyword/primitive
+    * tables reduce to their uppercase-initial members Self/None/True/False
+    * under the PascalCase-first rule), and the per-language import-line
+    * parsers with their exact branch order.
+    */
+  private val graphExtractCte: String =
+    """ax AS (
+        |  SELECT doc_id, source AS tenant_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 'rust' WHEN 1 THEN 'python' WHEN 2 THEN 'typescript' ELSE 'go' END AS language,
+        |    source || '/src/m' || (doc_id % 16) ||
+        |      (CASE doc_id % 4 WHEN 0 THEN '.rs' WHEN 1 THEN '.py' WHEN 2 THEN '.ts' ELSE '.go' END) AS file_path
+        |  FROM documents),
+        |code AS (
+        |  SELECT doc_id, tenant_id, language, file_path,
+        |    (['function','async_function','class','method','struct','trait','interface','enum','impl','module','constant','type_alias','macro','text'])[CAST(doc_id % 14 AS INT) + 1] AS chunk_type,
+        |    CASE WHEN doc_id % 17 = 5 THEN '' ELSE 'sym' || doc_id END AS symbol_name,
+        |    CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN language = 'rust' THEN 'impl W' ELSE 'Parent' END) || (doc_id % 6)
+        |         WHEN doc_id % 5 = 1 THEN 'ns::P' || (doc_id % 6)
+        |         WHEN doc_id % 5 = 4 THEN 'Parent' || (doc_id % 6)
+        |         ELSE '' END AS parent_symbol,
+        |    concat_ws(',',
+        |      'call' || (doc_id % 9),
+        |      CASE WHEN doc_id % 3 = 0 THEN 'self.process' END,
+        |      CASE WHEN doc_id % 4 = 1 THEN '<String' END,
+        |      CASE WHEN doc_id % 4 = 1 THEN ' _>' END,
+        |      CASE WHEN doc_id % 6 = 2 THEN 'std::collections::HashMap::new' END,
+        |      CASE WHEN doc_id % 7 = 3 THEN 'pkg.Func' END,
+        |      CASE WHEN doc_id % 5 = 2 THEN '_' END) AS calls,
+        |    CASE WHEN doc_id % 11 = 7 THEN NULL
+        |         WHEN language = 'rust' THEN 'fn f(data: Vec<String>, n: i32) -> Result<Widget' || (doc_id % 5) || ', Error>'
+        |         WHEN language = 'python' THEN 'def f(self, data: dict, client: HttpClient' || (doc_id % 5) || ') -> Response'
+        |         WHEN language = 'typescript' THEN 'function f(url: string, opts: RequestOpts' || (doc_id % 5) || '): Promise<Response>'
+        |         ELSE 'func F(ctx Context, n int32) (Widget' || (doc_id % 5) || ', error)' END AS signature
+        |  FROM ax),
+        |pre AS (
+        |  SELECT doc_id, tenant_id, language, file_path,
+        |    CASE WHEN language = 'rust' THEN
+        |      'use std::collections::HashMap;' || chr(10) ||
+        |      'use crate::graph::{GraphNode, GraphEdge};' || chr(10) ||
+        |      'use super::*;' || chr(10) || 'use serde;' || chr(10) ||
+        |      'use pkg::Sym' || (doc_id % 20) || ';' || chr(10) || '// not an import'
+        |    WHEN language = 'python' THEN
+        |      'import numpy as np' || chr(10) ||
+        |      'from typing import Dict, List, Optional' || chr(10) ||
+        |      'from pathlib import Path' || chr(10) || 'import os, sys' || chr(10) ||
+        |      'import mod' || (doc_id % 20) || chr(10) || 'x = 1'
+        |    WHEN language = 'typescript' THEN
+        |      'import { Component, useState as state } from ''react'';' || chr(10) ||
+        |      'import React from ''react'';' || chr(10) ||
+        |      'import * as path from ''path'';' || chr(10) ||
+        |      'import { Sym' || (doc_id % 20) || ' } from ''./m'';' || chr(10) || 'const x = 1;'
+        |    ELSE
+        |      'import (' || chr(10) || '"fmt"' || chr(10) || '"encoding/json"' || chr(10) ||
+        |      'alias "some/package"' || chr(10) || '"pkg/sym' || (doc_id % 20) || '"' || chr(10) || ')'
+        |    END AS content
+        |  FROM ax WHERE doc_id % 3 = 0),
+        |noderows AS (
+        |  SELECT *, substr(sha256(tenant_id || '|' || file_path || '|' || symbol_name || '|' || chunk_type), 1, 32) AS node_id
+        |  FROM code WHERE chunk_type <> 'text' AND symbol_name <> ''),
+        |cont AS (
+        |  SELECT tenant_id, file_path, 'CONTAINS' AS edge_type,
+        |    substr(sha256(tenant_id || '||' || parent_symbol || '|' || ptype), 1, 32) AS src_node_id,
+        |    node_id AS dst_node_id, parent_symbol AS src_symbol, ptype AS src_type,
+        |    symbol_name AS dst_symbol, chunk_type AS dst_type
+        |  FROM (SELECT *,
+        |      CASE WHEN language = 'rust' THEN (CASE WHEN starts_with(parent_symbol, 'impl ') OR contains(parent_symbol, '::') THEN 'impl' ELSE 'struct' END)
+        |           WHEN language IN ('python','javascript','typescript','tsx','jsx','java','kotlin') THEN 'class'
+        |           WHEN language = 'go' THEN 'struct' ELSE 'module' END AS ptype
+        |    FROM noderows WHERE parent_symbol <> '')),
+        |callx AS (
+        |  SELECT tenant_id, file_path, node_id, symbol_name, chunk_type,
+        |    trim(unnest(string_split(calls, ','))) AS call
+        |  FROM noderows WHERE calls <> ''),
+        |callee AS (
+        |  SELECT *,
+        |    CASE WHEN contains(call, '::') AND regexp_extract(call, '^(.*)::(.*)$', 2) <> '' THEN regexp_extract(call, '^(.*)::(.*)$', 2)
+        |         WHEN contains(call, '.') AND regexp_extract(call, '^(.*)\.(.*)$', 2) <> '' THEN regexp_extract(call, '^(.*)\.(.*)$', 2)
+        |         ELSE call END AS cname
+        |  FROM callx WHERE call <> ''),
+        |callv AS (
+        |  SELECT * FROM callee
+        |  WHERE len(cname) > 0 AND list_aggregate(list_transform(string_split(cname, '::'),
+        |      s -> regexp_matches(s, '^[\p{L}_][\p{L}\p{N}_]*$') AND regexp_matches(s, '[\p{L}\p{N}]')), 'bool_and')),
+        |callse AS (
+        |  SELECT tenant_id, file_path, 'CALLS' AS edge_type, node_id AS src_node_id,
+        |    substr(sha256(tenant_id || '||' || cname || '|function'), 1, 32) AS dst_node_id,
+        |    symbol_name AS src_symbol, chunk_type AS src_type, cname AS dst_symbol, 'function' AS dst_type
+        |  FROM callv),
+        |sigtok AS (
+        |  SELECT tenant_id, file_path, node_id, symbol_name, chunk_type,
+        |    unnest(list_distinct(list_filter(regexp_extract_all(signature, '[\p{L}\p{N}_]+'),
+        |      t -> len(t) >= 2
+        |        AND NOT (language = 'rust' AND t = 'Self')
+        |        AND NOT (language = 'python' AND t IN ('None','True','False'))
+        |        AND regexp_matches(t, '^\p{Lu}')))) AS tname
+        |  FROM noderows WHERE signature IS NOT NULL),
+        |typese AS (
+        |  SELECT tenant_id, file_path, 'USES_TYPE' AS edge_type, node_id AS src_node_id,
+        |    substr(sha256(tenant_id || '||' || tname || '|struct'), 1, 32) AS dst_node_id,
+        |    symbol_name AS src_symbol, chunk_type AS src_type, tname AS dst_symbol, 'struct' AS dst_type
+        |  FROM sigtok),
+        |prelines AS (
+        |  SELECT tenant_id, doc_id, file_path, language, unnest(ls) AS line, generate_subscripts(ls, 1) AS lineno
+        |  FROM (SELECT tenant_id, doc_id, file_path, language, string_split(content, chr(10)) AS ls FROM pre)),
+        |prel2 AS (
+        |  SELECT *, regexp_replace(trim(line), ';+$', '') AS nosemi, trim(line) AS tl FROM prelines),
+        |prel3 AS (
+        |  SELECT *, trim(regexp_extract(nosemi, '^use (.*)$', 1)) AS rpath,
+        |    trim(regexp_extract(nosemi, '^import (.*)$', 1)) AS jrest
+        |  FROM prel2),
+        |prel4 AS (
+        |  SELECT tenant_id, doc_id, file_path, language, lineno,
+        |    CASE WHEN language = 'rust' THEN
+        |      CASE WHEN NOT starts_with(nosemi, 'use ') THEN CAST([] AS VARCHAR[])
+        |           WHEN ends_with(rpath, '::*') THEN CAST([] AS VARCHAR[])
+        |           WHEN contains(rpath, '{') AND contains(rpath, '}') THEN
+        |             list_filter(list_transform(string_split(regexp_extract(rpath, '\{([^}]*)\}', 1), ','), s -> trim(s)),
+        |               s -> len(s) > 0 AND s <> 'self' AND s <> '*')
+        |           WHEN contains(rpath, '::') THEN
+        |             CASE WHEN trim(regexp_extract(rpath, '^(.*)::(.*)$', 2)) <> '' AND trim(regexp_extract(rpath, '^(.*)::(.*)$', 2)) <> 'self'
+        |                  THEN [trim(regexp_extract(rpath, '^(.*)::(.*)$', 2))] ELSE CAST([] AS VARCHAR[]) END
+        |           WHEN len(rpath) > 0 THEN [rpath] ELSE CAST([] AS VARCHAR[]) END
+        |    WHEN language = 'python' THEN
+        |      CASE WHEN starts_with(tl, 'from ') AND contains(tl, ' import ') THEN
+        |        list_filter(list_transform(string_split(regexp_extract(tl, '^from .*? import (.*)$', 1), ','),
+        |          s -> trim(split_part(trim(s), ' as ', 1))), s -> len(s) > 0 AND s <> '*')
+        |      WHEN starts_with(tl, 'import ') THEN
+        |        list_filter(list_transform(string_split(regexp_extract(tl, '^import (.*)$', 1), ','),
+        |          s -> trim(split_part(trim(s), ' as ', 1))), s -> len(s) > 0)
+        |      ELSE CAST([] AS VARCHAR[]) END
+        |    WHEN language IN ('javascript','typescript','tsx','jsx') THEN
+        |      CASE WHEN NOT starts_with(nosemi, 'import ') THEN CAST([] AS VARCHAR[])
+        |           WHEN starts_with(jrest, '* as') OR starts_with(jrest, '* ') THEN CAST([] AS VARCHAR[])
+        |           WHEN contains(jrest, '{') AND contains(jrest, '}') THEN
+        |             list_filter(list_transform(string_split(regexp_extract(jrest, '\{([^}]*)\}', 1), ','),
+        |               s -> trim(split_part(trim(s), ' as ', 1))), s -> len(s) > 0)
+        |           WHEN contains(jrest, ' from ') AND trim(split_part(jrest, ' from ', 1)) <> ''
+        |                AND NOT contains(trim(split_part(jrest, ' from ', 1)), '{')
+        |             THEN [trim(split_part(jrest, ' from ', 1))]
+        |           ELSE CAST([] AS VARCHAR[]) END
+        |    WHEN language = 'go' THEN
+        |      CASE WHEN starts_with(tl, 'import') OR tl = '(' OR tl = ')' THEN CAST([] AS VARCHAR[])
+        |           WHEN contains(tl, '"') AND regexp_extract(regexp_extract(tl, '"([^"]*)"', 1), '([^/]*)$', 1) <> ''
+        |             THEN [regexp_extract(regexp_extract(tl, '"([^"]*)"', 1), '([^/]*)$', 1)]
+        |           ELSE CAST([] AS VARCHAR[]) END
+        |    ELSE CAST([] AS VARCHAR[]) END AS syms0
+        |  FROM prel3),
+        |impx AS (
+        |  SELECT tenant_id, doc_id, file_path, language, lineno, unnest(syms) AS symbol,
+        |    generate_subscripts(syms, 1) AS ord
+        |  FROM (SELECT tenant_id, doc_id, file_path, language, lineno,
+        |          list_filter(syms0, s -> len(s) >= 2) AS syms
+        |        FROM prel4)),
+        |impe AS (
+        |  SELECT tenant_id, file_path, 'IMPORTS' AS edge_type,
+        |    substr(sha256(tenant_id || '|' || file_path || '|' || file_path || '|file'), 1, 32) AS src_node_id,
+        |    substr(sha256(tenant_id || '||' || symbol || '|module'), 1, 32) AS dst_node_id,
+        |    file_path AS src_symbol, 'file' AS src_type, symbol AS dst_symbol, 'module' AS dst_type
+        |  FROM impx)""".stripMargin
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
   def oracleSql: Map[String, String] = Map(
@@ -1934,6 +2101,23 @@ object SparkEntry {
          |  node_id, symbol_name, file_path, edge_type AS impact_type, depth AS distance
          |FROM rfirst WHERE rn = 1
          |ORDER BY probe_id, impact_rank""".stripMargin,
+    // Graph-extraction twin (graph/extractor/): DISTINCT edge set over
+    // the deterministic chunk axis.
+    "graph_extract" ->
+      s"""WITH $graphExtractCte
+         |SELECT DISTINCT tenant_id, file_path, edge_type, src_node_id, dst_node_id,
+         |  src_symbol, src_type, dst_symbol, dst_type
+         |FROM (SELECT * FROM cont UNION ALL SELECT * FROM callse
+         |      UNION ALL SELECT * FROM typese UNION ALL SELECT * FROM impe)
+         |ORDER BY tenant_id, file_path, edge_type, src_symbol, dst_symbol,
+         |  src_node_id, dst_node_id""".stripMargin,
+    // Import-parser twin (extractor/import_parsers.rs): per-line parse
+    // view with 1-based line/ordinal positions.
+    "import_edges" ->
+      s"""WITH $graphExtractCte
+         |SELECT tenant_id, doc_id, file_path, language, CAST(lineno AS INT) AS lineno,
+         |  CAST(ord AS INT) AS ord, symbol
+         |FROM impx ORDER BY tenant_id, doc_id, lineno, ord""".stripMargin,
     // ELABORATES twin (elaborates_maintenance.rs): the doc_sections
     // depth CTEs feed COVERS_TOPIC records; per concept, every
     // shallower node links to every deeper node by the DepthLevel
