@@ -102,6 +102,7 @@ object SparkEntry {
     "graph_fusion"  -> ((s, d) => GraphFusion.graphFusion(s, d)),
     "graph_context" -> ((s, d) => GraphFusion.graphContext(s, d)),
     "graph_impact"  -> ((s, d) => GraphFusion.graphImpact(s, d)),
+    "cross_boundary" -> ((s, d) => CrossBoundary.crossBoundary(s, d)),
     // Graph relationship extraction (graph/extractor/)
     "graph_extract" -> ((s, d) => GraphExtraction.graphExtract(s, d)),
     "import_edges"  -> ((s, d) => GraphExtraction.importEdges(s, d)),
@@ -2101,6 +2102,113 @@ object SparkEntry {
          |  node_id, symbol_name, file_path, edge_type AS impact_type, depth AS distance
          |FROM rfirst WHERE rn = 1
          |ORDER BY probe_id, impact_rank""".stripMargin,
+    // Cross-boundary twin (graph/cross_boundary.rs +
+    // sqlite_store.rs:762 query_cross_boundary): symmetrized adjacency
+    // replaces the reference CTE's two recursive members; INSTR cycle
+    // gate, tenant relaxation {self, __global__, src2, src5}, per-node
+    // best-row dedup, then apply_fan_out_caps as per-class window ranks.
+    "cross_boundary" ->
+      s"""WITH RECURSIVE $explainsChainCte,
+         |$narrativeGraphCte,
+         |xedges AS (
+         |  SELECT * FROM (
+         |    SELECT doc_node AS src, sym_node AS dst, 'EXPLAINS' AS edge_type,
+         |      CAST(NULL AS DOUBLE) AS weight
+         |    FROM epairs
+         |    UNION ALL
+         |    SELECT node_id AS src,
+         |      'concept:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS dst,
+         |      'COVERS_TOPIC' AS edge_type,
+         |      0.5 + (doc_id % 5) * 0.1 AS weight
+         |    FROM docn
+         |    UNION ALL
+         |    SELECT node_id AS src,
+         |      'concept:' || lpad(CAST((length(symbol_name) * 7 +
+         |        ascii(substr(symbol_name, 1, 1))) % 60 AS VARCHAR), 2, '0') AS dst,
+         |      'IMPLEMENTS_CONCEPT' AS edge_type, 0.9 AS weight
+         |    FROM (SELECT DISTINCT tenant_id, node_id, symbol_name FROM sy))),
+         |xnodes AS (
+         |  SELECT DISTINCT * FROM (
+         |    SELECT tenant_id, node_id, symbol_name, symbol_type, file_path FROM gnodes
+         |    UNION ALL
+         |    SELECT '__global__' AS tenant_id, dst AS node_id,
+         |      'concept-' || CAST(CAST(substr(dst, 9) AS INT) AS VARCHAR) AS symbol_name,
+         |      'concept_node' AS symbol_type, '' AS file_path
+         |    FROM xedges WHERE edge_type <> 'EXPLAINS')),
+         |adjx AS (
+         |  SELECT * FROM (
+         |    SELECT src AS from_id, dst AS to_id, edge_type, weight FROM xedges
+         |    UNION ALL
+         |    SELECT dst AS from_id, src AS to_id, edge_type, weight FROM xedges)),
+         |xprobes AS (
+         |  SELECT DISTINCT source AS probe_id, source AS source_tenant,
+         |    'node:' || source || '/f0.rs:window' AS node_id
+         |  FROM documents),
+         |trav AS (
+         |  SELECT p.probe_id, p.source_tenant, p.node_id, 0 AS depth,
+         |    p.node_id AS path, '' AS edge_type,
+         |    -- CAST pins the recursive column type: a bare 1.0 fixes conf
+         |    -- as DECIMAL(2,1) and silently truncates every product
+         |    CAST(1.0 AS DOUBLE) AS conf
+         |  FROM xprobes p
+         |  WHERE EXISTS (SELECT 1 FROM xnodes n WHERE n.node_id = p.node_id
+         |    AND (n.tenant_id = p.source_tenant
+         |         OR n.tenant_id IN ('__global__', 'src2', 'src5')))
+         |  UNION ALL
+         |  SELECT t.probe_id, t.source_tenant, a.to_id, t.depth + 1,
+         |    t.path || ' -> ' || a.to_id, a.edge_type,
+         |    coalesce(a.weight, 1.0) * (CASE a.edge_type WHEN 'EXPLAINS' THEN 0.6
+         |      WHEN 'COVERS_TOPIC' THEN 0.6 WHEN 'IMPLEMENTS_CONCEPT' THEN 0.7
+         |      ELSE 1.0 END)
+         |  FROM trav t JOIN adjx a ON a.from_id = t.node_id
+         |  JOIN xnodes n ON n.node_id = a.to_id
+         |  WHERE t.depth < 3
+         |    AND instr(t.path, a.to_id) = 0
+         |    AND (n.tenant_id = t.source_tenant
+         |         OR n.tenant_id IN ('__global__', 'src2', 'src5'))),
+         |xbest AS (
+         |  SELECT probe_id, node_id, depth, path, edge_type, conf,
+         |    row_number() OVER (PARTITION BY probe_id, node_id
+         |      ORDER BY depth, conf DESC, path) AS rn
+         |  FROM trav WHERE depth > 0),
+         |xattr AS (
+         |  SELECT b.probe_id, b.node_id, b.depth, b.path, b.edge_type, b.conf,
+         |    n.symbol_name, n.symbol_type, n.file_path, n.tenant_id
+         |  FROM xbest b JOIN xnodes n ON n.node_id = b.node_id
+         |  WHERE b.rn = 1),
+         |xrank AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY conf DESC, depth, node_id) AS grank
+         |  FROM xattr),
+         |xconc AS (
+         |  SELECT probe_id, list(node_id) AS concept_ids
+         |  FROM xrank WHERE symbol_type = 'concept_node' GROUP BY probe_id),
+         |xcap AS (
+         |  SELECT * FROM (
+         |    SELECT r.*,
+         |      row_number() OVER (PARTITION BY r.probe_id, (r.depth = 1)
+         |        ORDER BY r.grank) AS direct_rank,
+         |      row_number() OVER (PARTITION BY r.probe_id, (CASE WHEN r.depth > 1 THEN
+         |          list_filter(string_split(r.path, ' -> '),
+         |            x -> list_contains(coalesce(c.concept_ids, []), x))[-1] END)
+         |        ORDER BY r.grank) AS concept_rank,
+         |      (CASE WHEN r.depth > 1 THEN
+         |          list_filter(string_split(r.path, ' -> '),
+         |            x -> list_contains(coalesce(c.concept_ids, []), x))[-1] END) AS cap_concept
+         |    FROM xrank r LEFT JOIN xconc c USING (probe_id))
+         |  WHERE CASE WHEN depth = 1 THEN direct_rank <= 5
+         |        ELSE cap_concept IS NULL OR concept_rank <= 8 END),
+         |xtot AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY grank) AS total_rank
+         |  FROM xcap)
+         |SELECT probe_id,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY depth, symbol_name, grank) AS INTEGER) AS rank,
+         |  node_id, symbol_name, symbol_type, file_path, tenant_id,
+         |  CAST(depth AS INTEGER) AS depth, edge_type,
+         |  round(conf, 9) AS edge_confidence, path
+         |FROM xtot WHERE total_rank <= 50
+         |ORDER BY probe_id, rank""".stripMargin,
     // Graph-extraction twin (graph/extractor/): DISTINCT edge set over
     // the deterministic chunk axis.
     "graph_extract" ->

@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Cross-boundary graph traversal — the GraphRAG expansion that hops from
+  * code through `__global__` concept nodes into narrative (and library)
+  * tenants (graph/cross_boundary.rs + sqlite_store.rs:762
+  * query_cross_boundary).
+  *
+  * Reference semantics reproduced exactly:
+  *  - Tenant relaxation set `{source_tenant, __global__} ∪ library_tenants`
+  *    (cross_boundary.rs:44); every REACHED node's tenant must be in the
+  *    set, and the traversal may only START from a node inside it (the
+  *    seed-ownership guard at sqlite_store.rs:790).
+  *  - BIDIRECTIONAL expansion: each hop follows an allowed-type edge in
+  *    either direction (two recursive members in the reference CTE — we
+  *    symmetrize the adjacency once, which is equivalent).
+  *  - Cycle avoidance is the reference's literal `INSTR(path, node_id)=0`
+  *    SUBSTRING test on the ` -> `-joined path — a node id that happens
+  *    to be a substring of a visited id is also skipped (e.g. the corpus
+  *    `windo`/`window` symbol pair); both engines reproduce the quirk
+  *    identically.
+  *  - `conf` is the REACHING edge's `coalesce(weight,1) × per-type base`
+  *    (EXPLAINS .6, COVERS_TOPIC .6, IMPLEMENTS_CONCEPT .7, else 1 —
+  *    cross_boundary.rs:30), NOT a product along the path.
+  *  - Per reached node keep the best row by (depth asc, conf desc,
+  *    path asc) — the reference's ROW_NUMBER dedup.
+  *  - apply_fan_out_caps (cross_boundary.rs:69): rank all rows by
+  *    (conf desc, depth asc, node_id asc); cap depth-1 rows at
+  *    max_per_hit; cap deeper rows attributed to a concept (LAST
+  *    concept-node id on the path, membership by the result set's own
+  *    concept nodes) at max_per_concept; keep the first max_total
+  *    survivors; final depth-major stable sort (depth, symbol_name —
+  *    stability totalized by the rank order, i.e. conf desc, node_id).
+  *    The reference's sequential loop is cap-equivalent to per-class
+  *    window ranks because a row is only ever skipped by its OWN class
+  *    cap, so class ordinals are unaffected by other classes' skips.
+  *
+  * Scale: seeds are bounded probe lists, so each hop is one broadcast
+  * join of the frontier against the corpus-shaped adjacency — shuffle ∝
+  * reachable rows, never corpus². Caps/dedup are per-probe windows over
+  * ≤ reachable-set rows.
+  */
+object CrossBoundary {
+
+  val GlobalTenant = "__global__"
+  val MaxHopsCap = 3 // CROSS_BOUNDARY_MAX_HOPS
+  val DefaultMaxPerHit = 5
+  val DefaultMaxPerConcept = 8
+  val DefaultMaxTotal = 50
+
+  /** Per-edge-type base confidence (cross_boundary.rs:30). */
+  def baseConfidence(edgeType: Column): Column =
+    when(edgeType === "EXPLAINS", 0.6)
+      .when(edgeType === "COVERS_TOPIC", 0.6)
+      .when(edgeType === "IMPLEMENTS_CONCEPT", 0.7)
+      .otherwise(1.0)
+
+  /** The §3 `*Of` form. `seeds`: (probe_id, source_tenant, node_id);
+    * `edges`: (src_node_id, dst_node_id, edge_type, weight — nullable);
+    * `nodes`: (tenant_id, node_id, symbol_name, symbol_type, file_path).
+    * Returns the capped traversal, one row per surviving reached node:
+    * (probe_id, rank, node_id, symbol_name, symbol_type, file_path,
+    *  tenant_id, depth, edge_type, edge_confidence, path).
+    */
+  def crossBoundaryOf(seeds: DataFrame, edges: DataFrame, nodes: DataFrame,
+                      edgeTypes: Seq[String], maxHops: Int,
+                      libraryTenants: Seq[String],
+                      maxPerHit: Int = DefaultMaxPerHit,
+                      maxPerConcept: Int = DefaultMaxPerConcept,
+                      maxTotal: Int = DefaultMaxTotal): DataFrame = {
+    val spark = seeds.sparkSession
+    if (edgeTypes.isEmpty || maxHops == 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        crossBoundarySchema)
+    val hops = maxHops.max(1).min(MaxHopsCap)
+
+    def allowedTenant(sourceTenant: Column, tenant: Column): Column =
+      tenant === sourceTenant || tenant.isin((GlobalTenant +: libraryTenants): _*)
+
+    // Bidirectional adjacency: one symmetrized frame, equivalent to the
+    // reference CTE's two recursive members.
+    val typed = edges.filter(col("edge_type").isin(edgeTypes: _*))
+      .select(col("src_node_id"), col("dst_node_id"), col("edge_type"),
+        col("weight").cast("double").as("weight"))
+    val adj = typed.select(col("src_node_id").as("from_id"),
+        col("dst_node_id").as("to_id"), col("edge_type"), col("weight"))
+      .unionByName(typed.select(col("dst_node_id").as("from_id"),
+        col("src_node_id").as("to_id"), col("edge_type"), col("weight")))
+
+    val nodeT = nodes.select(col("node_id").as("n_id"),
+      col("tenant_id").as("n_tenant"))
+
+    // Seed-ownership guard: the seed node must exist inside the
+    // relaxation set.
+    val frontier0 = seeds
+      .join(nodeT, seeds("node_id") === nodeT("n_id"))
+      .filter(allowedTenant(col("source_tenant"), col("n_tenant")))
+      .select(col("probe_id"), col("source_tenant"), col("node_id"),
+        lit(0).as("depth"), col("node_id").as("path"),
+        lit("").as("edge_type"), lit(1.0).as("conf"))
+
+    var frontier = frontier0
+    var acc: DataFrame = null
+    for (d <- 1 to hops) {
+      val f = frontier.as("f")
+      val step = broadcast(f).join(adj.as("a"),
+          col("a.from_id") === col("f.node_id"))
+        // cycle gate: the reference's literal substring INSTR test
+        .filter(!col("f.path").contains(col("a.to_id")))
+        .join(nodeT, col("a.to_id") === nodeT("n_id"))
+        .filter(allowedTenant(col("f.source_tenant"), col("n_tenant")))
+        .select(col("f.probe_id").as("probe_id"),
+          col("f.source_tenant").as("source_tenant"),
+          col("a.to_id").as("node_id"), lit(d).as("depth"),
+          concat(col("f.path"), lit(" -> "), col("a.to_id")).as("path"),
+          col("a.edge_type").as("edge_type"),
+          (coalesce(col("a.weight"), lit(1.0)) *
+            baseConfidence(col("a.edge_type"))).as("conf"))
+      acc = if (acc == null) step else acc.unionByName(step)
+      frontier = step
+    }
+
+    // Best row per reached node (sqlite_store.rs ranked CTE).
+    val best = acc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("probe_id"), col("node_id"))
+          .orderBy(col("depth"), col("conf").desc, col("path"))))
+      .filter(col("rn") === 1)
+      .join(nodes, Seq("node_id"))
+
+    // apply_fan_out_caps as per-class window ranks.
+    val ranked = best.withColumn("grank", row_number().over(
+      Window.partitionBy(col("probe_id"))
+        .orderBy(col("conf").desc, col("depth"), col("node_id"))))
+    val concepts = ranked.filter(col("symbol_type") === "concept_node")
+      .groupBy(col("probe_id")).agg(collect_set(col("node_id")).as("concept_ids"))
+    val attributed = ranked
+      .join(concepts, Seq("probe_id"), "left")
+      .withColumn("via_concept", try_element_at(
+        filter(split(col("path"), " -> "),
+          c => array_contains(coalesce(col("concept_ids"),
+            array().cast("array<string>")), c)), lit(-1)))
+      // depth-1 rows consume ONLY direct budget (the reference's loop
+      // `continue`s before the concept branch), so the concept-rank
+      // partition must exclude them — cap_concept is null for them.
+      .withColumn("cap_concept", when(col("depth") > 1, col("via_concept")))
+      .withColumn("direct_rank", row_number().over(
+        Window.partitionBy(col("probe_id"), col("depth") === 1)
+          .orderBy(col("grank"))))
+      .withColumn("concept_rank", row_number().over(
+        Window.partitionBy(col("probe_id"), col("cap_concept"))
+          .orderBy(col("grank"))))
+    val capped = attributed.filter(
+      when(col("depth") === 1, col("direct_rank") <= maxPerHit)
+        .otherwise(col("cap_concept").isNull ||
+          col("concept_rank") <= maxPerConcept))
+      .withColumn("total_rank", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("grank"))))
+      .filter(col("total_rank") <= maxTotal)
+
+    // Final depth-major stable sort; stability totalized by the kept
+    // (grank) order.
+    capped
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("depth"), col("symbol_name"), col("grank"))))
+      .select(col("probe_id"), col("rank"), col("node_id"),
+        col("symbol_name"), col("symbol_type"), col("file_path"),
+        col("tenant_id"), col("depth"), col("edge_type"),
+        round(col("conf"), 9).as("edge_confidence"), col("path"))
+  }
+
+  private def crossBoundarySchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("probe_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("node_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("symbol_name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("symbol_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tenant_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("depth",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("edge_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("edge_confidence",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType)))
+
+  // ── Corpus graph: narrative EXPLAINS + __global__ concept layer ────────
+
+  /** 60 global concepts; a doc covers concept `doc_id % 60` with a
+    * varying edge weight, a symbol implements concept
+    * `(7·len(name) + ascii(first)) % 60` at weight 0.9 — both arithmetic
+    * so the oracle derives the identical layer. */
+  def conceptId(k: Column): Column =
+    concat(lit("concept:"), lpad(k.cast("string"), 2, "0"))
+
+  def conceptGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source").as("tenant_id"),
+        Explains.corpusFilePath.as("file_path"),
+        concat(lit("doc"), col("doc_id")).as("symbol_name"),
+        when(col("doc_id") % 7 === 3, lit("text")).otherwise(lit("module"))
+          .as("chunk_type"))
+      .withColumn("node_id", GraphFusion.computeNodeId(
+        col("tenant_id"), col("file_path"), col("symbol_name"), col("chunk_type")))
+    val covers = docs.select(
+      col("node_id").as("src_node_id"),
+      conceptId(col("doc_id") % 60).as("dst_node_id"),
+      lit("COVERS_TOPIC").as("edge_type"),
+      (lit(0.5) + (col("doc_id") % 5).cast("double") * 0.1).as("weight"),
+      (col("doc_id") % 60).as("k"))
+    val syms = Explains.corpusSymbols(spark, dir)
+      .select(col("tenant_id"), col("node_id"), col("symbol_name")).distinct()
+    val implementsE = syms.select(
+      col("node_id").as("src_node_id"),
+      conceptId((length(col("symbol_name")) * 7 +
+        ascii(substring(col("symbol_name"), 1, 1))) % 60).as("dst_node_id"),
+      lit("IMPLEMENTS_CONCEPT").as("edge_type"),
+      lit(0.9).as("weight"),
+      ((length(col("symbol_name")) * 7 +
+        ascii(substring(col("symbol_name"), 1, 1))) % 60).as("k"))
+    val edges = covers.unionByName(implementsE)
+    val conceptNodes = edges.select(col("k")).distinct()
+      .select(lit(GlobalTenant).as("tenant_id"),
+        conceptId(col("k")).as("node_id"),
+        concat(lit("concept-"), col("k")).as("symbol_name"),
+        lit("concept_node").as("symbol_type"), lit("").as("file_path"))
+    (edges.drop("k"), conceptNodes)
+  }
+
+  /** cross_boundary query: one probe per tenant seeded at its `window`
+    * symbol node, expanded ≤3 hops over EXPLAINS + COVERS_TOPIC +
+    * IMPLEMENTS_CONCEPT with `src2`/`src5` as library tenants — code →
+    * concept → foreign-tenant narrative traversal with all three caps
+    * live. */
+  def crossBoundary(spark: SparkSession, dir: String,
+                    symbol: String = "window",
+                    libraryTenants: Seq[String] = Seq("src2", "src5")): DataFrame = {
+    val (exEdges, exNodes) = GraphFusion.explainsGraph(spark, dir)
+    // raw EXPLAINS only — bidirectional traversal replaces the
+    // symmetric _REVERSE materialization the fusion pass needs
+    val explains = exEdges.filter(col("edge_type") === "EXPLAINS")
+      .select(col("src_node_id"), col("dst_node_id"), col("edge_type"),
+        lit(null).cast("double").as("weight"))
+    val (cEdges, cNodes) = conceptGraph(spark, dir)
+    val edges = explains.unionByName(cEdges)
+    val nodes = exNodes.unionByName(cNodes).distinct()
+    val probes = Tables.documents(spark, dir)
+      .select(col("source").as("tenant_id")).distinct()
+      .select(col("tenant_id").as("probe_id"),
+        col("tenant_id").as("source_tenant"),
+        concat(lit("node:"), col("tenant_id"), lit("/f0.rs:"), lit(symbol))
+          .as("node_id"))
+    crossBoundaryOf(probes, edges, nodes,
+        Seq("EXPLAINS", "COVERS_TOPIC", "IMPLEMENTS_CONCEPT"),
+        maxHops = 3, libraryTenants = libraryTenants)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+}

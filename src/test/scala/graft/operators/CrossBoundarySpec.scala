@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Reference vectors for cross-boundary traversal
+  * (graph/tests/cross_boundary_tests.rs — all ten), plus the INSTR
+  * substring-cycle quirk both engines reproduce by contract.
+  *
+  * The fixture graph mirrors build_cross_domain:
+  * {{{
+  *   code_a (project_a)  --IMPLEMENTS_CONCEPT(0.9)-->  concept (__global__)
+  *   lib_sec (local_lib) --COVERS_TOPIC(0.8)-->        concept
+  *   doc_a (project_a)   --EXPLAINS(1.0)-->            code_a
+  *   code_b (project_b)  --IMPLEMENTS_CONCEPT(0.95)--> concept   (foreign)
+  * }}}
+  */
+class CrossBoundarySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val AllTypes = Seq("IMPLEMENTS_CONCEPT", "COVERS_TOPIC", "EXPLAINS")
+
+  private def seedsDf(rows: Seq[(String, String, String)]): DataFrame =
+    rows.toDF("probe_id", "source_tenant", "node_id")
+
+  private def edgesDf(rows: Seq[(String, String, String, Double)]): DataFrame =
+    rows.toDF("src_node_id", "dst_node_id", "edge_type", "weight")
+
+  private def nodesDf(rows: Seq[(String, String, String, String, String)]): DataFrame =
+    rows.toDF("tenant_id", "node_id", "symbol_name", "symbol_type", "file_path")
+
+  private val crossNodes = nodesDf(Seq(
+    ("project_a", "code_a", "fn_a", "function", "a.rs"),
+    ("project_a", "doc_a", "sec_a", "document_section", "a.md"),
+    ("__global__", "concept", "caching", "concept_node", ""),
+    ("local_lib", "lib_sec", "lib_caching", "library_section", "book.md"),
+    ("project_b", "code_b", "fn_b", "function", "b.rs")))
+
+  private val crossEdges = edgesDf(Seq(
+    ("code_a", "concept", "IMPLEMENTS_CONCEPT", 0.9),
+    ("lib_sec", "concept", "COVERS_TOPIC", 0.8),
+    ("doc_a", "code_a", "EXPLAINS", 1.0),
+    ("code_b", "concept", "IMPLEMENTS_CONCEPT", 0.95)))
+
+  private def run(seeds: Seq[(String, String, String)],
+                  edges: DataFrame = crossEdges, nodes: DataFrame = crossNodes,
+                  hops: Int = 2, libs: Seq[String] = Seq.empty,
+                  types: Seq[String] = AllTypes,
+                  perHit: Int = 5, perConcept: Int = 8, total: Int = 50) =
+    CrossBoundary.crossBoundaryOf(seedsDf(seeds), edges, nodes, types, hops,
+        libs, perHit, perConcept, total)
+      .collect().map(r => (r.getString(2), r.getInt(7), r.getDouble(9), r.getString(6)))
+    // (node_id, depth, edge_confidence, tenant_id)
+
+  // test_forward_reaches_global_concept
+  test("forward traversal reaches the global concept at weight x base") {
+    val out = run(Seq(("p", "project_a", "code_a")))
+    val concept = out.find(_._1 == "concept")
+    assert(concept.isDefined, s"should reach global concept, got ${out.toSeq}")
+    assert(concept.get._4 === "__global__")
+    assert(math.abs(concept.get._3 - 0.63) < 1e-9) // 0.9 x 0.7
+  }
+
+  // test_tenant_guard_excludes_foreign_and_includes_library
+  test("tenant guard excludes foreign tenants and includes library tenants") {
+    val withLib = run(Seq(("p", "project_a", "code_a")), libs = Seq("local_lib"))
+    assert(withLib.exists(_._1 == "lib_sec"), "library section reachable with LIB relaxed")
+    assert(!withLib.exists(_._1 == "code_b"), "foreign project_b symbol excluded")
+
+    val noLib = run(Seq(("p", "project_a", "code_a")))
+    assert(!noLib.exists(_._1 == "lib_sec"), "library section excluded without LIB")
+  }
+
+  // test_reverse_arm_from_concept
+  test("reverse arm surfaces nodes pointing into a concept seed") {
+    val out = run(Seq(("p", "project_a", "concept")), hops = 1, libs = Seq("local_lib"))
+    assert(out.exists(_._1 == "code_a"), "reverse to code_a")
+    assert(out.exists(_._1 == "lib_sec"), "reverse to lib_sec")
+    assert(!out.exists(_._1 == "code_b"), "foreign excluded via reverse arm")
+  }
+
+  // test_explains_reverse_reaches_doc
+  test("EXPLAINS reverse arm reaches the explaining doc at base 0.6") {
+    val out = run(Seq(("p", "project_a", "code_a")), hops = 1)
+    val doc = out.find(_._1 == "doc_a")
+    assert(doc.isDefined, "should reach doc_a via reverse EXPLAINS")
+    assert(math.abs(doc.get._3 - 0.6) < 1e-9) // 1.0 x 0.6
+  }
+
+  // test_dedup_high_degree_concept_appears_once
+  test("high-degree concept is deduplicated to one row at min depth") {
+    val syms = (0 until 30).map(i => ("project_a", s"sym_$i", s"s$i", "function", s"f$i.rs"))
+    val nodes = nodesDf(syms :+ (("__global__", "concept", "topic", "concept_node", "")))
+    val edges = edgesDf((0 until 30).map(i => (s"sym_$i", "concept", "IMPLEMENTS_CONCEPT", 0.5)))
+    val out = run(Seq(("p", "project_a", "sym_0")), edges = edges, nodes = nodes)
+    val conceptRows = out.filter(_._1 == "concept")
+    assert(conceptRows.length === 1, "concept must be de-duplicated to one row")
+    assert(conceptRows.head._2 === 1, "min depth wins")
+  }
+
+  // test_empty_edge_types_or_zero_hops_returns_empty
+  test("empty edge types or zero hops returns empty") {
+    assert(run(Seq(("p", "project_a", "code_a")), types = Seq.empty).isEmpty)
+    assert(run(Seq(("p", "project_a", "code_a")), hops = 0).isEmpty)
+  }
+
+  // test_per_hit_cap_limits_direct_expansions
+  test("per-hit cap bounds direct (depth-1) expansions") {
+    val concepts = (0 until 10).map(i => ("__global__", s"c$i", s"c$i", "concept_node", ""))
+    val nodes = nodesDf(concepts :+ (("project_a", "src_fn", "src_fn", "function", "s.rs")))
+    val edges = edgesDf((0 until 10).map(i =>
+      ("src_fn", s"c$i", "IMPLEMENTS_CONCEPT", 0.5 + i * 0.01)))
+    val out = run(Seq(("p", "project_a", "src_fn")), edges = edges, nodes = nodes,
+      hops = 1, perHit = 3)
+    assert(out.count(_._2 == 1) === 3, "per-hit cap keeps only 3 direct expansions")
+    // ranked by confidence desc: the three highest-weight edges survive
+    assert(out.map(_._1).toSet === Set("c9", "c8", "c7"))
+  }
+
+  // test_per_concept_cap_limits_supernode_fanout
+  test("per-concept cap bounds hop-2 fan-out through a supernode") {
+    val others = (0 until 20).map(i => ("project_a", s"o$i", s"o$i", "function", s"o$i.rs"))
+    val nodes = nodesDf(others ++ Seq(
+      ("__global__", "hub", "hub", "concept_node", ""),
+      ("project_a", "seed", "seed", "function", "s.rs")))
+    val edges = edgesDf(("seed", "hub", "IMPLEMENTS_CONCEPT", 0.9) +:
+      (0 until 20).map(i => (s"o$i", "hub", "IMPLEMENTS_CONCEPT", 0.5)))
+    val out = run(Seq(("p", "project_a", "seed")), edges = edges, nodes = nodes,
+      perConcept = 4)
+    assert(out.count(_._2 == 2) <= 4, s"per-concept cap bounds hop-2 fan-out, got ${out.count(_._2 == 2)}")
+  }
+
+  // test_total_cap
+  test("total cap bounds the result set") {
+    val concepts = (0 until 12).map(i => ("__global__", s"c$i", s"c$i", "concept_node", ""))
+    val nodes = nodesDf(concepts :+ (("project_a", "seed", "seed", "function", "s.rs")))
+    val edges = edgesDf((0 until 12).map(i => ("seed", s"c$i", "IMPLEMENTS_CONCEPT", 0.5)))
+    val out = run(Seq(("p", "project_a", "seed")), edges = edges, nodes = nodes,
+      hops = 1, perHit = 100, perConcept = 100, total = 5)
+    assert(out.length === 5, "total cap must bound result set to 5")
+  }
+
+  // test_seed_guard_rejects_foreign_source_node
+  test("seed guard rejects a foreign source node") {
+    val forged = run(Seq(("p", "project_a", "code_b")), hops = 3, libs = Seq("local_lib"))
+    assert(forged.isEmpty, s"forged foreign seed must yield nothing, got ${forged.toSeq}")
+    val owned = run(Seq(("p", "project_b", "code_b")))
+    assert(owned.nonEmpty, "legitimate owner reaches the global concept")
+  }
+
+  // The reference's INSTR(path, node_id) cycle test is a SUBSTRING check:
+  // a node id that is a strict prefix (or any substring) of a visited id
+  // is skipped even though it was never visited. Reproduced by contract.
+  test("INSTR cycle gate skips node ids that substring-match the path") {
+    val nodes = nodesDf(Seq(
+      ("t", "seed", "seed", "function", "s.rs"),
+      ("t", "node:window", "window", "function", "w.rs"),
+      ("t", "node:windo", "windo", "function", "w2.rs")))
+    val edges = edgesDf(Seq(
+      ("seed", "node:window", "EXPLAINS", 1.0),
+      ("node:window", "node:windo", "EXPLAINS", 1.0)))
+    val out = run(Seq(("p", "t", "seed")), edges = edges, nodes = nodes, hops = 2)
+    assert(out.exists(_._1 == "node:window"))
+    assert(!out.exists(_._1 == "node:windo"),
+      "windo is a substring of the visited window id -> skipped by the INSTR quirk")
+    // control: reached from a non-overlapping path, windo IS reachable
+    // (seeding at node:window itself would ALSO block it — the seed id
+    // sits on the path and substring-contains node:windo)
+    val direct = run(Seq(("p", "t", "seed")),
+      edges = edgesDf(Seq(("seed", "node:windo", "EXPLAINS", 1.0))),
+      nodes = nodes, hops = 1)
+    assert(direct.exists(_._1 == "node:windo"))
+  }
+
+  // Deeper rows not attributed to any concept bypass the per-concept cap
+  // (apply_fan_out_caps: via_concept None -> kept subject only to total).
+  test("depth-2 rows with no concept on the path bypass the per-concept cap") {
+    val mids = (0 until 6).map(i => ("t", s"mid_$i", s"m$i", "function", s"m$i.rs"))
+    val nodes = nodesDf(mids ++ Seq(
+      ("t", "seed", "seed", "function", "s.rs"),
+      ("t", "leaf_a", "la", "function", "la.rs"),
+      ("t", "leaf_b", "lb", "function", "lb.rs")))
+    // seed -> mid_i (depth 1), mid_0 -> leaf_a, mid_1 -> leaf_b (depth 2,
+    // no concept_node anywhere): per-concept cap 1 must NOT drop either leaf
+    val edges = edgesDf((0 until 6).map(i => ("seed", s"mid_$i", "EXPLAINS", 1.0)) ++
+      Seq(("mid_0", "leaf_a", "EXPLAINS", 1.0), ("mid_1", "leaf_b", "EXPLAINS", 1.0)))
+    val out = run(Seq(("p", "t", "seed")), edges = edges, nodes = nodes,
+      hops = 2, perHit = 6, perConcept = 1)
+    assert(out.exists(_._1 == "leaf_a") && out.exists(_._1 == "leaf_b"))
+  }
+}
