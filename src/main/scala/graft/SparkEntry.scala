@@ -103,6 +103,9 @@ object SparkEntry {
     "graph_context" -> ((s, d) => GraphFusion.graphContext(s, d)),
     "graph_impact"  -> ((s, d) => GraphFusion.graphImpact(s, d)),
     "cross_boundary" -> ((s, d) => CrossBoundary.crossBoundary(s, d)),
+    "find_path"      -> ((s, d) => GraphQueries.findPath(s, d)),
+    "graph_stats"    -> ((s, d) => GraphQueries.graphStats(s, d)),
+    "graph_orphans"  -> ((s, d) => GraphQueries.graphOrphans(s, d)),
     // Graph relationship extraction (graph/extractor/)
     "graph_extract" -> ((s, d) => GraphExtraction.graphExtract(s, d)),
     "import_edges"  -> ((s, d) => GraphExtraction.importEdges(s, d)),
@@ -2209,6 +2212,77 @@ object SparkEntry {
          |  round(conf, 9) AS edge_confidence, path
          |FROM xtot WHERE total_rank <= 50
          |ORDER BY probe_id, rank""".stripMargin,
+    // find_path twin (sqlite_store.rs:456): directed BFS with the
+    // ','-joined INSTR path gate, min-(depth, path) winner, and the
+    // enumerate-then-skip per-hop node re-join.
+    "find_path" ->
+      s"""WITH RECURSIVE $explainsChainCte,
+         |$narrativeGraphCte,
+         |fprobes AS (
+         |  SELECT DISTINCT source AS probe_id, source AS tenant_id,
+         |    'node:' || source || '/f0.rs:window' AS source_id,
+         |    'node:' || source || '/f0.rs:batch' AS target_id
+         |  FROM documents),
+         |bfs AS (
+         |  SELECT p.probe_id, p.tenant_id, p.target_id,
+         |    p.source_id AS node_id, 0 AS depth, p.source_id AS path
+         |  FROM fprobes p
+         |  UNION ALL
+         |  SELECT b.probe_id, b.tenant_id, b.target_id, e.dst,
+         |    b.depth + 1, b.path || ',' || e.dst
+         |  FROM bfs b JOIN gedges e
+         |    ON e.tenant_id = b.tenant_id AND e.src = b.node_id
+         |  WHERE b.depth < 4 AND instr(b.path, e.dst) = 0),
+         |fwin AS (
+         |  SELECT * FROM (
+         |    SELECT b.probe_id, b.tenant_id, b.path,
+         |      row_number() OVER (PARTITION BY b.probe_id
+         |        ORDER BY b.depth, b.path) AS rn
+         |    FROM bfs b JOIN gnodes n
+         |      ON n.tenant_id = b.tenant_id AND n.node_id = b.node_id
+         |    WHERE b.node_id = b.target_id)
+         |  WHERE rn = 1),
+         |fex AS (
+         |  SELECT probe_id, tenant_id, unnest(ids) AS node_id,
+         |    generate_subscripts(ids, 1) - 1 AS hop
+         |  FROM (SELECT probe_id, tenant_id, string_split(path, ',') AS ids
+         |        FROM fwin))
+         |SELECT f.probe_id, CAST(f.hop AS INT) AS hop, f.node_id,
+         |  n.symbol_name, n.symbol_type, n.file_path, f.tenant_id,
+         |  CAST(1.0 AS DOUBLE) AS edge_confidence
+         |FROM fex f JOIN gnodes n
+         |  ON n.tenant_id = f.tenant_id AND n.node_id = f.node_id
+         |ORDER BY probe_id, hop""".stripMargin,
+    // stats twin (sqlite_store.rs:343): node counts by symbol_type +
+    // edge counts by edge_type, all four scoping modes as one
+    // GROUPING SETS pass.
+    "graph_stats" ->
+      s"""WITH $explainsChainCte,
+         |$narrativeGraphCte,
+         |srows AS (
+         |  SELECT tenant_id, 'node' AS kind, symbol_type AS type_name FROM gnodes
+         |  UNION ALL
+         |  SELECT tenant_id, 'edge' AS kind, edge_type AS type_name FROM gedges)
+         |SELECT CAST(grouping(tenant_id) * 2 + grouping(type_name) AS INT) AS lvl,
+         |  kind, tenant_id, type_name, count(*) AS cnt
+         |FROM srows
+         |GROUP BY GROUPING SETS ((kind, tenant_id, type_name),
+         |  (kind, tenant_id), (kind, type_name), (kind))
+         |ORDER BY lvl, kind, tenant_id, type_name""".stripMargin,
+    // prune_orphans selection twin (sqlite_store.rs:440): tenant nodes
+    // with no incident same-tenant edge.
+    "graph_orphans" ->
+      s"""WITH $explainsChainCte,
+         |$narrativeGraphCte
+         |SELECT n.tenant_id, n.node_id, n.symbol_name, n.symbol_type, n.file_path
+         |FROM gnodes n
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM (
+         |    SELECT tenant_id, src AS node_id FROM gedges
+         |    UNION ALL
+         |    SELECT tenant_id, dst AS node_id FROM gedges) e
+         |  WHERE e.tenant_id = n.tenant_id AND e.node_id = n.node_id)
+         |ORDER BY tenant_id, node_id""".stripMargin,
     // Graph-extraction twin (graph/extractor/): DISTINCT edge set over
     // the deterministic chunk axis.
     "graph_extract" ->

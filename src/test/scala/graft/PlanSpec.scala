@@ -204,4 +204,23 @@ class PlanSpec extends SparkSpec {
       "the 190-row taxonomy must be the broadcast side:\n" + p.take(2000))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("cross-boundary hops are key-equality frontier joins, never a cross product") {
+    val p = plan("cross_boundary")
+    assert(!p.contains("CartesianProduct"), "cross_boundary must not cross-join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded frontier must broadcast past the adjacency:\n" + p.take(2000))
+  }
+
+  test("find_path BFS joins the frontier broadcast on (tenant, node)") {
+    val p = plan("find_path")
+    assert(!p.contains("CartesianProduct"), "find_path must not cross-join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("orphan detection is one left-anti join, no cross product") {
+    val p = plan("graph_orphans")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftAnti"), "orphans must anti-join the endpoint set:\n" + p.take(2000))
+  }
 }
