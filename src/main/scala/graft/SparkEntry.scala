@@ -106,6 +106,7 @@ object SparkEntry {
     "find_path"      -> ((s, d) => GraphQueries.findPath(s, d)),
     "graph_stats"    -> ((s, d) => GraphQueries.graphStats(s, d)),
     "graph_orphans"  -> ((s, d) => GraphQueries.graphOrphans(s, d)),
+    "narrative_query" -> ((s, d) => GraphQueries.narrativeQuery(s, d)),
     // Graph relationship extraction (graph/extractor/)
     "graph_extract" -> ((s, d) => GraphExtraction.graphExtract(s, d)),
     "import_edges"  -> ((s, d) => GraphExtraction.importEdges(s, d)),
@@ -2269,6 +2270,99 @@ object SparkEntry {
          |GROUP BY GROUPING SETS ((kind, tenant_id, type_name),
          |  (kind, tenant_id), (kind, type_name), (kind))
          |ORDER BY lvl, kind, tenant_id, type_name""".stripMargin,
+    // NarrativeQuery RPC twin (grpc narrative_query.rs): multi-seed
+    // bidirectional traversal with the `|`-delimited EXACT-id visited
+    // gate, direction-annotated paths, tenant-scoped edges but a
+    // tenant-AGNOSTIC node attribute join, narrative-type output
+    // filter, per-node (depth, edge_type) best row, 40-result cap.
+    "narrative_query" ->
+      s"""WITH RECURSIVE $explainsChainCte,
+         |$narrativeGraphCte,
+         |nqe AS (
+         |  SELECT * FROM (
+         |    SELECT tenant_id, doc_node AS src, sym_node AS dst,
+         |      'EXPLAINS' AS edge_type
+         |    FROM epairs
+         |    UNION ALL
+         |    SELECT tenant_id, node_id AS src,
+         |      'concept:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS dst,
+         |      'COVERS_TOPIC' AS edge_type
+         |    FROM docn
+         |    UNION ALL
+         |    SELECT tenant_id, node_id AS src,
+         |      'concept:' || lpad(CAST((length(symbol_name) * 7 +
+         |        ascii(substr(symbol_name, 1, 1))) % 60 AS VARCHAR), 2, '0') AS dst,
+         |      'IMPLEMENTS_CONCEPT' AS edge_type
+         |    FROM (SELECT DISTINCT tenant_id, node_id, symbol_name FROM sy))),
+         |nqn AS (
+         |  SELECT DISTINCT * FROM (
+         |    SELECT tenant_id, node_id, symbol_name,
+         |      CASE WHEN symbol_type IN ('module', 'text')
+         |        THEN 'document_section' ELSE symbol_type END AS symbol_type,
+         |      file_path
+         |    FROM gnodes
+         |    UNION ALL
+         |    SELECT '__global__' AS tenant_id, dst AS node_id,
+         |      'concept-' || CAST(CAST(substr(dst, 9) AS INT) AS VARCHAR) AS symbol_name,
+         |      'concept_node' AS symbol_type, '' AS file_path
+         |    FROM nqe WHERE edge_type <> 'EXPLAINS')),
+         |nqadj AS (
+         |  SELECT * FROM (
+         |    SELECT tenant_id, src AS from_id, dst AS to_id, edge_type,
+         |      ' -> ' AS dir FROM nqe
+         |    UNION ALL
+         |    SELECT tenant_id, dst AS from_id, src AS to_id, edge_type,
+         |      ' <- ' AS dir FROM nqe)),
+         |nqprobes AS (SELECT DISTINCT source AS probe_id, source AS tenant_id
+         |  FROM documents),
+         |nqseeds AS (
+         |  SELECT * FROM (
+         |    SELECT p.probe_id, p.tenant_id, n.node_id,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY n.node_id) AS srank
+         |    FROM nqprobes p JOIN nqn n
+         |      ON n.tenant_id = p.tenant_id AND n.symbol_name = 'window'
+         |     AND n.symbol_type NOT IN ('document_section', 'code_comment',
+         |       'docstring', 'library_section', 'concept_node'))
+         |  WHERE srank <= 100),
+         |nqh1 AS (
+         |  SELECT s.probe_id, s.tenant_id, a.to_id AS node_id, a.edge_type,
+         |    1 AS depth,
+         |    a.from_id || a.dir || a.to_id AS path,
+         |    '|' || a.from_id || '|' || a.to_id || '|' AS visited
+         |  FROM nqseeds s JOIN nqadj a
+         |    ON a.tenant_id = s.tenant_id AND a.from_id = s.node_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM nqseeds s2
+         |    WHERE s2.probe_id = s.probe_id AND s2.node_id = a.to_id)),
+         |nqt AS (
+         |  SELECT probe_id, tenant_id, node_id, edge_type, depth, path, visited
+         |  FROM nqh1
+         |  UNION ALL
+         |  SELECT t.probe_id, t.tenant_id, a.to_id, a.edge_type, t.depth + 1,
+         |    t.path || a.dir || a.to_id,
+         |    t.visited || a.to_id || '|'
+         |  FROM nqt t JOIN nqadj a
+         |    ON a.tenant_id = t.tenant_id AND a.from_id = t.node_id
+         |  WHERE t.depth < 2
+         |    AND instr(t.visited, '|' || a.to_id || '|') = 0),
+         |nqr AS (
+         |  SELECT * FROM (
+         |    SELECT t.probe_id, t.node_id, t.edge_type, t.depth, t.path,
+         |      n.symbol_name, n.symbol_type, n.file_path,
+         |      row_number() OVER (PARTITION BY t.probe_id, t.node_id
+         |        ORDER BY t.depth, t.edge_type, t.path) AS rn
+         |    FROM nqt t JOIN nqn n ON n.node_id = t.node_id
+         |    WHERE n.symbol_type IN ('document_section', 'code_comment',
+         |      'docstring', 'library_section', 'concept_node'))
+         |  WHERE rn = 1)
+         |SELECT * FROM (
+         |  SELECT probe_id,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY depth, symbol_name, node_id) AS INTEGER) AS nrank,
+         |    node_id, symbol_name, symbol_type, file_path, edge_type,
+         |    CAST(depth AS INT) AS depth, path
+         |  FROM nqr)
+         |WHERE nrank <= 40
+         |ORDER BY probe_id, nrank""".stripMargin,
     // prune_orphans selection twin (sqlite_store.rs:440): tenant nodes
     // with no incident same-tenant edge.
     "graph_orphans" ->

@@ -220,6 +220,7 @@ object CrossBoundary {
       .withColumn("node_id", GraphFusion.computeNodeId(
         col("tenant_id"), col("file_path"), col("symbol_name"), col("chunk_type")))
     val covers = docs.select(
+      col("tenant_id"),
       col("node_id").as("src_node_id"),
       conceptId(col("doc_id") % 60).as("dst_node_id"),
       lit("COVERS_TOPIC").as("edge_type"),
@@ -228,6 +229,7 @@ object CrossBoundary {
     val syms = Explains.corpusSymbols(spark, dir)
       .select(col("tenant_id"), col("node_id"), col("symbol_name")).distinct()
     val implementsE = syms.select(
+      col("tenant_id"),
       col("node_id").as("src_node_id"),
       conceptId((length(col("symbol_name")) * 7 +
         ascii(substring(col("symbol_name"), 1, 1))) % 60).as("dst_node_id"),
@@ -259,7 +261,7 @@ object CrossBoundary {
       .select(col("src_node_id"), col("dst_node_id"), col("edge_type"),
         lit(null).cast("double").as("weight"))
     val (cEdges, cNodes) = conceptGraph(spark, dir)
-    val edges = explains.unionByName(cEdges)
+    val edges = explains.unionByName(cEdges.drop("tenant_id"))
     val nodes = exNodes.unionByName(cNodes).distinct()
     val probes = Tables.documents(spark, dir)
       .select(col("source").as("tenant_id")).distinct()

@@ -161,4 +161,160 @@ object GraphQueries {
     orphansOf(nodes, edges)
       .orderBy(col("tenant_id"), col("node_id"))
   }
+
+  // ── NarrativeQuery RPC (grpc graph_service/narrative_query.rs) ────────
+
+  /** The five narrative node types the RPC returns
+    * (narrative_query.rs:15 NARRATIVE_TYPES). */
+  val NarrativeTypes: Seq[String] = Seq(
+    "document_section", "code_comment", "docstring", "library_section",
+    "concept_node")
+
+  /** find_seed_nodes (narrative_query.rs:188): symbol queries resolve
+    * (tenant, name) over NON-narrative node types; concept queries
+    * resolve the name GLOBALLY over concept_node. The reference's bare
+    * `LIMIT 100` has no ORDER BY — totalized by node_id asc, a
+    * documented refinement. */
+  def resolveNarrativeSeeds(probes: DataFrame, nodes: DataFrame,
+                            isConcept: Boolean): DataFrame = {
+    val matched =
+      if (isConcept)
+        probes.select(col("probe_id"), col("tenant_id").as("probe_tenant"),
+            col("query_name"))
+          .join(nodes.filter(col("symbol_type") === "concept_node"),
+            col("query_name") === col("symbol_name"))
+      else
+        probes.select(col("probe_id"), col("tenant_id").as("probe_tenant"),
+            col("query_name"))
+          .join(nodes.filter(!col("symbol_type").isin(NarrativeTypes: _*)),
+            col("query_name") === col("symbol_name") &&
+              col("probe_tenant") === col("tenant_id"))
+    matched
+      .withColumn("srank", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("node_id"))))
+      .filter(col("srank") <= 100)
+      .select(col("probe_id"), col("probe_tenant").as("tenant_id"), col("node_id"))
+  }
+
+  /** execute_narrative_query's traversal (narrative_query.rs:38):
+    * bidirectional expansion whose four CTE arms collapse to TWO over a
+    * direction-annotated symmetrized adjacency (` -> ` forward,
+    * ` <- ` backward); hop-1 rows exclude the probe's OWN seed set as
+    * targets; cycle prevention is the `|`-delimited EXACT-id visited
+    * check (INSTR on `|id|` — deliberately unlike cross_boundary's raw
+    * substring quirk); edges are tenant-scoped, the node attribute join
+    * is NOT (concept ids are global); output filtered to the five
+    * narrative types, one row per node by (depth, edge_type) rank,
+    * ordered (depth, symbol_name) and capped at max_results per probe.
+    * The reference leaves the rank and order ties unspecified
+    * (unordered SELECT) — totalized with path / node_id ascending.
+    * `metadata_json` is pass-through edge payload the corpus does not
+    * carry; omitted.
+    *
+    * Scale: seeds are a bounded probe axis (≤100 per probe), each hop
+    * one broadcast frontier join over the corpus-shaped edge table —
+    * the same posture as crossBoundaryOf.
+    */
+  def narrativeQueryOf(seeds: DataFrame, edges: DataFrame, nodes: DataFrame,
+                       maxDepth: Int, maxResults: Int,
+                       edgeTypes: Seq[String] = Seq.empty): DataFrame = {
+    val e = (if (edgeTypes.nonEmpty)
+               edges.filter(col("edge_type").isin(edgeTypes: _*))
+             else edges)
+      .select(col("tenant_id"), col("src_node_id"), col("dst_node_id"),
+        col("edge_type"))
+    val adj = e.select(col("tenant_id"), col("src_node_id").as("from_id"),
+        col("dst_node_id").as("to_id"), col("edge_type"), lit(" -> ").as("dir"))
+      .unionByName(e.select(col("tenant_id"), col("dst_node_id").as("from_id"),
+        col("src_node_id").as("to_id"), col("edge_type"), lit(" <- ").as("dir")))
+
+    val s = seeds.select(col("probe_id"), col("tenant_id"), col("node_id"))
+    val hop1 = broadcast(s.as("s")).join(adj.as("a"),
+        col("s.tenant_id") === col("a.tenant_id") &&
+          col("a.from_id") === col("s.node_id"))
+      .select(col("s.probe_id").as("probe_id"),
+        col("s.tenant_id").as("tenant_id"),
+        col("a.to_id").as("node_id"), col("a.edge_type").as("edge_type"),
+        lit(1).as("depth"),
+        concat(col("a.from_id"), col("a.dir"), col("a.to_id")).as("path"),
+        concat(lit("|"), col("a.from_id"), lit("|"), col("a.to_id"), lit("|"))
+          .as("visited"))
+      // hop-1 arms exclude the probe's own seeds as targets
+      .join(s.select(col("probe_id"), col("node_id")), Seq("probe_id", "node_id"),
+        "left_anti")
+
+    var frontier = hop1
+    var acc = hop1
+    for (_ <- 2 to maxDepth) {
+      val f = frontier.as("f")
+      frontier = broadcast(f).join(adj.as("a2"),
+          col("f.tenant_id") === col("a2.tenant_id") &&
+            col("a2.from_id") === col("f.node_id"))
+        .filter(!col("f.visited").contains(
+          concat(lit("|"), col("a2.to_id"), lit("|"))))
+        .select(col("f.probe_id").as("probe_id"),
+          col("f.tenant_id").as("tenant_id"),
+          col("a2.to_id").as("node_id"), col("a2.edge_type").as("edge_type"),
+          (col("f.depth") + 1).as("depth"),
+          concat(col("f.path"), col("a2.dir"), col("a2.to_id")).as("path"),
+          concat(col("f.visited"), col("a2.to_id"), lit("|")).as("visited"))
+      acc = acc.unionByName(frontier)
+    }
+
+    val narrative = acc.join(
+        nodes.filter(col("symbol_type").isin(NarrativeTypes: _*))
+          .select(col("node_id"), col("symbol_name"), col("symbol_type"),
+            col("file_path")),
+        Seq("node_id")) // node attribute join is tenant-agnostic
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("probe_id"), col("node_id"))
+          .orderBy(col("depth"), col("edge_type"), col("path"))))
+      .filter(col("rn") === 1)
+    narrative
+      .withColumn("nrank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("depth"), col("symbol_name"), col("node_id"))))
+      .filter(col("nrank") <= maxResults)
+      .select(col("probe_id"), col("nrank"), col("node_id"),
+        col("symbol_name"), col("symbol_type"), col("file_path"),
+        col("edge_type"), col("depth"), col("path"))
+  }
+
+  /** narrative_query: per tenant, the symbol-mode RPC for `window`
+    * (is_concept=false) over the EXPLAINS + __global__ concept graph
+    * with doc chunks typed `document_section` — 2 hops, 40 results:
+    * explaining sections arrive at depth 1, the symbol's concept at
+    * depth 1, co-covering sections through the concept at depth 2. */
+  def narrativeQuery(spark: SparkSession, dir: String,
+                     symbol: String = "window"): DataFrame = {
+    val (edges, nodes) = narrativeGraph(spark, dir)
+    val probes = Tables.documents(spark, dir)
+      .select(col("source").as("tenant_id")).distinct()
+      .select(col("tenant_id").as("probe_id"), col("tenant_id"),
+        lit(symbol).as("query_name"))
+    val seeds = resolveNarrativeSeeds(probes, nodes, isConcept = false)
+    narrativeQueryOf(seeds, edges, nodes, maxDepth = 2, maxResults = 40)
+      .orderBy(col("probe_id"), col("nrank"))
+  }
+
+  /** The narrative-typed corpus graph: the EXPLAINS pairs (doc →
+    * symbol, tenant-scoped) plus the deterministic __global__ concept
+    * layer, with doc chunks presented as `document_section` — the node
+    * type the RPC filter keeps. */
+  private def narrativeGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (exEdges, exNodes) = GraphFusion.explainsGraph(spark, dir)
+    val explains = exEdges.filter(col("edge_type") === "EXPLAINS")
+      .select(col("tenant_id"), col("src_node_id"), col("dst_node_id"),
+        col("edge_type"))
+    val (cEdges, cNodes) = CrossBoundary.conceptGraph(spark, dir)
+    val edges = explains.unionByName(
+      cEdges.select(col("tenant_id"), col("src_node_id"), col("dst_node_id"),
+        col("edge_type")))
+    val nodes = exNodes
+      .withColumn("symbol_type",
+        when(col("symbol_type").isin("module", "text"), lit("document_section"))
+          .otherwise(col("symbol_type")))
+      .unionByName(cNodes).distinct()
+    (edges, nodes)
+  }
 }

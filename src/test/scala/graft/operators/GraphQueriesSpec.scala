@@ -141,4 +141,88 @@ class GraphQueriesSpec extends SparkSpec {
     val out = GraphQueries.orphansOf(nodes, edges).collect().map(_.getString(1))
     assert(out.toSeq === Seq("a"))
   }
+
+  // ── NarrativeQuery RPC (grpc graph_service/tests.rs narrative_query) ──
+
+  private def nquery(name: String, isConcept: Boolean,
+                     edges: DataFrame, nodes: DataFrame,
+                     types: Seq[String] = Seq.empty, maxDepth: Int = 2,
+                     maxResults: Int = 50, tenant: String = "t1") = {
+    val probes = Seq(("p", tenant, name)).toDF("probe_id", "tenant_id", "query_name")
+    val seeds = GraphQueries.resolveNarrativeSeeds(probes, nodes, isConcept)
+    GraphQueries.narrativeQueryOf(seeds, edges, nodes, maxDepth, maxResults, types)
+      .collect().map(r => (r.getString(3), r.getString(4), r.getString(6), r.getInt(7)))
+    // (symbol_name, symbol_type, edge_type, depth)
+  }
+
+  // tests.rs finds_narrative_nodes_via_symbol
+  test("narrative_query: symbol seed finds its docstring via EXPLAINS") {
+    val nodes = nodesDf(Seq(("t1", "fn1", "my_func", "function", "src/lib.rs"),
+      ("t1", "doc1", "my_func docs", "docstring", "src/lib.rs")))
+    val edges = edgesDf(Seq(("t1", "fn1", "doc1", "EXPLAINS")))
+    val out = nquery("my_func", isConcept = false, edges, nodes)
+    assert(out.toSeq === Seq(("my_func docs", "docstring", "EXPLAINS", 1)))
+  }
+
+  // tests.rs finds_narrative_nodes_via_concept_incoming_edges / _outgoing
+  test("narrative_query: concept seed reaches docs via incoming AND outgoing edges") {
+    val nodes = nodesDf(Seq(("", "c1", "error_handling", "concept_node", "global"),
+      ("t1", "d1", "Error Handling Guide", "document_section", "docs/errors.md")))
+    val incoming = edgesDf(Seq(("t1", "d1", "c1", "COVERS_TOPIC")))
+    val outI = nquery("error_handling", isConcept = true, incoming, nodes)
+    assert(outI.toSeq === Seq(("Error Handling Guide", "document_section", "COVERS_TOPIC", 1)))
+    val outgoing = edgesDf(Seq(("t1", "c1", "d1", "COVERS_TOPIC")))
+    val outO = nquery("error_handling", isConcept = true, outgoing, nodes)
+    assert(outO.toSeq === Seq(("Error Handling Guide", "document_section", "COVERS_TOPIC", 1)))
+  }
+
+  // tests.rs cycle_does_not_produce_duplicates
+  test("narrative_query: a cycle yields each narrative node exactly once") {
+    val nodes = nodesDf(Seq(("t1", "a", "func_a", "function", "src/lib.rs"),
+      ("t1", "b", "section_b", "document_section", "docs/b.md"),
+      ("t1", "c", "section_c", "document_section", "docs/c.md")))
+    val edges = edgesDf(Seq(("t1", "a", "b", "EXPLAINS"),
+      ("t1", "b", "c", "EXPLAINS"), ("t1", "c", "a", "EXPLAINS")))
+    val out = nquery("func_a", isConcept = false, edges, nodes, maxDepth = 5)
+    assert(out.map(_._1).sorted.toSeq === Seq("section_b", "section_c"))
+  }
+
+  // tests.rs filters_by_edge_type
+  test("narrative_query: edge-type filter keeps only matching narrators") {
+    val nodes = nodesDf(Seq(("t1", "fn1", "filter_fn", "function", "src/lib.rs"),
+      ("t1", "d1", "filter_fn doc", "docstring", "src/lib.rs"),
+      ("t1", "cm1", "filter_fn comment", "code_comment", "src/lib.rs")))
+    val edges = edgesDf(Seq(("t1", "fn1", "d1", "EXPLAINS"),
+      ("t1", "fn1", "cm1", "DESCRIBES")))
+    val out = nquery("filter_fn", isConcept = false, edges, nodes,
+      types = Seq("EXPLAINS"))
+    assert(out.toSeq === Seq(("filter_fn doc", "docstring", "EXPLAINS", 1)))
+  }
+
+  // tests.rs respects_max_results_limit + empty_graph_returns_zero_results
+  test("narrative_query: max_results caps output; unknown seed yields nothing") {
+    val nodes = nodesDf(Seq(("t1", "fn1", "limited_fn", "function", "src/lib.rs"),
+      ("t1", "d1", "doc_a", "docstring", "a.rs"),
+      ("t1", "d2", "doc_b", "docstring", "b.rs"),
+      ("t1", "d3", "doc_c", "docstring", "c.rs")))
+    val edges = edgesDf(Seq(("t1", "fn1", "d1", "EXPLAINS"),
+      ("t1", "fn1", "d2", "EXPLAINS"), ("t1", "fn1", "d3", "EXPLAINS")))
+    assert(nquery("limited_fn", isConcept = false, edges, nodes,
+      maxResults = 2).length === 2)
+    assert(nquery("nonexistent", isConcept = false, edges, nodes).isEmpty)
+  }
+
+  // narrative_query.rs:90: hop-1 arms exclude the probe's own seed set
+  // as targets — a second seed node of the same name is never returned
+  // even when narrative-typed (concept-mode self pairs)
+  test("narrative_query: seed nodes are excluded from hop-1 results") {
+    val nodes = nodesDf(Seq(("", "c1", "dup", "concept_node", "g1"),
+      ("", "c2", "dup", "concept_node", "g2"),
+      ("t1", "d1", "doc", "document_section", "d.md")))
+    val edges = edgesDf(Seq(("t1", "c1", "c2", "RELATES"),
+      ("t1", "c1", "d1", "COVERS_TOPIC")))
+    val out = nquery("dup", isConcept = true, edges, nodes, maxDepth = 1)
+    // c2 is a seed itself -> excluded; only the doc arrives
+    assert(out.map(_._1).toSeq === Seq("doc"))
+  }
 }
