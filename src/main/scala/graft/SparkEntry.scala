@@ -110,6 +110,12 @@ object SparkEntry {
     // Graph relationship extraction (graph/extractor/)
     "graph_extract" -> ((s, d) => GraphExtraction.graphExtract(s, d)),
     "import_edges"  -> ((s, d) => GraphExtraction.importEdges(s, d)),
+    // Incremental code-search maintenance (line_diff.rs, diff_apply.rs)
+    "line_diff"        -> ((s, d) => LineDiffOps.lineDiff(s, d)),
+    "diff_stats"       -> ((s, d) => LineDiffOps.diffStats(s, d)),
+    "code_lines_state" -> ((s, d) => LineDiffOps.codeLinesState(s, d)),
+    "fts_delta"        -> ((s, d) => LineDiffOps.ftsDelta(s, d)),
+    "code_lines_rebalance" -> ((s, d) => CodeLinesOps.codeLinesRebalance(s, d)),
     // Graph analytics
     "graph_degree"      -> ((s, d) => GraphAlgorithms.degree(s, d)),
     "graph_pagerank"    -> ((s, d) => GraphAlgorithms.pageRank(s, d)),
@@ -718,7 +724,151 @@ object SparkEntry {
         |  FROM impx)""".stripMargin
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
+  /** Shared corpus + segment-zip construction for the line_diff family
+    * (LineDiffOps scaladoc): on the unique-line corpus the Histogram
+    * matching is exactly the content-equality join, and the cursor walk
+    * is the per-segment rank-zip — windows only, no recursion. */
+  private val lineDiffCorpusSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE NOT contains(text, '~r7c~') AND NOT contains(text, '~r7i~')),
+      |lines0 AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, CAST(greatest(ceil(length(text) / 24.0), 1.0) AS BIGINT))) AS i0,
+      |    text
+      |  FROM docs),
+      |lines1 AS (
+      |  SELECT doc_id, i0, substr(text, CAST(i0 * 24 + 1 AS INTEGER), 24) AS line
+      |  FROM lines0),
+      |dedup AS (
+      |  SELECT doc_id, line, i0,
+      |    row_number() OVER (PARTITION BY doc_id, line ORDER BY i0) AS rn
+      |  FROM lines1),
+      |old AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i0) - 1 AS INTEGER) AS oi,
+      |    line AS content
+      |  FROM dedup WHERE rn = 1),
+      |newl AS (
+      |  SELECT doc_id, oi, 0 AS sub,
+      |    CASE WHEN oi % 7 = 5 THEN '~r7c~' || oi || '~' || content
+      |         ELSE content END AS nc
+      |  FROM old WHERE oi % 7 <> 3
+      |  UNION ALL
+      |  SELECT doc_id, oi, 1, '~r7i~' || oi || '~' || doc_id FROM old WHERE oi % 7 = 0),
+      |neww AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY oi, sub) - 1 AS INTEGER) AS ni,
+      |    nc AS content
+      |  FROM newl),
+      |mtch AS (
+      |  SELECT o.doc_id, o.oi, n.ni
+      |  FROM old o JOIN neww n ON o.doc_id = n.doc_id AND o.content = n.content),
+      |oldf AS (
+      |  SELECT o.doc_id, o.oi, o.content, (m.ni IS NOT NULL) AS matched,
+      |    coalesce(CAST(sum(CASE WHEN m.ni IS NOT NULL THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY o.doc_id ORDER BY o.oi
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INTEGER), 0) AS seg
+      |  FROM old o LEFT JOIN mtch m ON o.doc_id = m.doc_id AND o.oi = m.oi),
+      |newf AS (
+      |  SELECT n.doc_id, n.ni, n.content, (m.oi IS NOT NULL) AS matched,
+      |    coalesce(CAST(sum(CASE WHEN m.oi IS NOT NULL THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY n.doc_id ORDER BY n.ni
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INTEGER), 0) AS seg
+      |  FROM neww n LEFT JOIN mtch m ON n.doc_id = m.doc_id AND n.ni = m.ni),
+      |uo AS (
+      |  SELECT doc_id, oi, content, seg,
+      |    row_number() OVER (PARTITION BY doc_id, seg ORDER BY oi) AS r
+      |  FROM oldf WHERE NOT matched),
+      |un AS (
+      |  SELECT doc_id, ni, content, seg,
+      |    row_number() OVER (PARTITION BY doc_id, seg ORDER BY ni) AS r
+      |  FROM newf WHERE NOT matched),
+      |pairs AS (
+      |  SELECT coalesce(uo.doc_id, un.doc_id) AS doc_id, uo.oi, un.ni,
+      |    uo.content AS old_content, un.content AS new_content,
+      |    CASE WHEN uo.oi IS NOT NULL AND un.ni IS NOT NULL THEN 'changed'
+      |         WHEN uo.oi IS NOT NULL THEN 'deleted' ELSE 'inserted' END AS op
+      |  FROM uo FULL OUTER JOIN un
+      |    ON uo.doc_id = un.doc_id AND uo.seg = un.seg AND uo.r = un.r),
+      |ops AS (
+      |  SELECT doc_id, 'unchanged' AS op, oi AS old_index, ni AS new_index,
+      |    CAST(NULL AS VARCHAR) AS content, CAST(NULL AS VARCHAR) AS old_content
+      |  FROM mtch
+      |  UNION ALL
+      |  SELECT doc_id, op, oi, ni,
+      |    CASE WHEN op = 'deleted' THEN CAST(NULL AS VARCHAR) ELSE new_content END,
+      |    old_content
+      |  FROM pairs)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "line_diff" ->
+      (lineDiffCorpusSql + "\n" +
+        """SELECT doc_id, op, old_index, new_index, content FROM ops
+          |ORDER BY doc_id, old_index NULLS LAST, new_index""".stripMargin),
+    "diff_stats" ->
+      (lineDiffCorpusSql + "\n" +
+        """SELECT doc_id,
+          |  CAST(count(*) FILTER (WHERE op = 'unchanged') AS BIGINT) AS lines_unchanged,
+          |  CAST(count(*) FILTER (WHERE op = 'changed') AS BIGINT) AS lines_updated,
+          |  CAST(count(*) FILTER (WHERE op = 'inserted') AS BIGINT) AS lines_inserted,
+          |  CAST(count(*) FILTER (WHERE op = 'deleted') AS BIGINT) AS lines_deleted,
+          |  CAST(count(*) FILTER (WHERE op <> 'inserted') AS BIGINT) AS old_line_count,
+          |  CAST(count(*) FILTER (WHERE op <> 'deleted') AS BIGINT) AS new_line_count
+          |FROM ops GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "code_lines_state" ->
+      (lineDiffCorpusSql + "\n" +
+        """SELECT doc_id, content, CAST(ni + 1 AS BIGINT) AS line_number,
+          |  CAST((ni + 1) * 1000.0 AS DOUBLE) AS seq
+          |FROM neww ORDER BY doc_id, line_number""".stripMargin),
+    "code_lines_rebalance" ->
+      """WITH lines0 AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(greatest(ceil(length(text) / 24.0), 1.0) AS BIGINT))) AS i0,
+        |    text
+        |  FROM documents),
+        |lines1 AS (
+        |  SELECT doc_id, i0, substr(text, CAST(i0 * 24 + 1 AS INTEGER), 24) AS line
+        |  FROM lines0),
+        |dedup AS (
+        |  SELECT doc_id, line, i0,
+        |    row_number() OVER (PARTITION BY doc_id, line ORDER BY i0) AS rn
+        |  FROM lines1),
+        |old AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i0) - 1 AS INTEGER) AS oi,
+        |    line AS content
+        |  FROM dedup WHERE rn = 1),
+        |state AS (
+        |  SELECT doc_id, (oi + 1) * 1000.0 AS seq, content FROM old
+        |  UNION ALL
+        |  SELECT doc_id, 1000.0 + 1000.0 / power(2, j) AS seq,
+        |    '~mid~' || j || '~' || doc_id AS content
+        |  FROM (SELECT doc_id,
+        |          unnest(range(1, doc_id % 20 + 6)) AS j
+        |        FROM documents)),
+        |st2 AS (
+        |  SELECT doc_id, seq, content,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY seq) AS BIGINT) AS line_number,
+        |    seq - lag(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS gap
+        |  FROM state),
+        |st3 AS (
+        |  SELECT *, min(gap) OVER (PARTITION BY doc_id) AS min_gap FROM st2)
+        |SELECT doc_id, line_number, content,
+        |  CAST(CASE WHEN coalesce(min_gap < 0.001, false)
+        |       THEN line_number * 1000.0 ELSE seq END AS DOUBLE) AS seq,
+        |  coalesce(min_gap < 0.001, false) AS rebalanced,
+        |  CAST(min_gap AS DOUBLE) AS min_gap
+        |FROM st3 ORDER BY doc_id, line_number""".stripMargin,
+    "fts_delta" ->
+      (lineDiffCorpusSql + "\n" +
+        """SELECT doc_id, 'delete' AS action, 0 AS sub, oi AS old_index,
+          |  ni AS new_index, old_content AS content
+          |FROM pairs WHERE op IN ('changed', 'deleted')
+          |UNION ALL
+          |SELECT doc_id, 'insert', 1, oi, ni, new_content
+          |FROM pairs WHERE op IN ('changed', 'inserted')
+          |ORDER BY doc_id, old_index NULLS LAST, new_index, sub""".stripMargin),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
