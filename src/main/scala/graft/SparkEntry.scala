@@ -45,6 +45,8 @@ object SparkEntry {
     "glob_search"      -> ((s, d) => ExactSearch.globSearch(s, d)),
     "semantic_rerank"  -> ((s, d) => SemanticRerank.semanticRerank(s, d)),
     "diversity_rerank" -> ((s, d) => SparseSearch.diversityRerank(s, d)),
+    "diversify_tiers"  -> ((s, d) => SourceDiversity.diversifyTiers(s, d)),
+    "diversify_strict" -> ((s, d) => SourceDiversity.diversifyStrict(s, d)),
     "keyword_tfidf"    -> ((s, d) => SparseSearch.keywordTfidf(s, d)),
     "keyword_select"   -> ((s, d) => KeywordSelect.keywordSelect(s, d)),
     "idf_rebalance"    -> ((s, d) => SparseSearch.idfRebalance(s, d)),
@@ -358,24 +360,69 @@ object SparkEntry {
        |      b -> b.term)) AS selected
        |  FROM perdoc LEFT JOIN persims USING (doc_id))""".stripMargin
 
-  private val hybridCte: String =
-    """sparse AS (
-      |  SELECT doc_id AS id,
-      |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS sparse_rank
-      |  FROM sscored ORDER BY 2 LIMIT 40),
-      |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-      |dense AS (
-      |  SELECT vec_id AS id,
-      |    CAST(row_number() OVER (
-      |      ORDER BY list_cosine_similarity(e.embedding, qv.q_emb) DESC, vec_id) AS INTEGER) AS dense_rank
-      |  FROM embeddings e, qv WHERE vec_id <> 0 ORDER BY 2 LIMIT 40),
-      |fused AS (
-      |  SELECT coalesce(d.id, s.id) AS id,
-      |    coalesce(1.0 / (60.0 + d.dense_rank), 0) + coalesce(1.0 / (60.0 + s.sparse_rank), 0) AS rrf
-      |  FROM dense d FULL OUTER JOIN sparse s ON d.id = s.id),
-      |hyb AS (
-      |  SELECT id, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rnk
-      |  FROM fused ORDER BY 2 LIMIT 20)""".stripMargin
+  /** The hybrid-RRF fusion CTE with parameterized per-leg fetch and
+    * final k (hybridRrf fetches k*2 per leg). */
+  private def hybridCteK(fetch: Int, k: Int): String =
+    s"""sparse AS (
+       |  SELECT doc_id AS id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS sparse_rank
+       |  FROM sscored ORDER BY 2 LIMIT $fetch),
+       |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |dense AS (
+       |  SELECT vec_id AS id,
+       |    CAST(row_number() OVER (
+       |      ORDER BY list_cosine_similarity(e.embedding, qv.q_emb) DESC, vec_id) AS INTEGER) AS dense_rank
+       |  FROM embeddings e, qv WHERE vec_id <> 0 ORDER BY 2 LIMIT $fetch),
+       |fused AS (
+       |  SELECT coalesce(d.id, s.id) AS id,
+       |    coalesce(1.0 / (60.0 + d.dense_rank), 0) + coalesce(1.0 / (60.0 + s.sparse_rank), 0) AS rrf
+       |  FROM dense d FULL OUTER JOIN sparse s ON d.id = s.id),
+       |hyb AS (
+       |  SELECT id, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rnk
+       |  FROM fused ORDER BY 2 LIMIT $k)""".stripMargin
+
+  private val hybridCte: String = hybridCteK(40, 20)
+
+  /** Shared tier-diversity oracle scaffold (SourceDiversity scaladoc):
+    * plateau scores over the hybrid top-30, a recursive-CTE twin of the
+    * sequential tier fold (tier top = the tier's OPENING score), then
+    * the relational interleave/cap. `sourceSql` picks the variant's
+    * source key; `tail` finishes from the capped `w3` frame. */
+  private def diversityOracle(sourceSql: String, tail: String): String =
+    s"""${bm25StatsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$bm25ScoredCte,
+       |${hybridCteK(60, 30)},
+       |scored AS (
+       |  SELECT id, rnk,
+       |    CAST(4.0 AS DOUBLE) - CAST(0.2 AS DOUBLE) * floor((rnk - 1) / 5)
+       |      - CAST(0.01 AS DOUBLE) * ((rnk - 1) % 5) AS score,
+       |    CASE WHEN id % 2 = 0 THEN 'projects' ELSE 'libraries' END AS collection,
+       |    CASE WHEN id % 5 = 0 THEN 'lib' || (id % 2)
+       |         WHEN id % 5 = 1 THEN '' END AS library_name,
+       |    CASE WHEN id % 7 <> 3 THEN 't' || (id % 3) END AS tenant_id
+       |  FROM hyb),
+       |srcd AS (SELECT *, $sourceSql AS source FROM scored),
+       |rns AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS rn
+       |  FROM srcd),
+       |tf AS (
+       |  SELECT rn, 1 AS tier, score AS top FROM rns WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.rn,
+       |    CASE WHEN abs(t.top - r.score) > CAST(0.05 AS DOUBLE) THEN t.tier + 1 ELSE t.tier END,
+       |    CASE WHEN abs(t.top - r.score) > CAST(0.05 AS DOUBLE) THEN r.score ELSE t.top END
+       |  FROM tf t JOIN rns r ON r.rn = t.rn + 1),
+       |tr AS (SELECT r.*, t.tier FROM rns r JOIN tf t ON r.rn = t.rn),
+       |w1 AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY tier, source ORDER BY rn) - 1 AS INTEGER) AS k,
+       |    min(rn) OVER (PARTITION BY tier, source) AS src_pos
+       |  FROM tr),
+       |w2 AS (SELECT *, row_number() OVER (ORDER BY tier, k, src_pos) AS walk_rn FROM w1),
+       |w3 AS (
+       |  SELECT *, (row_number() OVER (PARTITION BY source ORDER BY walk_rn) <= 3) AS kept
+       |  FROM w2)
+       |$tail""".stripMargin
 
   /** store_points / streaming_store shared oracle — the streaming path
     * reuses the batch column expressions verbatim (identical digest
@@ -1179,6 +1226,28 @@ object SparkEntry {
          |SELECT id, source,
          |  CAST(row_number() OVER (ORDER BY adj_score DESC, id) AS INTEGER) AS rnk
          |FROM adj ORDER BY rnk""".stripMargin,
+    "diversify_tiers" ->
+      diversityOracle(
+        "collection || ':' || coalesce(CASE WHEN library_name <> '' THEN library_name END, tenant_id, 'unknown')",
+        """SELECT CAST(row_number() OVER (ORDER BY kept DESC, walk_rn) AS INTEGER) AS out_rnk,
+          |  id, score, source, tier, kept,
+          |  round((SELECT CAST(count(DISTINCT source) AS DOUBLE) / count(*) FROM w3), 6) AS div_score
+          |FROM w3 ORDER BY out_rnk""".stripMargin),
+    "diversify_strict" ->
+      diversityOracle(
+        "coalesce(library_name, tenant_id, 'unknown')",
+        """,
+          |kp AS (SELECT * FROM w3 WHERE kept),
+          |fl AS (
+          |  SELECT *, coalesce(CASE WHEN id % 6 <> 2 THEN 'f' || (id % 4) END,
+          |                     CASE WHEN id % 9 <> 5 THEN 'r' || (id % 3) END,
+          |                     CAST(id AS VARCHAR)) AS file
+          |  FROM kp)
+          |SELECT CAST(row_number() OVER (ORDER BY walk_rn) AS INTEGER) AS out_rnk,
+          |  id, score, source, tier, kept, file,
+          |  round((SELECT CAST(count(DISTINCT source) AS DOUBLE) / count(*) FROM fl), 6) AS div_score,
+          |  round((SELECT CAST(count(DISTINCT file) AS DOUBLE) / count(*) FROM fl), 6) AS file_div_score
+          |FROM fl ORDER BY out_rnk""".stripMargin),
     "keyword_tfidf" ->
       s"""$tokenStatsCte,
          |kscored AS (
