@@ -47,6 +47,7 @@ object SparkEntry {
     "diversity_rerank" -> ((s, d) => SparseSearch.diversityRerank(s, d)),
     "diversify_tiers"  -> ((s, d) => SourceDiversity.diversifyTiers(s, d)),
     "diversify_strict" -> ((s, d) => SourceDiversity.diversifyStrict(s, d)),
+    "scoped_search"    -> ((s, d) => ScopedSearch.scopedSearch(s, d)),
     "keyword_tfidf"    -> ((s, d) => SparseSearch.keywordTfidf(s, d)),
     "keyword_select"   -> ((s, d) => KeywordSelect.keywordSelect(s, d)),
     "idf_rebalance"    -> ((s, d) => SparseSearch.idfRebalance(s, d)),
@@ -1248,6 +1249,43 @@ object SparkEntry {
           |  round((SELECT CAST(count(DISTINCT source) AS DOUBLE) / count(*) FROM fl), 6) AS div_score,
           |  round((SELECT CAST(count(DISTINCT file) AS DOUBLE) / count(*) FROM fl), 6) AS file_div_score
           |FROM fl ORDER BY out_rnk""".stripMargin),
+    "scoped_search" ->
+      s"""$bm25StatsCte,
+         |$bm25ScoredCte,
+         |own AS (SELECT doc_id, source AS tenant_id FROM documents),
+         |tn AS (
+         |  SELECT tenant_id, CAST(substring(tenant_id, 4) AS INTEGER) % 5 AS w
+         |  FROM (SELECT DISTINCT source AS tenant_id FROM documents)),
+         |gsz AS (SELECT w, count(*) AS m FROM tn GROUP BY 1),
+         |memb AS (
+         |  SELECT t.tenant_id FROM tn t
+         |  JOIN tn c ON c.tenant_id = 'src1' AND t.w = c.w
+         |  JOIN gsz g ON g.w = t.w AND g.m >= 2),
+         |mres AS (
+         |  SELECT tenant_id FROM memb WHERE (SELECT count(*) FROM memb) > 1
+         |  UNION ALL
+         |  SELECT 'src1' WHERE (SELECT count(*) FROM memb) <= 1),
+         |sc AS (
+         |  SELECT s.doc_id, s.score, o.tenant_id,
+         |    (o.tenant_id IN (SELECT tenant_id FROM mres)) AS is_member
+         |  FROM sscored s JOIN own o USING (doc_id)),
+         |ex AS (SELECT *, unnest(['project', 'group', 'all']) AS scope FROM sc),
+         |flt AS (
+         |  SELECT * FROM ex WHERE scope = 'all'
+         |    OR (scope = 'project' AND tenant_id = 'src1')
+         |    OR (scope = 'group' AND is_member)),
+         |adj AS (
+         |  SELECT *, score * CASE WHEN tenant_id = 'src1' THEN CAST(1.0 AS DOUBLE)
+         |                         WHEN is_member THEN CAST(0.7 AS DOUBLE)
+         |                         ELSE CAST(0.4 AS DOUBLE) END AS adj_score
+         |  FROM flt),
+         |rk AS (
+         |  SELECT scope,
+         |    CAST(row_number() OVER (PARTITION BY scope ORDER BY adj_score DESC, doc_id) AS INTEGER) AS rnk,
+         |    doc_id, tenant_id
+         |  FROM adj)
+         |SELECT scope, rnk, doc_id, tenant_id FROM rk WHERE rnk <= 25
+         |ORDER BY scope, rnk""".stripMargin,
     "keyword_tfidf" ->
       s"""$tokenStatsCte,
          |kscored AS (
