@@ -48,6 +48,8 @@ object SparkEntry {
     "diversify_tiers"  -> ((s, d) => SourceDiversity.diversifyTiers(s, d)),
     "diversify_strict" -> ((s, d) => SourceDiversity.diversifyStrict(s, d)),
     "scoped_search"    -> ((s, d) => ScopedSearch.scopedSearch(s, d)),
+    "library_paths"    -> ((s, d) => LibraryPaths.libraryPaths(s, d)),
+    "fallback_search"  -> ((s, d) => FallbackSearch.fallbackSearch(s, d)),
     "keyword_tfidf"    -> ((s, d) => SparseSearch.keywordTfidf(s, d)),
     "keyword_select"   -> ((s, d) => KeywordSelect.keywordSelect(s, d)),
     "idf_rebalance"    -> ((s, d) => SparseSearch.idfRebalance(s, d)),
@@ -1286,6 +1288,67 @@ object SparkEntry {
          |  FROM adj)
          |SELECT scope, rnk, doc_id, tenant_id FROM rk WHERE rnk <= 25
          |ORDER BY scope, rnk""".stripMargin,
+    "library_paths" ->
+      """WITH d AS (
+        |  SELECT doc_id, source AS library_name, '/libs/' || source AS library_root,
+        |    CASE WHEN doc_id % 9 = 2 THEN 'cs'
+        |         WHEN doc_id % 9 = 5 THEN 'cs-extra'
+        |         ELSE 'topic' || (doc_id % 4) END AS seg1
+        |  FROM documents),
+        |p AS (
+        |  SELECT *,
+        |    CASE WHEN doc_id % 11 = 0 THEN '/other/place/doc' || doc_id || '.pdf'
+        |         WHEN doc_id % 3 = 0 THEN library_root || '/doc' || doc_id || '.pdf'
+        |         WHEN doc_id % 3 = 1 THEN library_root || '/' || seg1 || '/doc' || doc_id || '.pdf'
+        |         ELSE library_root || '/' || seg1 || '/sub' || (doc_id % 5) || '/doc' || doc_id || '.pdf'
+        |    END AS document_path
+        |  FROM d),
+        |u AS (
+        |  SELECT *, substr(document_path, length(library_root) + 2) AS rel
+        |  FROM p WHERE starts_with(document_path, library_root || '/')),
+        |loc AS (
+        |  SELECT doc_id, library_name,
+        |    CASE WHEN len(string_split(rel, '/')) > 1
+        |      THEN array_to_string(list_slice(string_split(rel, '/'), 1, len(string_split(rel, '/')) - 1), '/')
+        |      ELSE '' END AS library_path,
+        |    string_split(rel, '/')[-1] AS document_name
+        |  FROM u)
+        |SELECT doc_id, library_name, library_path, document_name,
+        |  CASE WHEN library_path = '' THEN library_name || '/' || document_name
+        |       ELSE library_name || '/' || library_path || '/' || document_name END AS full_path,
+        |  (library_path = 'cs' OR starts_with(library_path, 'cs/')) AS matches_cs
+        |FROM loc WHERE document_name <> '' ORDER BY doc_id""".stripMargin,
+    "fallback_search" ->
+      """WITH cand AS (
+        |  SELECT doc_id, source AS tenant_id, text AS content,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'Vector notes' ELSE 'notes' END AS title,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'projects'
+        |         WHEN doc_id % 3 = 1 THEN 'libraries' ELSE 'scratchpad' END AS collection,
+        |    doc_id AS ord
+        |  FROM documents),
+        |ref AS (
+        |  SELECT s.scenario, c.collection, 'refused' AS kind,
+        |    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS rnk,
+        |    'Daemon unavailable and project scope unresolved - cannot run cross-tenant fallback. Refused collections: projects, libraries, scratchpad' AS status_reason
+        |  FROM (SELECT unnest(['unresolved', 'group']) AS scenario) s
+        |  CROSS JOIN (SELECT unnest(['projects', 'libraries', 'scratchpad']) AS collection) c),
+        |filt AS (
+        |  SELECT s.scenario, c.* FROM (SELECT unnest(['resolved', 'all']) AS scenario) s
+        |  CROSS JOIN cand c
+        |  WHERE s.scenario = 'all' OR c.tenant_id = 'src1'),
+        |scr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY scenario, collection ORDER BY ord) AS srn
+        |  FROM filt),
+        |m AS (
+        |  SELECT * FROM scr WHERE srn <= 30
+        |    AND (contains(lower(content), 'vector') OR contains(lower(title), 'vector'))),
+        |rowsx AS (
+        |  SELECT scenario, collection, 'row' AS kind, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY scenario ORDER BY collection, ord) AS INTEGER) AS rnk,
+        |    'Daemon unavailable - using fallback text search' AS status_reason
+        |  FROM m QUALIFY rnk <= 10)
+        |SELECT * FROM ref UNION ALL SELECT * FROM rowsx
+        |ORDER BY scenario, kind, collection, rnk""".stripMargin,
     "keyword_tfidf" ->
       s"""$tokenStatsCte,
          |kscored AS (
