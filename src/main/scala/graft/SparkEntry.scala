@@ -50,6 +50,8 @@ object SparkEntry {
     "scoped_search"    -> ((s, d) => ScopedSearch.scopedSearch(s, d)),
     "library_paths"    -> ((s, d) => LibraryPaths.libraryPaths(s, d)),
     "fallback_search"  -> ((s, d) => FallbackSearch.fallbackSearch(s, d)),
+    "parent_units"     -> ((s, d) => ParentUnits.parentUnits(s, d)),
+    "parent_context"   -> ((s, d) => ParentUnits.parentContext(s, d)),
     "keyword_tfidf"    -> ((s, d) => SparseSearch.keywordTfidf(s, d)),
     "keyword_select"   -> ((s, d) => KeywordSelect.keywordSelect(s, d)),
     "idf_rebalance"    -> ((s, d) => SparseSearch.idfRebalance(s, d)),
@@ -385,6 +387,25 @@ object SparkEntry {
        |  FROM fused ORDER BY 2 LIMIT $k)""".stripMargin
 
   private val hybridCte: String = hybridCteK(40, 20)
+
+  /** Shared chunk axis for the parent-unit oracles (ParentUnits
+    * .chunkAxis twin): the per-document semantic-chunk table with the
+    * struct/impl shadow pair and the conditional arms. */
+  private val parentChunkCte: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, source || '/f' || (doc_id % 7) || '.py' AS file_path
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, text, file_path, 0 AS idx, 'struct' AS chunk_type,
+      |    'S' || doc_id AS symbol_name, CAST(NULL AS VARCHAR) AS parent_symbol,
+      |    1 AS start_line, 5 AS end_line FROM base
+      |  UNION ALL SELECT doc_id, text, file_path, 1, 'impl', 'S' || doc_id, NULL, 7, 30 FROM base
+      |  UNION ALL SELECT doc_id, text, file_path, 2, 'method', 'new', 'S' || doc_id, 8, 15 FROM base
+      |  UNION ALL SELECT doc_id, text, file_path, 3, 'function', 'helper', NULL, 32, 35 FROM base
+      |  UNION ALL SELECT doc_id, text, file_path, 4, 'method', 'gone', 'Missing', 37, 39 FROM base WHERE doc_id % 2 = 0
+      |  UNION ALL SELECT doc_id, text, file_path, 5, 'class', 'K' || doc_id, NULL, 41, 50 FROM base WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT doc_id, text, file_path, 6, 'method', 'run', 'K' || doc_id, 42, 48 FROM base WHERE doc_id % 3 = 0),
+      |chc AS (SELECT *, substr(text, idx * 15 + 1, 15) AS content FROM ch)""".stripMargin
 
   /** Shared tier-diversity oracle scaffold (SourceDiversity scaladoc):
     * plateau scores over the hybrid top-30, a recursive-CTE twin of the
@@ -1349,6 +1370,54 @@ object SparkEntry {
         |  FROM m QUALIFY rnk <= 10)
         |SELECT * FROM ref UNION ALL SELECT * FROM rowsx
         |ORDER BY scenario, kind, collection, rnk""".stripMargin,
+    "parent_units" ->
+      (parentChunkCte + ",\n" +
+        """files AS (SELECT DISTINCT doc_id, file_path, text FROM chc),
+          |frec AS (
+          |  SELECT doc_id, 'code_file' AS unit_type, file_path,
+          |    CAST(NULL AS VARCHAR) AS block_name, CAST(NULL AS VARCHAR) AS block_kind,
+          |    CAST(NULL AS INTEGER) AS start_line, CAST(NULL AS INTEGER) AS end_line,
+          |    '{"file_path":"' || file_path || '"}' AS locator,
+          |    CAST(strlen(text) AS BIGINT) AS unit_char_len, sha256(text) AS unit_hash
+          |  FROM files),
+          |brec AS (
+          |  SELECT doc_id, 'code_block' AS unit_type, file_path,
+          |    symbol_name AS block_name, chunk_type AS block_kind,
+          |    start_line, end_line,
+          |    '{"block_kind":"' || chunk_type || '","block_name":"' || symbol_name
+          |      || '","end_line":' || end_line || ',"file_path":"' || file_path
+          |      || '","start_line":' || start_line || '}' AS locator,
+          |    CAST(strlen(content) AS BIGINT) AS unit_char_len, sha256(content) AS unit_hash
+          |  FROM chc
+          |  WHERE chunk_type IN ('class','struct','trait','interface','impl','module','enum'))
+          |SELECT * FROM (SELECT * FROM frec UNION ALL SELECT * FROM brec)
+          |ORDER BY doc_id, unit_type, locator""".stripMargin),
+    "parent_context" ->
+      (parentChunkCte + ",\n" +
+        """blk AS (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id, symbol_name ORDER BY idx DESC) AS rn
+          |  FROM chc
+          |  WHERE chunk_type IN ('class','struct','trait','interface','impl','module','enum')),
+          |bi AS (
+          |  SELECT doc_id, symbol_name AS parent_symbol,
+          |    '{"block_kind":"' || chunk_type || '","block_name":"' || symbol_name
+          |      || '","end_line":' || end_line || ',"file_path":"' || file_path
+          |      || '","start_line":' || start_line || '}' AS b_locator,
+          |    CAST(strlen(content) AS BIGINT) AS b_len, sha256(content) AS b_hash
+          |  FROM blk WHERE rn = 1),
+          |fr AS (
+          |  SELECT DISTINCT doc_id, '{"file_path":"' || file_path || '"}' AS f_locator,
+          |    CAST(strlen(text) AS BIGINT) AS f_len, sha256(text) AS f_hash
+          |  FROM chc)
+          |SELECT c.doc_id, c.idx, c.chunk_type, c.symbol_name,
+          |  CASE WHEN bi.parent_symbol IS NOT NULL THEN 'code_block' ELSE 'code_file' END AS parent_unit_type,
+          |  coalesce(bi.b_locator, fr.f_locator) AS parent_locator,
+          |  coalesce(bi.b_len, fr.f_len) AS parent_char_len,
+          |  coalesce(bi.b_hash, fr.f_hash) AS parent_hash
+          |FROM chc c
+          |LEFT JOIN bi ON c.doc_id = bi.doc_id AND c.parent_symbol = bi.parent_symbol
+          |JOIN fr ON fr.doc_id = c.doc_id
+          |ORDER BY c.doc_id, c.idx""".stripMargin),
     "keyword_tfidf" ->
       s"""$tokenStatsCte,
          |kscored AS (
