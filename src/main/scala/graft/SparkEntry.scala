@@ -52,6 +52,7 @@ object SparkEntry {
     "fallback_search"  -> ((s, d) => FallbackSearch.fallbackSearch(s, d)),
     "parent_units"     -> ((s, d) => ParentUnits.parentUnits(s, d)),
     "parent_context"   -> ((s, d) => ParentUnits.parentContext(s, d)),
+    "search_pipeline"  -> ((s, d) => SearchPipeline.searchPipeline(s, d)),
     "keyword_tfidf"    -> ((s, d) => SparseSearch.keywordTfidf(s, d)),
     "keyword_select"   -> ((s, d) => KeywordSelect.keywordSelect(s, d)),
     "idf_rebalance"    -> ((s, d) => SparseSearch.idfRebalance(s, d)),
@@ -1418,6 +1419,77 @@ object SparkEntry {
           |LEFT JOIN bi ON c.doc_id = bi.doc_id AND c.parent_symbol = bi.parent_symbol
           |JOIN fr ON fr.doc_id = c.doc_id
           |ORDER BY c.doc_id, c.idx""".stripMargin),
+    "search_pipeline" ->
+      s"""${bm25StatsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$bm25ScoredCte,
+         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |dl AS (
+         |  SELECT vec_id AS id,
+         |    round(list_cosine_similarity(e.embedding, qv.q_emb), 6) AS score
+         |  FROM embeddings e, qv WHERE vec_id <> 0),
+         |dleg0 AS (
+         |  SELECT id, score,
+         |    CASE WHEN id % 2 = 0 THEN 'projects' ELSE 'libraries' END AS collection,
+         |    'semantic' AS search_type
+         |  FROM dl WHERE score >= CAST(0.02 AS DOUBLE)),
+         |dleg AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY collection ORDER BY score DESC, id) AS leg_rn
+         |    FROM dleg0) WHERE leg_rn <= 24),
+         |sleg0 AS (
+         |  SELECT doc_id AS id, score,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'projects' ELSE 'libraries' END AS collection,
+         |    'keyword' AS search_type
+         |  FROM sscored WHERE score >= CAST(0.01 AS DOUBLE)),
+         |sleg AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY collection ORDER BY score DESC, id) AS leg_rn
+         |    FROM sleg0) WHERE leg_rn <= 24),
+         |tag AS (
+         |  SELECT id, collection, search_type,
+         |    CASE WHEN id % 7 <> 3 THEN 't' || (id % 3) END AS tenant_id,
+         |    score * CASE WHEN id % 7 = 3 THEN CAST(1.0 AS DOUBLE)
+         |                 WHEN id % 3 = 0 THEN CAST(1.0 AS DOUBLE)
+         |                 WHEN id % 3 = 1 THEN CAST(0.8 AS DOUBLE)
+         |                 ELSE CAST(0.4 AS DOUBLE) END AS score
+         |  FROM (SELECT id, score, collection, search_type FROM dleg
+         |        UNION ALL SELECT id, score, collection, search_type FROM sleg)),
+         |rankd AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY search_type ORDER BY score DESC, collection, id) AS leg_rank
+         |  FROM tag),
+         |fus AS (
+         |  SELECT collection, id,
+         |    sum(CAST(1.0 AS DOUBLE) / (60.0 + leg_rank)) AS score,
+         |    max(tenant_id) AS tenant_id
+         |  FROM rankd GROUP BY 1, 2),
+         |srcd AS (
+         |  SELECT *, collection || ':' || coalesce(tenant_id, 'unknown') AS source
+         |  FROM fus),
+         |rns AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS rn
+         |  FROM srcd),
+         |tierf AS (
+         |  SELECT rn, 1 AS tier, score AS top FROM rns WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.rn,
+         |    CASE WHEN abs(t.top - r.score) > CAST(0.05 AS DOUBLE) THEN t.tier + 1 ELSE t.tier END,
+         |    CASE WHEN abs(t.top - r.score) > CAST(0.05 AS DOUBLE) THEN r.score ELSE t.top END
+         |  FROM tierf t JOIN rns r ON r.rn = t.rn + 1),
+         |tr AS (SELECT r.*, t.tier FROM rns r JOIN tierf t ON r.rn = t.rn),
+         |w1 AS (
+         |  SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY tier, source ORDER BY rn) - 1 AS INTEGER) AS k,
+         |    min(rn) OVER (PARTITION BY tier, source) AS src_pos
+         |  FROM tr),
+         |w2 AS (SELECT *, row_number() OVER (ORDER BY tier, k, src_pos) AS walk_rn FROM w1),
+         |w3 AS (
+         |  SELECT *, (row_number() OVER (PARTITION BY source ORDER BY walk_rn) <= 3) AS kept
+         |  FROM w2)
+         |SELECT CAST(row_number() OVER (ORDER BY kept DESC, walk_rn) AS INTEGER) AS out_rnk,
+         |  id, collection, tenant_id, 'hybrid' AS search_type, tier, kept,
+         |  round(score, 6) AS score
+         |FROM w3 QUALIFY out_rnk <= 12 ORDER BY out_rnk""".stripMargin,
     "keyword_tfidf" ->
       s"""$tokenStatsCte,
          |kscored AS (
