@@ -53,6 +53,7 @@ object SparkEntry {
     "parent_units"     -> ((s, d) => ParentUnits.parentUnits(s, d)),
     "parent_context"   -> ((s, d) => ParentUnits.parentContext(s, d)),
     "search_pipeline"  -> ((s, d) => SearchPipeline.searchPipeline(s, d)),
+    "list_tree"        -> ((s, d) => FileTree.listTree(s, d)),
     "keyword_tfidf"    -> ((s, d) => SparseSearch.keywordTfidf(s, d)),
     "keyword_select"   -> ((s, d) => KeywordSelect.keywordSelect(s, d)),
     "idf_rebalance"    -> ((s, d) => SparseSearch.idfRebalance(s, d)),
@@ -1490,6 +1491,94 @@ object SparkEntry {
          |  id, collection, tenant_id, 'hybrid' AS search_type, tier, kept,
          |  round(score, 6) AS score
          |FROM w3 QUALIFY out_rnk <= 12 ORDER BY out_rnk""".stripMargin,
+    "list_tree" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ['src', 'lib', 'docs'][CAST(doc_id % 3 AS INTEGER) + 1] AS seg1,
+        |    CASE WHEN doc_id % 4 <> 3 THEN 'mod' || (doc_id % 5) END AS seg2,
+        |    CASE WHEN doc_id % 8 < 2 THEN 'sub' || (doc_id % 2) END AS seg3,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'rs' WHEN doc_id % 4 = 1 THEN 'py'
+        |         WHEN doc_id % 4 = 2 THEN 'md' END AS ext
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id AS input_idx, ext AS extension,
+        |    concat_ws('/', seg1, seg2, CASE WHEN seg2 IS NOT NULL THEN seg3 END,
+        |      'f' || doc_id || CASE WHEN ext IS NOT NULL THEN '.' || ext ELSE '' END)
+        |      AS relative_path
+        |  FROM d),
+        |fd AS (
+        |  SELECT *,
+        |    list_slice(string_split(relative_path, '/'), 1,
+        |      len(string_split(relative_path, '/')) - 1) AS dir_segs
+        |  FROM f),
+        |fdd AS (
+        |  SELECT *, array_to_string(dir_segs, '/') AS dir_path,
+        |    array_to_string(dir_segs, '/') || '#'
+        |      || lpad(CAST(input_idx AS VARCHAR), 12, '0') AS trav_key
+        |  FROM fd),
+        |sm AS (SELECT * FROM (VALUES ('lib/mod1', 'repo-a'), ('src/mod2', 'repo-b'),
+        |  ('docs/mod3/sub1', 'repo-c'), ('ghost/path', 'repo-x')) t(sm_path, repo_name)),
+        |pfx AS (
+        |  SELECT relative_path, extension, trav_key, dir_path,
+        |    unnest(list_transform(generate_series(1, len(dir_segs)),
+        |      i -> array_to_string(list_slice(dir_segs, 1, i), '/'))) AS prefix,
+        |    CAST(unnest(generate_series(1, len(dir_segs))) AS INTEGER) AS depth
+        |  FROM fdd),
+        |smd AS (
+        |  SELECT relative_path, min(depth) AS sm_min_depth
+        |  FROM pfx JOIN sm ON prefix = sm_path GROUP BY 1),
+        |created AS (
+        |  SELECT DISTINCT p.prefix AS folder_path, p.depth
+        |  FROM pfx p LEFT JOIN smd USING (relative_path)
+        |  WHERE smd.sm_min_depth IS NULL OR p.depth <= smd.sm_min_depth),
+        |folders AS (
+        |  SELECT '.' AS folder_path, 0 AS depth UNION ALL SELECT * FROM created),
+        |att AS (
+        |  SELECT fdd.relative_path, fdd.extension, fdd.trav_key, fdd.dir_path,
+        |    unnest(list_prepend('.', list_transform(generate_series(1, len(dir_segs)),
+        |      i -> array_to_string(list_slice(dir_segs, 1, i), '/')))) AS folder_path
+        |  FROM fdd LEFT JOIN smd USING (relative_path)
+        |  WHERE smd.sm_min_depth IS NULL),
+        |tot AS (
+        |  SELECT folder_path, count(*) AS total_files,
+        |    CAST(sum(CASE WHEN folder_path = '.' AND dir_path = '' THEN 1
+        |                  WHEN folder_path = dir_path THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_direct_files
+        |  FROM att GROUP BY 1),
+        |pe AS (
+        |  SELECT folder_path, coalesce(extension, 'other') AS ext_key,
+        |    count(*) AS cnt, min(trav_key) AS first_seen
+        |  FROM att GROUP BY 1, 2),
+        |per AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY folder_path ORDER BY cnt DESC, first_seen) AS rnk,
+        |    count(*) OVER (PARTITION BY folder_path) AS n_ext
+        |  FROM pe),
+        |per2 AS (
+        |  SELECT *, sum(CASE WHEN rnk <= 4 THEN cnt ELSE 0 END)
+        |    OVER (PARTITION BY folder_path) AS shown_sum
+        |  FROM per),
+        |summ AS (
+        |  SELECT folder_path, string_agg(cnt || ' ' || ext_key, ', ' ORDER BY rnk) AS shown,
+        |    max(n_ext) AS n_ext, max(shown_sum) AS shown_sum
+        |  FROM per2 WHERE rnk <= 4 GROUP BY 1)
+        |SELECT fo.folder_path,
+        |  CASE WHEN fo.folder_path = '.' THEN '.'
+        |       ELSE string_split(fo.folder_path, '/')[-1] END AS name,
+        |  fo.depth, (sm.repo_name IS NOT NULL) AS is_submodule, sm.repo_name,
+        |  coalesce(tot.n_direct_files, 0) AS n_direct_files,
+        |  coalesce(tot.total_files, 0) AS total_files,
+        |  CASE WHEN coalesce(tot.total_files, 0) = 0 THEN '(empty)'
+        |       ELSE '(' || tot.total_files || ' files: ' || summ.shown ||
+        |         CASE WHEN summ.n_ext > 4 AND tot.total_files > summ.shown_sum
+        |              THEN ', ' || (tot.total_files - summ.shown_sum) || ' other'
+        |              ELSE '' END || ')'
+        |  END AS ext_summary
+        |FROM folders fo
+        |LEFT JOIN sm ON fo.folder_path = sm.sm_path
+        |LEFT JOIN tot USING (folder_path)
+        |LEFT JOIN summ USING (folder_path)
+        |ORDER BY folder_path""".stripMargin,
     "keyword_tfidf" ->
       s"""$tokenStatsCte,
          |kscored AS (
