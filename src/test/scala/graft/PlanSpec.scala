@@ -223,4 +223,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("LeftAnti"), "orphans must anti-join the endpoint set:\n" + p.take(2000))
   }
+
+  test("scoped search broadcasts the member set over one scored scan") {
+    val p = plan("scoped_search")
+    assert(!p.contains("CartesianProduct"), "scoped_search must not cross-join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tenant member set must broadcast:\n" + p.take(2000))
+  }
+
+  test("search pipeline: the query vector broadcasts; no cartesian beyond it") {
+    // The dense leg is one corpus scan against a broadcast 1-row query
+    // vector (BroadcastNestedLoopJoin with a 1-row side is the intended
+    // scalar-broadcast shape, same as dense_topk); everything after the
+    // legs is windows over the bounded tagged frame.
+    val p = plan("search_pipeline")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("line diff is map-only per document: no corpus join before the flatMap") {
+    // The diff itself runs as a typed flatMap over (doc, old, new) rows;
+    // the only joins sit in the deterministic corpus derivation and the
+    // op/old-line joint projections — none may be a cross product.
+    val p = plan("line_diff")
+    assert(!p.contains("CartesianProduct"), "line_diff must not cross-join")
+  }
+
+  test("parent context resolves through key-equality joins only") {
+    val p = plan("parent_context")
+    assert(!p.contains("CartesianProduct"), "parent_context must not cross-join")
+  }
+
+  test("list tree explodes ancestor prefixes — no cross product, pruned scan") {
+    val p = plan("list_tree")
+    assert(!p.contains("CartesianProduct"), "list_tree must not cross-join")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      "the tree needs only doc_id from the corpus:\n" + p.take(2000))
+  }
 }
