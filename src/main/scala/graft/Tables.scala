@@ -13,18 +13,36 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries a parquet TIMESTAMP(NANOS) column, which
-    * Spark rejects outright. Read nanos as long (legacy conf) and convert
-    * with integer arithmetic (`div 1000` → micros) so no precision is
-    * routed through doubles; micro truncation matches DuckDB semantics
-    * for all second-level comparisons the operators perform.
+  /** The events table's `ts` encoding has shifted across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark only reads as long via
+    * the legacy conf) vs plain timestamp[us] (which Spark reads as
+    * TIMESTAMP_NTZ under inferTimestampNTZ). Branch on the actual type
+    * the scan reports instead of hard-coding either:
+    *   - LongType      → nanos-as-long; integer `div 1000` to micros (no
+    *                     double routing; micro truncation matches DuckDB).
+    *   - TIMESTAMP_NTZ → cast to session-tz timestamp (sessions run UTC,
+    *                     so the instant is unchanged).
+    *   - TIMESTAMP     → already what downstream operators expect.
+    * All operators therefore see one canonical `ts: TimestampType`.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")
-    df.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case LongType       => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _              => df
+    }
+  }
+
+  /** The `ts` type the events parquet scan reports (LongType under the
+    * nanos legacy conf, or a timestamp type) — the branch point shared
+    * with the streaming reader's explicit schema. */
+  def eventsTsType(spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -23,27 +23,36 @@ case class DebEvent(user_id: Long, event_id: Long, event_type: String,
   */
 object StreamOps {
 
-  /** The events parquet carries TIMESTAMP(NANOS); streaming needs an
-    * explicit schema, so read ts as long nanos and convert exactly like
-    * graft.Tables.events.
+  /** Streaming needs an explicit schema, but the events parquet's `ts`
+    * encoding has shifted across testdata generations (TIMESTAMP(NANOS)
+    * read as long vs timestamp[us] read as TIMESTAMP_NTZ) — so the
+    * schema is parameterized by the type a one-off batch probe of the
+    * same file reports (graft.Tables.eventsTsType), and the conversion
+    * branch mirrors graft.Tables.events exactly.
     */
-  val eventsRawSchema: StructType = StructType(Seq(
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos via nanosAsLong
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over the events parquet. */
+  /** File-source stream over the events parquet; emits canonical
+    * `ts: TimestampType` regardless of the on-disk encoding. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = graft.Tables.eventsTsType(spark, dir)
     // The file source needs a directory; scope it to the events file.
-    spark.readStream
-      .schema(eventsRawSchema)
+    val base = spark.readStream
+      .schema(eventsRawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => base.withColumn("ts", col("ts").cast(TimestampType))
+      case _        => base
+    }
   }
 
   /** Watermarked tumbling-window aggregation (shared shape with the
