@@ -148,6 +148,9 @@ object SparkEntry {
     "tenant_decay"       -> ((s, d) => PayloadOps.tenantSearchDecay(s, d)),
     "branch_cleanup"     -> ((s, d) => BranchLifecycle.branchCleanup(s, d)),
     "debounce_events"    -> ((s, d) => PayloadOps.debounceEvents(s, d)),
+    // Cross-project branch default + type-aware processing settings
+    "target_branch"      -> ((s, d) => TargetBranch.targetBranch(s, d)),
+    "type_settings"      -> ((s, d) => TypeAwareSettings.typeSettings(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -3778,5 +3781,74 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 4) AS session_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_start""".stripMargin,
+    // target_branch.rs:22 resolve_cross_project_branch — detected
+    // checkout branch ("default" sentinel falls through) else the mode
+    // of primary_branch among tracked rows, count ties broken by branch
+    // name asc for determinism, else NULL/none.
+    "target_branch" ->
+      """WITH tracked AS (
+        |  SELECT source AS watch_folder_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL
+        |         WHEN doc_id % 10 < 6 THEN 'main'
+        |         ELSE 'b' || CAST(doc_id % 4 AS VARCHAR) END AS primary_branch
+        |  FROM documents),
+        |targets AS (
+        |  SELECT DISTINCT watch_folder_id FROM tracked
+        |  UNION ALL SELECT 'src_gone'),
+        |probes AS (SELECT * FROM (VALUES ('src2', 'feature-z'), ('src5', 'default'))
+        |  AS t(watch_folder_id, probed)),
+        |ranked AS (
+        |  SELECT watch_folder_id, primary_branch AS mode_branch,
+        |    row_number() OVER (PARTITION BY watch_folder_id
+        |      ORDER BY count(*) DESC, primary_branch ASC) AS rk
+        |  FROM tracked WHERE primary_branch IS NOT NULL
+        |  GROUP BY watch_folder_id, primary_branch)
+        |SELECT t.watch_folder_id,
+        |  coalesce(CASE WHEN p.probed <> 'default' THEN p.probed END, m.mode_branch) AS branch,
+        |  CASE WHEN p.probed IS NOT NULL AND p.probed <> 'default' THEN 'detected'
+        |       WHEN m.mode_branch IS NOT NULL THEN 'mode'
+        |       ELSE 'none' END AS method
+        |FROM targets t
+        |LEFT JOIN probes p USING (watch_folder_id)
+        |LEFT JOIN (SELECT watch_folder_id, mode_branch FROM ranked WHERE rk = 1) m
+        |  USING (watch_folder_id)
+        |ORDER BY watch_folder_id""".stripMargin,
+    // type_aware_processor.rs:98 get_settings_for_type — the five
+    // settings rows joined onto classified per-collection counts.
+    "type_settings" ->
+      """WITH named AS (
+        |  SELECT CASE doc_id % 5
+        |      WHEN 0 THEN '__sys' || CAST(doc_id % 2 AS VARCHAR)
+        |      WHEN 1 THEN '_lib' || CAST(doc_id % 3 AS VARCHAR)
+        |      WHEN 2 THEN source || '-docs'
+        |      WHEN 3 THEN 'global'
+        |      ELSE 'scratch' || CAST(doc_id % 2 AS VARCHAR) END AS collection_name
+        |  FROM documents),
+        |colls AS (SELECT collection_name, count(*) AS n_docs FROM named GROUP BY 1),
+        |typed AS (
+        |  SELECT collection_name, n_docs,
+        |    CASE WHEN starts_with(collection_name, '__') THEN 'system'
+        |         WHEN starts_with(collection_name, '_') THEN 'library'
+        |         WHEN collection_name = 'global' THEN 'global'
+        |         WHEN contains(collection_name, '-') THEN 'project'
+        |         ELSE 'unknown' END AS collection_type
+        |  FROM colls),
+        |settings AS (SELECT * FROM (VALUES
+        |  ('system', 50, 3, 4, 600),
+        |  ('library', 100, 5, 3, 900),
+        |  ('project', 150, 10, 2, 300),
+        |  ('global', 200, 8, 5, 1800),
+        |  ('unknown', 100, 5, 1, 300))
+        |  AS s(collection_type, batch_size, max_concurrent_operations,
+        |       priority_weight, cache_ttl_seconds))
+        |SELECT collection_name, collection_type,
+        |  CAST(batch_size AS INTEGER) AS batch_size,
+        |  CAST(max_concurrent_operations AS INTEGER) AS max_concurrent_operations,
+        |  CAST(priority_weight AS INTEGER) AS priority_weight,
+        |  CAST(cache_ttl_seconds AS INTEGER) AS cache_ttl_seconds,
+        |  n_docs,
+        |  CAST(ceil(n_docs::DOUBLE / batch_size) AS BIGINT) AS n_batches
+        |FROM typed JOIN settings USING (collection_type)
+        |ORDER BY collection_name""".stripMargin,
   )
 }
