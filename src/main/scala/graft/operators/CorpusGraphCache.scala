@@ -1,0 +1,44 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped memo for the derived corpus graphs.
+  *
+  * The graph-store read surface (narrative_query / find_path /
+  * graph_stats / graph_orphans) and the graph-augmented search passes
+  * (graph_fusion / graph_context / cross_boundary / graph_impact) all
+  * traverse the SAME derived graph — the EXPLAINS edge set plus the
+  * concept layer — which in the reference is a persistent store
+  * (sqlite_store.rs) written once at ingest and only READ by queries.
+  * Re-deriving it per standalone query is faithful to nothing and was
+  * the #1 cost of the graph-store queries (narrative_query spent ~90%
+  * of its wall re-tokenizing the corpus). This memo is the batch
+  * analogue of that store: the first query materializes the
+  * (edges, nodes) frames and `persist`s them (MEMORY_AND_DISK — at
+  * 100 TB the graph is corpus-shaped, so disk spill must be allowed);
+  * every later query against the same (session, sfDir) reuses the
+  * in-memory blocks.
+  *
+  * Correctness is untouched: inputs are immutable parquet snapshots,
+  * the key includes the data directory, and each query's plan simply
+  * starts from an InMemoryTableScan instead of the derivation subtree.
+  * Nothing is ever invalidated mid-session for the same reason the
+  * reference store isn't: the testdata directory is write-once.
+  */
+object CorpusGraphCache {
+  private val memo = new ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  /** Memoize a derived (edges, nodes) pair per (session, dir, kind);
+    * frames are persisted lazily — the first action materializes them.
+    */
+  def graphOf(spark: SparkSession, dir: String, kind: String)(
+      build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) =
+    memo.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir|$kind", _ => {
+      val (edges, nodes) = build
+      (edges.persist(StorageLevel.MEMORY_AND_DISK),
+        nodes.persist(StorageLevel.MEMORY_AND_DISK))
+    })
+}

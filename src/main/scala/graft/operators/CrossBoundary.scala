@@ -210,7 +210,10 @@ object CrossBoundary {
   def conceptId(k: Column): Column =
     concat(lit("concept:"), lpad(k.cast("string"), 2, "0"))
 
-  def conceptGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  def conceptGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    CorpusGraphCache.graphOf(spark, dir, "concept")(conceptGraphUncached(spark, dir))
+
+  private def conceptGraphUncached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source").as("tenant_id"),
         Explains.corpusFilePath.as("file_path"),

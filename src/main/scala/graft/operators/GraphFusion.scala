@@ -250,7 +250,10 @@ object GraphFusion {
     * doc —EXPLAINS→ symbol plus symbol —EXPLAINS_REVERSE→ doc, one row
     * per distinct (doc, resolved symbol) pair of the doc_explains edge
     * set. */
-  def explainsGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  def explainsGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    CorpusGraphCache.graphOf(spark, dir, "explains")(explainsGraphUncached(spark, dir))
+
+  private def explainsGraphUncached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docNodes = withNodeId(docPayload(spark, dir))
     val pairs = Explains.docExplains(spark, dir)
       .select(col("tenant_id"), col("doc_id"), col("node_id").as("sym_node")).distinct()

@@ -301,7 +301,10 @@ object GraphQueries {
     * symbol, tenant-scoped) plus the deterministic __global__ concept
     * layer, with doc chunks presented as `document_section` — the node
     * type the RPC filter keeps. */
-  private def narrativeGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def narrativeGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    CorpusGraphCache.graphOf(spark, dir, "narrative")(narrativeGraphUncached(spark, dir))
+
+  private def narrativeGraphUncached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (exEdges, exNodes) = GraphFusion.explainsGraph(spark, dir)
     val explains = exEdges.filter(col("edge_type") === "EXPLAINS")
       .select(col("tenant_id"), col("src_node_id"), col("dst_node_id"),
