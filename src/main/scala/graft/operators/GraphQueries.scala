@@ -52,12 +52,27 @@ object GraphQueries {
       .select(col("tenant_id"), col("src_node_id"), col("dst_node_id"))
     val nodeKeys = nodes.select(col("tenant_id"), col("node_id"))
 
+    // Early termination, exact: `ORDER BY depth LIMIT 1` means a probe
+    // whose target is already reached (and resolves tenant-scoped) can
+    // never be won by a DEEPER path — expanding it further only
+    // enumerates losers. Each hop therefore drops finished probes from
+    // the frontier before joining. This is what bounds the all-paths
+    // blow-up (unpruned, hop 4 on the sf0.1 EXPLAINS graph is 36.6M
+    // path rows; pruned, the frontier collapses once targets resolve).
+    // Frontiers are localCheckpoint'd per hop: the done-set feedback
+    // would otherwise nest each hop's plan inside the next
+    // (exponential lineage), and BFS frontiers are the same
+    // truncation point pagerank uses.
     var frontier = probes.select(col("probe_id"), col("tenant_id"),
       col("target_id"), col("source_id").as("node_id"),
       lit(0).as("depth"), col("source_id").as("path"))
     var acc = frontier
     for (d <- 1 to maxDepth) {
-      val f = frontier.as("f")
+      val done = acc.filter(col("node_id") === col("target_id"))
+        .join(nodeKeys, Seq("tenant_id", "node_id"))
+        .select(col("probe_id")).distinct()
+      val f = frontier.join(broadcast(done), Seq("probe_id"), "left_anti")
+        .localCheckpoint().as("f")
       frontier = broadcast(f).join(e.as("e"),
           col("f.tenant_id") === col("e.tenant_id") &&
             col("e.src_node_id") === col("f.node_id"))
@@ -68,6 +83,7 @@ object GraphQueries {
           col("f.target_id").as("target_id"),
           col("e.dst_node_id").as("node_id"), lit(d).as("depth"),
           concat(col("f.path"), lit(","), col("e.dst_node_id")).as("path"))
+        .localCheckpoint()
       acc = acc.unionByName(frontier)
     }
 
