@@ -123,6 +123,42 @@ object GraphFusion {
         .orderBy(col("depth"), col("symbol_name"), col("path"), col("node_id"))))
   }
 
+  /** The distinct reach set (seed, node, edge_type, depth) + node
+    * attributes — EXACTLY the rows impact's `reverse_traverse` keeps
+    * after its DISTINCT drops `path`. The traversal has no cycle gate
+    * (faithful to the reference's recursive CTE), so walk-reachability
+    * is path-independent: a length-d walk ending with edge (u,v,t)
+    * exists iff u is reachable at d-1 and the edge exists. Level-wise
+    * DISTINCT frontiers therefore replace all-walk enumeration — the
+    * frontier is bounded by the node set (≤ |V| per seed), never by
+    * the walk count (which multiplies per hop on a symmetric graph:
+    * 4M+ walk rows at depth 3 on the sf0.1 EXPLAINS graph, all
+    * collapsing right back in impact's DISTINCT).
+    */
+  def reachSetOf(seeds: DataFrame, edges: DataFrame, nodes: DataFrame,
+                 maxHops: Int, edgeTypes: Seq[String]): DataFrame = {
+    val e = (if (edgeTypes.nonEmpty) edges.filter(col("edge_type").isin(edgeTypes: _*))
+             else edges)
+      .select(col("tenant_id"), col("src_node_id"), col("dst_node_id"), col("edge_type"))
+    var frontier = seeds.select(col("seed_id"), col("tenant_id"), col("node_id"))
+    var acc: DataFrame = null
+    for (d <- 1 to maxHops) {
+      val f = frontier.as("f")
+      val reached = broadcast(f).join(e.as("e2"),
+          col("f.tenant_id") === col("e2.tenant_id") &&
+            col("e2.src_node_id") === col("f.node_id"))
+        .select(col("f.seed_id").as("seed_id"), col("f.tenant_id").as("tenant_id"),
+          col("e2.dst_node_id").as("node_id"), col("e2.edge_type").as("edge_type"),
+          lit(d).as("depth"))
+        .distinct()
+      frontier = reached.select(col("seed_id"), col("tenant_id"), col("node_id"))
+        .distinct()
+      acc = if (acc == null) reached else acc.unionByName(reached)
+    }
+    acc.join(nodes.select(col("tenant_id"), col("node_id"), col("symbol_name"),
+      col("symbol_type"), col("file_path")), Seq("tenant_id", "node_id"))
+  }
+
   private def proximity(depth: Column): Column =
     when(depth === 0, lit(1.0)).when(depth === 1, lit(0.8)).otherwise(lit(0.5))
 
@@ -414,9 +450,10 @@ object GraphFusion {
     val reversed = edges.select(col("tenant_id"),
       col("dst_node_id").as("src_node_id"), col("src_node_id").as("dst_node_id"),
       col("edge_type"))
-    val trav = queryRelatedOf(seeds, reversed, nodes, maxHops = maxDepth,
+    // reverse_traverse's DISTINCT drops `path` — so the path-free
+    // level-wise reach set is exact (and walk-count-free)
+    val trav = reachSetOf(seeds, reversed, nodes, maxHops = maxDepth,
         edgeTypes = Seq.empty)
-      // reverse_traverse's DISTINCT drops `path`
       .select(col("seed_id"), col("node_id"), col("edge_type"), col("depth"),
         col("symbol_name"), col("file_path"))
       .distinct()
