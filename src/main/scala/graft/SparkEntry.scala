@@ -151,6 +151,9 @@ object SparkEntry {
     // Cross-project branch default + type-aware processing settings
     "target_branch"      -> ((s, d) => TargetBranch.targetBranch(s, d)),
     "type_settings"      -> ((s, d) => TypeAwareSettings.typeSettings(s, d)),
+    // Idle-maintenance ring: uplift candidate selection + flip-flop analysis
+    "uplift_select"      -> ((s, d) => MetadataUplift.upliftSelect(s, d)),
+    "idle_flipflops"     -> ((s, d) => IdleHistory.idleFlipflops(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -3850,5 +3853,50 @@ object SparkEntry {
         |  CAST(ceil(n_docs::DOUBLE / batch_size) AS BIGINT) AS n_batches
         |FROM typed JOIN settings USING (collection_type)
         |ORDER BY collection_name""".stripMargin,
+    // metadata_uplift.rs:61 find_points_needing_uplift — status
+    // should-filter, generation gate, per-collection batch cap in
+    // scroll (point id) order.
+    "uplift_select" ->
+      """WITH pts AS (
+        |  SELECT source AS collection, doc_id AS point_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN 'failed'
+        |         WHEN doc_id % 5 = 2 THEN 'partial'
+        |         WHEN doc_id % 5 = 3 THEN 'pending'
+        |         ELSE 'ok' END AS lsp_enrichment_status,
+        |    doc_id % 3 AS uplift_generation
+        |  FROM documents),
+        |cand AS (
+        |  SELECT *, row_number() OVER (PARTITION BY collection ORDER BY point_id) AS rk
+        |  FROM pts
+        |  WHERE lsp_enrichment_status IN ('failed', 'partial', 'pending')
+        |    AND coalesce(uplift_generation, 0) < 2)
+        |SELECT collection, point_id, lsp_enrichment_status, uplift_generation
+        |FROM cand WHERE rk <= 10
+        |ORDER BY collection, point_id""".stripMargin,
+    // idle_history/history.rs:114 analyze_flip_flops — windowed
+    // transition diagnostics per daemon log (user axis).
+    "idle_flipflops" ->
+      """WITH dur AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |w AS (SELECT max(ts) AS now_ts FROM events),
+        |inw AS (
+        |  SELECT d.user_id,
+        |    (epoch_us(d.ts) - epoch_us(d.prev_ts)) / 1e6 AS duration_secs
+        |  FROM dur d, w
+        |  WHERE d.prev_ts IS NOT NULL
+        |    AND epoch_us(d.ts) >= epoch_us(w.now_ts) - CAST(168.0 * 3600.0 * 1e6 AS BIGINT))
+        |SELECT user_id,
+        |  count(*) AS transition_count,
+        |  round(count(*) / 168.0, 4) AS transitions_per_hour,
+        |  round(avg(duration_secs), 4) AS avg_mode_duration_secs,
+        |  CAST(sum(CASE WHEN duration_secs < 30.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS short_transitions,
+        |  count(*) / 168.0 > 0.1 AS is_flip_flopping,
+        |  CASE WHEN count(*) / 168.0 > 0.1
+        |       THEN CAST(ceil((count(*) / 168.0) / 0.1) AS BIGINT) - 1
+        |       ELSE 0 END AS recommended_cooloff_increase
+        |FROM inw GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
