@@ -96,10 +96,12 @@ object GraphQueries {
       .select(col("probe_id"), col("tenant_id"), col("path"))
 
     // enumerate-then-skip: hop ordinals from the ORIGINAL path, the
-    // inner node join drops unresolvable ids without renumbering
-    win.select(col("probe_id"), col("tenant_id"),
-        posexplode(split(col("path"), ",")).as(Seq("hop", "node_id")))
-      .join(nodes, Seq("tenant_id", "node_id"))
+    // inner node join drops unresolvable ids without renumbering. The
+    // exploded winner set is one path per probe (bounded) → broadcast
+    // it past the corpus-sized node table, never the reverse.
+    val hops = win.select(col("probe_id"), col("tenant_id"),
+      posexplode(split(col("path"), ",")).as(Seq("hop", "node_id")))
+    nodes.join(broadcast(hops), Seq("tenant_id", "node_id"))
       .select(col("probe_id"), col("hop"), col("node_id"),
         col("symbol_name"), col("symbol_type"), col("file_path"),
         col("tenant_id"), lit(1.0).as("edge_confidence"))
