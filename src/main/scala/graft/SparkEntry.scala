@@ -154,6 +154,8 @@ object SparkEntry {
     // Idle-maintenance ring: uplift candidate selection + flip-flop analysis
     "uplift_select"      -> ((s, d) => MetadataUplift.upliftSelect(s, d)),
     "idle_flipflops"     -> ((s, d) => IdleHistory.idleFlipflops(s, d)),
+    "stale_projects"     -> ((s, d) => IdleCleanup.staleProjects(s, d)),
+    "queue_cleanup"      -> ((s, d) => IdleCleanup.queueCleanup(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -3898,5 +3900,37 @@ object SparkEntry {
         |       THEN CAST(ceil((count(*) / 168.0) / 0.1) AS BIGINT) - 1
         |       ELSE 0 END AS recommended_cooloff_increase
         |FROM inw GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // stale_project_deactivation.rs:55 — is_active>0, non-NULL
+    // last_activity_at, activity older than the cutoff → deactivate.
+    "stale_projects" ->
+      """WITH act AS (
+        |  SELECT user_id, max(ts) AS last_activity_at FROM events GROUP BY 1),
+        |targets AS (SELECT user_id FROM act UNION SELECT 9999),
+        |w AS (SELECT max(ts) AS now_ts FROM events),
+        |folders AS (
+        |  SELECT t.user_id AS project_id,
+        |    CASE WHEN t.user_id % 11 = 0 THEN 0 ELSE 1 END AS is_active,
+        |    a.last_activity_at
+        |  FROM targets t LEFT JOIN act a USING (user_id))
+        |SELECT project_id, is_active, CAST(last_activity_at AS TIMESTAMP) AS last_activity_at,
+        |  CASE WHEN is_active > 0 AND last_activity_at IS NOT NULL
+        |        AND epoch_us(last_activity_at) < epoch_us(now_ts) - 86400000000
+        |       THEN 'deactivate' ELSE 'keep' END AS action
+        |FROM folders, w ORDER BY project_id""".stripMargin,
+    // queue_cleanup.rs:67 — done rows older than retention_hours
+    // (24, :31) are reclaimed; everything else kept.
+    "queue_cleanup" ->
+      """WITH q AS (
+        |  SELECT event_id AS item_id,
+        |    CASE event_id % 4 WHEN 0 THEN 'done' WHEN 1 THEN 'pending'
+        |         WHEN 2 THEN 'in_progress' ELSE 'failed' END AS status,
+        |    ts AS updated_at
+        |  FROM events),
+        |w AS (SELECT max(ts) AS now_ts FROM events)
+        |SELECT item_id, status, CAST(updated_at AS TIMESTAMP) AS updated_at,
+        |  CASE WHEN status = 'done'
+        |        AND epoch_us(updated_at) < epoch_us(now_ts) - 86400000000
+        |       THEN 'delete' ELSE 'keep' END AS action
+        |FROM q, w ORDER BY item_id""".stripMargin,
   )
 }
