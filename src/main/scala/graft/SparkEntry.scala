@@ -156,6 +156,9 @@ object SparkEntry {
     "idle_flipflops"     -> ((s, d) => IdleHistory.idleFlipflops(s, d)),
     "stale_projects"     -> ((s, d) => IdleCleanup.staleProjects(s, d)),
     "queue_cleanup"      -> ((s, d) => IdleCleanup.queueCleanup(s, d)),
+    // Queue-health trend analytics (#133): dual-EWMA lanes + RAG verdict
+    "trend_ewma"         -> ((s, d) => QueueHealth.trendEwma(s, d)),
+    "queue_verdict"      -> ((s, d) => QueueHealth.queueVerdict(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -3932,5 +3935,96 @@ object SparkEntry {
         |        AND epoch_us(updated_at) < epoch_us(now_ts) - 86400000000
         |       THEN 'delete' ELSE 'keep' END AS action
         |FROM q, w ORDER BY item_id""".stripMargin,
+    // queue_health/ewma.rs DualEwma closed form (seed + α-weighted tail)
+    // per event_type lane; ratio/slope guards (DOM-05) + A1 regression
+    // RAG (probes/trend.rs:58). Constants 1.0-0.3 / 1.0-0.01 are spelled
+    // as subtractions so both engines fold the identical IEEE double.
+    "trend_ewma" ->
+      """WITH s AS (
+        |  SELECT event_type AS lane, value AS x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |l AS (
+        |  SELECT lane, max(n) AS n_samples,
+        |    sum(CASE WHEN rn = 1 THEN pow(1.0 - 0.3, n - 1) * x
+        |             ELSE 0.3 * pow(1.0 - 0.3, n - rn) * x END) AS fast,
+        |    sum(CASE WHEN rn = 1 THEN pow(1.0 - 0.01, n - 1) * x
+        |             ELSE 0.01 * pow(1.0 - 0.01, n - rn) * x END) AS slow
+        |  FROM s GROUP BY lane)
+        |SELECT lane AS event_type, n_samples,
+        |  round(fast, 6) AS ewma_fast, round(slow, 6) AS ewma_slow,
+        |  round(CASE WHEN abs(slow) < 1e-9 THEN NULL ELSE fast / slow END, 6) AS ratio,
+        |  CASE WHEN abs(slow) < 1e-9 THEN 'flat'
+        |       WHEN abs(fast - slow) / abs(slow) < 0.05 THEN 'flat'
+        |       WHEN fast - slow > 0 THEN 'rising' ELSE 'falling' END AS slope,
+        |  CASE WHEN slow >= 0.1
+        |        AND (CASE WHEN abs(slow) < 1e-9 THEN NULL ELSE fast / slow END) > 2.0
+        |       THEN 'amber' ELSE 'green' END AS rag
+        |FROM l ORDER BY event_type""".stripMargin,
+    // The poll-loop verdict: running dual-EWMA cost lanes (scaled prefix
+    // sum), A3 delta-rate probe (probes/trend.rs:90), plurality-of-5
+    // debounce with severity tie-break (state.rs:111), worst-of overall
+    // (verdict.rs:47). Lanes = users, polls = active days.
+    "queue_verdict" ->
+      """WITH polls AS (
+        |  SELECT user_id AS lane, date_trunc('day', ts) AS poll,
+        |    count(*) AS n_events, avg(value) AS cost
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lane, poll, n_events, cost,
+        |    row_number() OVER w AS p,
+        |    CAST(n_events - lag(n_events) OVER w AS DOUBLE) AS delta
+        |  FROM polls WINDOW w AS (PARTITION BY lane ORDER BY poll)),
+        |lanes AS (
+        |  SELECT *,
+        |    pow(1.0 - 0.3, p) * sum(CASE WHEN p = 1 THEN cost * pow(1.0 / (1.0 - 0.3), p)
+        |        ELSE 0.3 * cost * pow(1.0 / (1.0 - 0.3), p) END) OVER run AS cost_fast,
+        |    pow(1.0 - 0.01, p) * sum(CASE WHEN p = 1 THEN cost * pow(1.0 / (1.0 - 0.01), p)
+        |        ELSE 0.01 * cost * pow(1.0 / (1.0 - 0.01), p) END) OVER run AS cost_slow,
+        |    pow(1.0 - 0.3, p - 1) * sum(CASE WHEN p - 1 = 1 THEN delta * pow(1.0 / (1.0 - 0.3), p - 1)
+        |        ELSE 0.3 * delta * pow(1.0 / (1.0 - 0.3), p - 1) END) OVER run AS rate
+        |  FROM r WINDOW run AS (PARTITION BY lane ORDER BY poll
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |raw AS (
+        |  SELECT *,
+        |    CASE WHEN cost_slow >= 0.1
+        |          AND (CASE WHEN abs(cost_slow) < 1e-9 THEN NULL
+        |               ELSE cost_fast / cost_slow END) > 2.0
+        |         THEN 'amber' ELSE 'green' END AS a1_raw,
+        |    CASE WHEN n_events < 1 THEN 'green'
+        |         WHEN p - 1 < 2 THEN 'green'
+        |         WHEN rate > 1.0 THEN 'red'
+        |         WHEN rate < -1.0 THEN 'green'
+        |         ELSE 'amber' END AS a3_raw
+        |  FROM lanes),
+        |deb AS (
+        |  SELECT *,
+        |    count(CASE WHEN a1_raw = 'red' THEN 1 END) OVER ring AS a1_cr,
+        |    count(CASE WHEN a1_raw = 'amber' THEN 1 END) OVER ring AS a1_ca,
+        |    count(CASE WHEN a1_raw = 'green' THEN 1 END) OVER ring AS a1_cg,
+        |    count(CASE WHEN a3_raw = 'red' THEN 1 END) OVER ring AS a3_cr,
+        |    count(CASE WHEN a3_raw = 'amber' THEN 1 END) OVER ring AS a3_ca,
+        |    count(CASE WHEN a3_raw = 'green' THEN 1 END) OVER ring AS a3_cg
+        |  FROM raw WINDOW ring AS (PARTITION BY lane ORDER BY poll
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |out AS (
+        |  SELECT lane, poll, n_events, cost, cost_fast, cost_slow, rate,
+        |    a1_raw, a3_raw,
+        |    CASE WHEN a1_cg > greatest(a1_cr, a1_ca) THEN 'green'
+        |         WHEN a1_ca > a1_cr THEN 'amber'
+        |         WHEN a1_cr > 0 THEN 'red' ELSE 'green' END AS a1,
+        |    CASE WHEN a3_cg > greatest(a3_cr, a3_ca) THEN 'green'
+        |         WHEN a3_ca > a3_cr THEN 'amber'
+        |         WHEN a3_cr > 0 THEN 'red' ELSE 'green' END AS a3
+        |  FROM deb)
+        |SELECT lane AS user_id, poll, n_events, round(cost, 4) AS cost,
+        |  round(CASE WHEN abs(cost_slow) < 1e-9 THEN NULL
+        |        ELSE cost_fast / cost_slow END, 6) AS cost_ratio,
+        |  round(rate, 6) AS dlq_rate, a1_raw, a1, a3_raw, a3,
+        |  CASE WHEN a1 = 'red' OR a3 = 'red' THEN 'red'
+        |       WHEN a1 = 'amber' OR a3 = 'amber' THEN 'amber'
+        |       ELSE 'green' END AS overall
+        |FROM out ORDER BY user_id, poll""".stripMargin,
   )
 }
