@@ -159,6 +159,10 @@ object SparkEntry {
     // Queue-health trend analytics (#133): dual-EWMA lanes + RAG verdict
     "trend_ewma"         -> ((s, d) => QueueHealth.trendEwma(s, d)),
     "queue_verdict"      -> ((s, d) => QueueHealth.queueVerdict(s, d)),
+    // State reconciliation: filesystem sweep, recovery re-queue, upgrades
+    "fs_reconcile"       -> ((s, d) => Reconcile.fsReconcile(s, d)),
+    "recovery_reconcile" -> ((s, d) => Reconcile.recoveryReconcile(s, d)),
+    "upgrade_select"     -> ((s, d) => Reconcile.upgradeSelect(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -4026,5 +4030,104 @@ object SparkEntry {
         |       WHEN a1 = 'amber' OR a3 = 'amber' THEN 'amber'
         |       ELSE 'green' END AS overall
         |FROM out ORDER BY user_id, poll""".stripMargin,
+    // idle/tasks/filesystem_reconcile.rs — missing-from-disk → delete,
+    // indexed-and-now-oversized → reprocess/update (#121 self-heal),
+    // else keep; limits are the 13-entry 500 KB default table
+    // (config/ingestion.rs:33, absence = unlimited).
+    "fs_reconcile" ->
+      s"""$reconcileTrackedCtes
+        |SELECT file_id, relative_path,
+        |  COALESCE(primary_branch, 'default') AS branch, collection, tenant_id,
+        |  chunk_count, size_bytes, extension, limit_kb, fs_exists,
+        |  CASE WHEN NOT fs_exists THEN 'delete'
+        |       WHEN chunk_count > 0 AND limit_kb IS NOT NULL
+        |            AND size_bytes > limit_kb * 1024 THEN 'reprocess'
+        |       ELSE 'keep' END AS action,
+        |  CASE WHEN NOT fs_exists THEN 'delete'
+        |       WHEN chunk_count > 0 AND limit_kb IS NOT NULL
+        |            AND size_bytes > limit_kb * 1024 THEN 'update' END AS op
+        |FROM rec_e JOIN rec_w ON rec_e.source = rec_w.watch_id
+        |WHERE len(relative_path) > 0 AND len(watch_path) > 0
+        |ORDER BY file_id""".stripMargin,
+    // startup/recovery/reconcile.rs:32 — flagged rows re-queued with the
+    // force_reingest metadata; vanished watch folder → orphan clear.
+    "recovery_reconcile" ->
+      s"""$reconcileTrackedCtes,
+        |fl AS (
+        |  SELECT *,
+        |    CASE WHEN file_id % 21 = 2 THEN 'ghost' ELSE source END AS watch_folder_id,
+        |    ['qdrant_ok_sqlite_fail','hash_mismatch','partial_write'
+        |    ][(file_id % 3) + 1] AS reconcile_reason
+        |  FROM rec_t WHERE file_id % 7 = 2)
+        |SELECT file_id, relative_path, watch_folder_id, reconcile_reason,
+        |  CASE WHEN w.watch_path IS NULL THEN 'clear_flag'
+        |       WHEN fs_exists THEN 'update' ELSE 'delete' END AS action,
+        |  CASE WHEN w.watch_path IS NOT NULL
+        |       THEN '{"source":"needs_reconcile","force_reingest":true}'
+        |       END AS metadata
+        |FROM fl LEFT JOIN rec_w w ON fl.watch_folder_id = w.watch_id
+        |ORDER BY file_id""".stripMargin,
+    // tracked_files_schema/reconcile.rs:79 get_files_needing_upgrade —
+    // the three capability-upgrade reason predicates, the grammar
+    // reason exercising the optional language arm.
+    "upgrade_select" ->
+      s"""$reconcileTrackedCtes,
+        |s AS (
+        |  SELECT rec_e.*,
+        |    ['none','ok','failed','skipped'][(file_id % 4) + 1] AS ts_status,
+        |    ['none','ok','failed'][(file_id % 3) + 1] AS lsp_status,
+        |    CASE extension WHEN 'py' THEN 'python' WHEN 'rs' THEN 'rust'
+        |      WHEN 'ts' THEN 'typescript' WHEN 'd.ts' THEN 'typescript'
+        |      WHEN 'html' THEN 'html' WHEN 'yaml' THEN 'yaml'
+        |      WHEN 'json' THEN 'json' END AS language
+        |  FROM rec_e),
+        |rsn AS (SELECT * FROM (VALUES
+        |  ('grammar_available', 'python'), ('lsp_available', NULL),
+        |  ('enrichment_retry', NULL)) AS v(reason, lang_filter))
+        |SELECT reason, tenant_id, file_id, relative_path,
+        |  COALESCE(primary_branch, 'default') AS primary_branch, collection
+        |FROM s JOIN rec_w ON s.source = rec_w.watch_id CROSS JOIN rsn
+        |WHERE (CASE WHEN reason = 'grammar_available'
+        |              THEN ts_status IN ('none', 'failed', 'skipped')
+        |            WHEN reason = 'lsp_available'
+        |              THEN lsp_status IN ('none', 'failed')
+        |            ELSE lsp_status = 'failed' OR ts_status = 'failed' END)
+        |  AND (lang_filter IS NULL OR language IS NOT DISTINCT FROM lang_filter)
+        |ORDER BY reason, file_id""".stripMargin,
   )
+
+  /** Shared reconcile-family CTEs: the synthetic tracked-files frame
+    * (branch/chunk/size/exists residues), the watch-folder registry,
+    * and the storage-extension + 500 KB-limit derivation. */
+  private val reconcileTrackedCtes: String =
+    """WITH rec_t AS (
+      |  SELECT doc_id AS file_id, source, n_chars,
+      |    ['src','tests','lib','config','e2e'][(doc_id % 5) + 1] || '/' ||
+      |    ['main.py','lib.rs','util.ts','types.d.ts','README.md','guide.pdf',
+      |     'index.html','deck.pptx','app.yaml','data.json','table.csv','dist.whl',
+      |     'bundle.tar.gz','.gitignore','LICENSE','test_core.py','app.test.ts'
+      |    ][(doc_id % 17) + 1] AS relative_path,
+      |    CASE WHEN doc_id % 6 = 0 THEN NULL ELSE 'main' END AS primary_branch,
+      |    CASE WHEN doc_id % 9 = 4 THEN 0 ELSE 1 + doc_id % 7 END AS chunk_count,
+      |    n_chars * 1500 AS size_bytes,
+      |    doc_id % 13 <> 5 AS fs_exists
+      |  FROM documents),
+      |rec_w AS (
+      |  SELECT DISTINCT source AS watch_id, '/proj/' || source AS watch_path,
+      |    source AS tenant_id, source || '-code' AS collection
+      |  FROM documents),
+      |rec_x AS (SELECT rec_t.*,
+      |    lower(string_split(relative_path, '/')[-1]) AS fname FROM rec_t),
+      |rec_e AS (SELECT *,
+      |    CASE WHEN fname LIKE '%.d.ts' THEN 'd.ts'
+      |         WHEN regexp_matches(fname, '^.+\.[^.]+$')
+      |           THEN regexp_extract(fname, '\.([^.]+)$', 1)
+      |    END AS extension,
+      |    CASE WHEN (CASE WHEN fname LIKE '%.d.ts' THEN 'd.ts'
+      |         WHEN regexp_matches(fname, '^.+\.[^.]+$')
+      |           THEN regexp_extract(fname, '\.([^.]+)$', 1) END)
+      |         IN ('json','jsonc','json5','jsonl','ndjson','yaml','yml',
+      |             'toml','xml','xsl','xslt','csv','tsv')
+      |      THEN CAST(500 AS BIGINT) END AS limit_kb
+      |  FROM rec_x)""".stripMargin
 }
