@@ -163,6 +163,7 @@ object SparkEntry {
     "fs_reconcile"       -> ((s, d) => Reconcile.fsReconcile(s, d)),
     "recovery_reconcile" -> ((s, d) => Reconcile.recoveryReconcile(s, d)),
     "upgrade_select"     -> ((s, d) => Reconcile.upgradeSelect(s, d)),
+    "rules_reconcile"    -> ((s, d) => RulesReconcile.rulesReconcile(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -4094,6 +4095,64 @@ object SparkEntry {
         |            ELSE lsp_status = 'failed' OR ts_status = 'failed' END)
         |  AND (lang_filter IS NULL OR language IS NOT DISTINCT FROM lang_filter)
         |ORDER BY reason, file_id""".stripMargin,
+    // rules_rebuild.rs — label dedup (newest wins), cross-label content
+    // dedup (lex-min label wins, the deterministic totalization of the
+    // reference's map-order iteration), then the bidirectional sync
+    // against the pre-delete mirror read (storage_targets.rs order).
+    // Enqueue idempotency: sha256("text|add|tid|rules|{payload}")[..32].
+    "rules_reconcile" ->
+      """WITH pts AS (
+        |  SELECT 'pt-' || doc_id AS point_id,
+        |    CASE WHEN doc_id % 50 = 7 THEN NULL
+        |         ELSE 'rule-' || (doc_id % 180) END AS label,
+        |    'text-' || (doc_id % 120) AS content,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'global'
+        |         WHEN doc_id % 3 = 1 THEN 'project' END AS scope,
+        |    CASE WHEN doc_id % 2 = 0 THEN source END AS tenant,
+        |    '2024-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+        |      || 'T00:00:00Z' AS updated_at
+        |  FROM documents),
+        |mir AS (
+        |  SELECT 'rule-' || m AS rule_id,
+        |    'text-' || ((m * 7) % 118) AS rule_text,
+        |    CASE WHEN m % 4 = 0 THEN 'local' END AS scope,
+        |    CASE WHEN m % 5 = 0 THEN 'src' || (m % 20) END AS tenant_id
+        |  FROM (SELECT DISTINCT doc_id % 210 AS m FROM documents)
+        |  WHERE m % 11 <> 3),
+        |lab AS (SELECT * FROM pts WHERE label IS NOT NULL AND label <> ''),
+        |rk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY label ORDER BY updated_at DESC, point_id) AS rn FROM lab),
+        |win AS (SELECT * FROM rk WHERE rn = 1),
+        |cr AS (SELECT *, row_number() OVER (PARTITION BY content ORDER BY label) AS crn,
+        |    count(*) OVER (PARTITION BY content) AS cdup FROM win),
+        |losers AS (SELECT * FROM cr WHERE cdup > 1 AND crn > 1),
+        |ded AS (SELECT label, content, scope, tenant FROM cr
+        |        WHERE NOT (cdup > 1 AND crn > 1))
+        |SELECT 'delete_point' AS action, 'label_dup' AS dup_kind, label, point_id,
+        |  CAST(NULL AS VARCHAR) AS tenant_id, CAST(NULL AS VARCHAR) AS payload
+        |FROM rk WHERE rn > 1
+        |UNION ALL
+        |SELECT 'delete_point', 'content_dup', label, point_id, NULL, NULL FROM losers
+        |UNION ALL
+        |SELECT 'delete_mirror', 'content_dup', label, NULL, NULL, NULL FROM losers
+        |UNION ALL
+        |SELECT 'insert_mirror', NULL, d.label, NULL, d.tenant, d.content
+        |FROM ded d LEFT JOIN mir ON d.label = mir.rule_id WHERE mir.rule_id IS NULL
+        |UNION ALL
+        |SELECT 'update_mirror', NULL, d.label, NULL, d.tenant, d.content
+        |FROM ded d JOIN mir ON d.label = mir.rule_id WHERE mir.rule_text <> d.content
+        |UNION ALL
+        |SELECT 'enqueue', NULL, rule_id, NULL, COALESCE(tenant_id, 'global'),
+        |  substr(sha256('text|add|' || COALESCE(tenant_id, 'global') || '|rules|'
+        |    || '{"content":"' || rule_text || '","label":"' || rule_id
+        |    || '","scope":'
+        |    || CASE WHEN scope IS NULL THEN 'null' ELSE '"' || scope || '"' END
+        |    || '}'), 1, 32)
+        |FROM mir WHERE rule_id NOT IN (SELECT label FROM ded)
+        |UNION ALL
+        |SELECT 'skip_unlabeled', NULL, NULL, point_id, NULL, NULL
+        |FROM pts WHERE label IS NULL OR label = ''
+        |ORDER BY action, label, point_id""".stripMargin,
   )
 
   /** Shared reconcile-family CTEs: the synthetic tracked-files frame
