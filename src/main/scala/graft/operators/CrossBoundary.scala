@@ -105,15 +105,76 @@ object CrossBoundary {
         lit(0).as("depth"), col("node_id").as("path"),
         lit("").as("edge_type"), lit(1.0).as("conf"))
 
+    // ── Exact first-reach prune ────────────────────────────────────────
+    // The reference CTE enumerates EVERY simple path (gated by the INSTR
+    // substring test) and dedupes per node by (depth, conf desc, path)
+    // at the end. Under the ≤3-hop clamp that enumeration is provably
+    // equivalent to first-reach BFS: every path to node X contains
+    // {seed, X}, so the INSTR gate of X's depth-1 path ({seed, X}) is
+    // weaker than ANY longer path's gate — an extension blocked from the
+    // min-depth row is blocked from every deeper row of the same node,
+    // hence (i) arrivals at an already-reached node can never produce a
+    // descendant at ITS minimal depth, and (ii) a node's min-depth
+    // arrival set is exactly the extensions of the previous level's
+    // first-reach rows (a parent at depth 2 re-reached from depth-1
+    // would contradict the target's minimality through the weaker gate).
+    // Deeper rows of a reached node only ever lose the (depth asc, …)
+    // dedup, so dropping them from BOTH the frontier and the
+    // accumulator changes no output row — while collapsing the
+    // depth-3 hub re-expansion that dominated the enumeration (the
+    // measured 36M-row analogue in find_path). Beyond 3 hops the
+    // subset argument fails for min-depth ≥ 2 parents; the prune is
+    // sound precisely because MaxHopsCap = 3 (cross_boundary.rs cap).
     var frontier = frontier0
+    var reached = frontier0.select(col("probe_id"), col("node_id"))
     var acc: DataFrame = null
     for (d <- 1 to hops) {
       val f = frontier.as("f")
-      val step = broadcast(f).join(adj.as("a"),
+      // The third level expands COMPACTED parents — one row per
+      // (probe, parent) carrying the sorted SET of interior (mid) nodes
+      // across that parent's depth-2 paths — instead of one row per
+      // path. Sound because node ids contain none of the " -> "
+      // separator's characters (no ' ' or '>', every id carries ':'),
+      // so the INSTR gate decomposes per visited node: arrival m via
+      // parent X is allowed iff neither seed nor X contains m AND some
+      // mid has ¬mid.contains(m); and the lex-min allowed full path is
+      // seed -> (min allowed mid) -> X -> m, because the shared
+      // prefix/suffix make full-path order coincide with mid order
+      // (space < every id character, so a prefix id sorts first in both
+      // orders). Collapses the dominant (paths × degree) expansion to
+      // (parents × degree) — measured ~20× fewer level-3 rows.
+      val step =
+        if (d == 3) {
+          val parents = frontier
+            .groupBy(col("probe_id"), col("source_tenant"),
+              col("node_id").as("p_node"))
+            .agg(min(element_at(split(col("path"), " -> "), 1)).as("seed_id"),
+              sort_array(collect_set(
+                element_at(split(col("path"), " -> "), 2))).as("mids"))
+          broadcast(parents).join(adj.as("a"),
+              col("a.from_id") === col("p_node"))
+            .filter(!col("seed_id").contains(col("a.to_id")) &&
+              !col("p_node").contains(col("a.to_id")) &&
+              exists(col("mids"), mid => !mid.contains(col("a.to_id"))))
+            .join(broadcast(nodeT), col("a.to_id") === nodeT("n_id"))
+            .filter(allowedTenant(col("source_tenant"), col("n_tenant")))
+            .select(col("probe_id"), col("source_tenant"),
+              col("a.to_id").as("node_id"), lit(d).as("depth"),
+              concat(col("seed_id"), lit(" -> "),
+                element_at(filter(col("mids"),
+                  mid => !mid.contains(col("a.to_id"))), 1),
+                lit(" -> "), col("p_node"), lit(" -> "), col("a.to_id"))
+                .as("path"),
+              col("a.edge_type").as("edge_type"),
+              (coalesce(col("a.weight"), lit(1.0)) *
+                baseConfidence(col("a.edge_type"))).as("conf"))
+        } else broadcast(f).join(adj.as("a"),
           col("a.from_id") === col("f.node_id"))
         // cycle gate: the reference's literal substring INSTR test
         .filter(!col("f.path").contains(col("a.to_id")))
-        .join(nodeT, col("a.to_id") === nodeT("n_id"))
+        // node axis is corpus-bounded (~thousands) — broadcast keeps the
+        // arrival stream (frontier × degree) pipelined, shuffle-free
+        .join(broadcast(nodeT), col("a.to_id") === nodeT("n_id"))
         .filter(allowedTenant(col("f.source_tenant"), col("n_tenant")))
         .select(col("f.probe_id").as("probe_id"),
           col("f.source_tenant").as("source_tenant"),
@@ -122,17 +183,51 @@ object CrossBoundary {
           col("a.edge_type").as("edge_type"),
           (coalesce(col("a.weight"), lit(1.0)) *
             baseConfidence(col("a.edge_type"))).as("conf"))
-      acc = if (acc == null) step else acc.unionByName(step)
-      frontier = step
+      // First-reach only: arrivals at known nodes are (depth asc)-dominated.
+      // The LAST level feeds no further expansion, so it skips the
+      // frontier checkpoint entirely — its (largest) arrival set streams
+      // straight into the aggregate below and is never materialized.
+      // reached ≤ probes × nodes — broadcast the anti-join so the big
+      // arrival stream never shuffles; only the ~|nodes| aggregate does.
+      val anti = step.join(broadcast(reached),
+        Seq("probe_id", "node_id"), "left_anti")
+      val stepNew = if (d == hops) anti else anti.localCheckpoint()
+      // The min-depth best row per node is decided WITHIN this level
+      // ((conf desc, path asc) over the complete arrival set — intact
+      // because the previous level kept every path of its new nodes).
+      // min(struct(−conf, path, …)) instead of a rank window: the
+      // partial (map-side) aggregation collapses the per-node path fan
+      // BEFORE the shuffle — the window would sort the full arrival set.
+      val accStep = stepNew
+        .groupBy(col("probe_id"), col("node_id"))
+        .agg(min(struct((-col("conf")).as("nc"), col("path").as("p"),
+          col("edge_type").as("et"), col("conf").as("c"),
+          col("source_tenant").as("st"))).as("o"))
+        .select(col("probe_id"), col("o.st").as("source_tenant"),
+          col("node_id"), lit(d).as("depth"), col("o.p").as("path"),
+          col("o.et").as("edge_type"), col("o.c").as("conf"))
+      acc = if (acc == null) accStep else acc.unionByName(accStep)
+      if (d < hops) {
+        frontier = stepNew
+        reached = reached.unionByName(
+          stepNew.select(col("probe_id"), col("node_id")).distinct())
+      }
     }
 
-    // Best row per reached node (sqlite_store.rs ranked CTE).
+    // Per-node dedup (sqlite_store.rs ranked CTE) — acc already holds
+    // one min-depth row per (probe, node); the window is kept as the
+    // (now cheap) structural twin of the reference's ROW_NUMBER.
+    // localCheckpoint: the cap stage references this frame on two plan
+    // branches (the concept-id aggregate and the main rank path) — a
+    // ~|reached| materialization here keeps the traversal from
+    // executing twice in one query.
     val best = acc
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("probe_id"), col("node_id"))
           .orderBy(col("depth"), col("conf").desc, col("path"))))
       .filter(col("rn") === 1)
       .join(nodes, Seq("node_id"))
+      .localCheckpoint()
 
     // apply_fan_out_caps as per-class window ranks.
     val ranked = best.withColumn("grank", row_number().over(
