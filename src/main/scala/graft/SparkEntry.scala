@@ -164,6 +164,7 @@ object SparkEntry {
     "recovery_reconcile" -> ((s, d) => Reconcile.recoveryReconcile(s, d)),
     "upgrade_select"     -> ((s, d) => Reconcile.upgradeSelect(s, d)),
     "rules_reconcile"    -> ((s, d) => RulesReconcile.rulesReconcile(s, d)),
+    "scratchpad_reconcile" -> ((s, d) => Reconcile.scratchpadReconcile(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -4153,6 +4154,29 @@ object SparkEntry {
         |SELECT 'skip_unlabeled', NULL, NULL, point_id, NULL, NULL
         |FROM pts WHERE label IS NULL OR label = ''
         |ORDER BY action, label, point_id""".stripMargin,
+    // scratchpad_rebuild.rs:83 — VALUE-matched reconcile: a mirror
+    // entry re-ingests iff its content equals no store point's content;
+    // idem key sha256("text|add|tid|scratchpad|{payload}")[..32].
+    "scratchpad_reconcile" ->
+      """WITH store AS (
+        |  SELECT DISTINCT 'note-' || (doc_id % 300) AS q_content
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |mir AS (
+        |  SELECT 'sp-' || m AS id, 'Note ' || m AS title,
+        |    'note-' || (m % 330) AS content, 't' || (m % 5) AS tags,
+        |    'src' || (m % 20) AS tenant_id
+        |  FROM (SELECT DISTINCT doc_id % 400 AS m FROM documents)),
+        |j AS (
+        |  SELECT mir.*, q_content IS NOT NULL AS in_qdrant,
+        |    '{"content":"' || content || '","source_type":"scratchpad","tags":"'
+        |      || tags || '","title":"' || title || '"}' AS payload_json
+        |  FROM mir LEFT JOIN store ON mir.content = store.q_content)
+        |SELECT id, title, tenant_id, in_qdrant,
+        |  CASE WHEN in_qdrant THEN 'present' ELSE 'enqueue' END AS action,
+        |  CASE WHEN NOT in_qdrant THEN substr(sha256(
+        |    'text|add|' || tenant_id || '|scratchpad|' || payload_json), 1, 32)
+        |  END AS idem_key
+        |FROM j ORDER BY id""".stripMargin,
   )
 
   /** Shared reconcile-family CTEs: the synthetic tracked-files frame

@@ -193,4 +193,51 @@ object Reconcile {
         col("collection"))
       .orderBy(col("reason"), col("file_id"))
   }
+
+  /** Scratchpad reconciliation (grpc/services/scratchpad_rebuild.rs:83
+    * reconcile_scratchpad) — the ring's one VALUE-matched reconcile:
+    * a mirror entry re-ingests iff its content string equals NO store
+    * point's content (`values().any(|q| q == content)`, :93 — content
+    * identity, not point id). Enqueued rows carry the idempotency key
+    * `sha256("text|add|<tenant>|scratchpad|<payload>")[..32]` (:122)
+    * over the alphabetical {content, source_type, tags, title} JSON.
+    * Shape: one left-anti (semi for the flag) join on the content
+    * value against the DISTINCT store content set — shuffle ∝ entries.
+    */
+  def scratchpadReconcileOf(mirror: DataFrame, storeContents: DataFrame): DataFrame = {
+    val sc = storeContents.select(col("content").as("q_content")).distinct()
+    mirror
+      .join(broadcast(sc), col("content") === col("q_content"), "left")
+      .withColumn("in_qdrant", col("q_content").isNotNull)
+      .withColumn("action",
+        when(col("in_qdrant"), lit("present")).otherwise(lit("enqueue")))
+      .withColumn("payload_json", concat(
+        lit("{\"content\":\""), col("content"),
+        lit("\",\"source_type\":\"scratchpad\",\"tags\":\""), col("tags"),
+        lit("\",\"title\":\""), col("title"), lit("\"}")))
+      .withColumn("idem_key",
+        when(col("action") === "enqueue",
+          substring(sha2(concat(lit("text|add|"), col("tenant_id"),
+            lit("|scratchpad|"), col("payload_json")), 256), 1, 32)))
+      .select(col("id"), col("title"), col("tenant_id"), col("in_qdrant"),
+        col("action"), col("idem_key"))
+  }
+
+  /** scratchpad_reconcile query: store notes are a documents subset,
+    * mirror contents drift on a wider cycle so both arms are live. */
+  def scratchpadReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val store = docs
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(concat(lit("note-"), pmod(col("doc_id"), lit(300))).as("content"))
+    val mirror = docs
+      .select(pmod(col("doc_id"), lit(400)).as("m")).distinct()
+      .select(
+        concat(lit("sp-"), col("m")).as("id"),
+        concat(lit("Note "), col("m")).as("title"),
+        concat(lit("note-"), pmod(col("m"), lit(330))).as("content"),
+        concat(lit("t"), pmod(col("m"), lit(5))).as("tags"),
+        concat(lit("src"), pmod(col("m"), lit(20))).as("tenant_id"))
+    scratchpadReconcileOf(mirror, store).orderBy(col("id"))
+  }
 }

@@ -61,6 +61,29 @@ class ReconcileSpec extends SparkSpec {
     }
   }
 
+  test("scratchpad reconcile matches by content VALUE, keys the enqueue by sha256[..32]") {
+    import spark.implicits._
+    val mirror = Seq(
+      ("sp-1", "T1", "shared body", "t0", "src1"),   // content in store → present
+      ("sp-2", "T2", "only mirror", "t1", "src2")    // absent → enqueue
+    ).toDF("id", "title", "content", "tags", "tenant_id")
+    val store = Seq("shared body", "other note").toDF("content")
+    val out = Reconcile.scratchpadReconcileOf(mirror, store)
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[String]("action"), r.getAs[String]("idem_key"))).toMap
+    assert(out("sp-1")._1 == "present" && out("sp-1")._2 == null)
+    assert(out("sp-2")._1 == "enqueue")
+    val payload =
+      """{"content":"only mirror","source_type":"scratchpad","tags":"t1","title":"T2"}"""
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s"text|add|src2|scratchpad|$payload".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out("sp-2")._2 == hex.take(32))
+    val corpus = Reconcile.scratchpadReconcile(spark, sfDir).collect()
+    assert(corpus.exists(_.getAs[String]("action") == "present") &&
+      corpus.exists(_.getAs[String]("action") == "enqueue"))
+  }
+
   test("upgrade select: per-reason status predicates and the language filter arm") {
     val out = Reconcile.upgradeSelect(spark, sfDir).collect()
     val byReason = out.groupBy(_.getAs[String]("reason"))
