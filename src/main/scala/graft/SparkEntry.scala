@@ -165,6 +165,9 @@ object SparkEntry {
     "upgrade_select"     -> ((s, d) => Reconcile.upgradeSelect(s, d)),
     "rules_reconcile"    -> ((s, d) => RulesReconcile.rulesReconcile(s, d)),
     "scratchpad_reconcile" -> ((s, d) => Reconcile.scratchpadReconcile(s, d)),
+    // Search-quality eval (#135): per-query known-item metrics + verdict
+    "search_quality"     -> ((s, d) => QualityMetrics.searchQuality(s, d)),
+    "quality_verdict"    -> ((s, d) => QualityMetrics.qualityVerdict(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -4177,7 +4180,166 @@ object SparkEntry {
         |    'text|add|' || tenant_id || '|scratchpad|' || payload_json), 1, 32)
         |  END AS idem_key
         |FROM j ORDER BY id""".stripMargin,
+    // benchmark/quality/metrics.rs evaluate_query over the 40-lane
+    // corpus ranked frame: raw-rank hits, deduped precision/recall,
+    // duplicate rate, MRR; path_match.rs normalization + glob grammar
+    // (placeholdered ** translation, anchors added).
+    "search_quality" ->
+      s"""$qualityEvalCtes
+        |SELECT * FROM sq ORDER BY qid""".stripMargin,
+    // metrics.rs summarize_mode + classify: per-mode means of the
+    // (rounded) per-query metrics, the two independent gates, the
+    // reference's reason strings, good/mixed/poor.
+    "quality_verdict" ->
+      s"""$qualityEvalCtes,
+        |ev AS (
+        |  SELECT sq.*,
+        |    CASE WHEN qid % 3 = 0 THEN 'semantic'
+        |         WHEN qid % 3 = 1 THEN 'hybrid' ELSE 'sparse' END AS mode,
+        |    10.0 + (qid * 7) % 40 AS latency_ms
+        |  FROM sq),
+        |sm AS (
+        |  SELECT mode, count(*) AS runs,
+        |    avg(CASE WHEN top1_hit THEN 1.0 ELSE 0.0 END) AS top1_hit_rate,
+        |    avg(CASE WHEN top3_hit THEN 1.0 ELSE 0.0 END) AS top3_hit_rate,
+        |    avg(CASE WHEN top10_hit THEN 1.0 ELSE 0.0 END) AS top10_hit_rate,
+        |    avg(precision_at10) AS precision_at10,
+        |    avg(recall_at10) AS recall_at10,
+        |    avg(mrr) AS mrr,
+        |    avg(duplicate_rate) AS duplicate_rate,
+        |    avg(latency_ms) AS avg_latency_ms
+        |  FROM ev GROUP BY mode),
+        |gr AS (
+        |  SELECT *,
+        |    CASE WHEN top3_hit_rate < 0.8
+        |      THEN 'top-3 useful rate ' || printf('%.1f', top3_hit_rate * 100)
+        |        || '%' || ' is below 80.0%' END AS r1,
+        |    CASE WHEN recall_at10 < 0.7
+        |      THEN 'recall@10 ' || printf('%.1f', recall_at10 * 100)
+        |        || '%' || ' is below 70.0%' END AS r2
+        |  FROM sm)
+        |SELECT mode, runs,
+        |  round(top1_hit_rate, 6) AS top1_hit_rate,
+        |  round(top3_hit_rate, 6) AS top3_hit_rate,
+        |  round(top10_hit_rate, 6) AS top10_hit_rate,
+        |  round(precision_at10, 6) AS precision_at10,
+        |  round(recall_at10, 6) AS recall_at10,
+        |  round(mrr, 6) AS mrr,
+        |  round(duplicate_rate, 6) AS duplicate_rate,
+        |  round(avg_latency_ms, 6) AS avg_latency_ms,
+        |  CASE (CASE WHEN r1 IS NULL THEN 0 ELSE 1 END)
+        |     + (CASE WHEN r2 IS NULL THEN 0 ELSE 1 END)
+        |    WHEN 0 THEN 'good' WHEN 1 THEN 'mixed' ELSE 'poor' END AS grade,
+        |  concat_ws('; ', r1, r2) AS reasons
+        |FROM gr ORDER BY mode""".stripMargin,
   )
+
+  /** Shared search-quality CTEs: the 40-lane ranked frame, the gold
+    * expectation axis (literal / glob / never-match arms), the
+    * path_match normalization chain, the glob→regex translation, and
+    * the per-query evaluate_query aggregates — ending in CTE `sq`. */
+  private val qualityEvalCtes: String =
+    """WITH rk0 AS (
+      |  SELECT doc_id, source, n_chars, doc_id % 40 AS qid,
+      |    row_number() OVER (PARTITION BY doc_id % 40
+      |      ORDER BY n_chars DESC, doc_id) AS rnk
+      |  FROM documents),
+      |rk AS (
+      |  SELECT qid, rnk,
+      |    '/proj/' || source || '/' ||
+      |    ['src','tests','lib','config','e2e'][(doc_id % 5) + 1] || '/' ||
+      |    ['main.py','util.ts','app.yaml','data.json','index.html','lib.rs',
+      |     'test_core.py'][(doc_id % 7) + 1] AS raw_path
+      |  FROM rk0 WHERE rnk <= 12),
+      |rkn AS (
+      |  SELECT qid, rnk, regexp_replace(regexp_replace(
+      |      CASE WHEN c = '/proj' THEN ''
+      |           WHEN c LIKE '/proj/%' THEN substring(c, 7) ELSE c END,
+      |      '^/+', ''), '^(\./)+', '') AS path
+      |  FROM (SELECT qid, rnk, regexp_replace(regexp_replace(
+      |      replace(trim(raw_path), '\', '/'), '^(\./)+', ''), '/+$', '') AS c
+      |    FROM rk)),
+      |lanes AS (SELECT DISTINCT qid FROM rk),
+      |tgt AS (
+      |  SELECT qid, CASE WHEN qid % 3 = 0 THEN 1
+      |    WHEN qid % 3 = 1 THEN (qid % 6) + 1 ELSE 9 END AS target_rank
+      |  FROM lanes),
+      |exp0 AS (
+      |  SELECT r.qid, r.path AS e FROM rkn r JOIN tgt t
+      |    ON r.qid = t.qid AND r.rnk = t.target_rank
+      |  WHERE r.qid % 12 <> 2
+      |  UNION ALL
+      |  SELECT qid, '**/e2e/*.ts' FROM lanes WHERE qid % 3 = 0 AND qid % 5 = 4
+      |  UNION ALL
+      |  SELECT qid, 'src?/*/app.yaml' FROM lanes WHERE qid % 3 = 1
+      |  UNION ALL
+      |  SELECT qid, 'missing/never.txt' FROM lanes WHERE qid % 3 = 2),
+      |expn AS (
+      |  SELECT DISTINCT qid, regexp_replace(regexp_replace(
+      |      CASE WHEN c = '/proj' THEN ''
+      |           WHEN c LIKE '/proj/%' THEN substring(c, 7) ELSE c END,
+      |      '^/+', ''), '^(\./)+', '') AS e_norm
+      |  FROM (SELECT qid, regexp_replace(regexp_replace(
+      |      replace(trim(e), '\', '/'), '^(\./)+', ''), '/+$', '') AS c
+      |    FROM exp0)),
+      |exp AS (
+      |  SELECT qid, e_norm,
+      |    regexp_matches(e_norm, '[*?\[{]') AS e_is_glob,
+      |    '^' || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(
+      |        regexp_replace(e_norm, '([.(){}+^$|\\])', '\\\1', 'g'),
+      |        '\[!', '[^/', 'g'),
+      |      '\*\*/', '', 'g'), '\*\*', '', 'g'),
+      |      '\*', '[^/]*', 'g'), '\?', '[^/]', 'g'),
+      |      '', '(?:.*/)?', 'g'), '', '.*', 'g') || '$' AS e_rx
+      |  FROM expn WHERE e_norm <> ''),
+      |nexp AS (SELECT qid, count(*) AS n_expected FROM exp GROUP BY qid),
+      |raw1 AS (
+      |  SELECT qid, path,
+      |    row_number() OVER (PARTITION BY qid ORDER BY rnk) AS r
+      |  FROM rkn WHERE rnk <= 10 AND path <> ''),
+      |rawd AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid, path ORDER BY r) = 1 AS dd
+      |  FROM raw1),
+      |jn AS (
+      |  SELECT rawd.qid, rawd.r, rawd.path, rawd.dd, e.e_norm,
+      |    e.e_norm IS NOT NULL AND (CASE WHEN e.e_is_glob
+      |      THEN regexp_matches(rawd.path, e.e_rx)
+      |      ELSE rawd.path = e.e_norm END) AS m
+      |  FROM rawd LEFT JOIN exp e ON rawd.qid = e.qid),
+      |rws AS (
+      |  SELECT qid, r, path, dd, max(m) AS rel
+      |  FROM jn GROUP BY qid, r, path, dd),
+      |perq AS (
+      |  SELECT qid, count(*) AS n_raw,
+      |    CAST(sum(CASE WHEN dd THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
+      |    min(CASE WHEN rel THEN r END) AS frr,
+      |    CAST(sum(CASE WHEN dd AND rel THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS relevant_unique
+      |  FROM rws GROUP BY qid),
+      |mexp AS (
+      |  SELECT qid, count(*) AS matched_expected
+      |  FROM (SELECT DISTINCT qid, e_norm FROM jn WHERE m) GROUP BY qid),
+      |sq AS (
+      |  SELECT n.qid,
+      |    COALESCE(p.n_raw, 0) AS n_raw,
+      |    COALESCE(p.n_deduped, 0) AS n_deduped,
+      |    n.n_expected,
+      |    COALESCE(x.matched_expected, 0) AS matched_expected,
+      |    CAST(p.frr AS INTEGER) AS first_relevant_rank,
+      |    COALESCE(p.frr = 1, false) AS top1_hit,
+      |    COALESCE(p.frr <= 3, false) AS top3_hit,
+      |    p.frr IS NOT NULL AS top10_hit,
+      |    round(CASE WHEN COALESCE(p.n_deduped, 0) = 0 THEN 0.0
+      |      ELSE p.relevant_unique / p.n_deduped END, 6) AS precision_at10,
+      |    round(CASE WHEN n.n_expected = 0 THEN 0.0
+      |      ELSE COALESCE(x.matched_expected, 0) / n.n_expected END, 6)
+      |      AS recall_at10,
+      |    round(CASE WHEN COALESCE(p.n_raw, 0) = 0 THEN 0.0
+      |      ELSE 1.0 - p.n_deduped / p.n_raw END, 6) AS duplicate_rate,
+      |    round(COALESCE(1.0 / p.frr, 0.0), 6) AS mrr
+      |  FROM nexp n LEFT JOIN perq p ON n.qid = p.qid
+      |  LEFT JOIN mexp x ON n.qid = x.qid)""".stripMargin
 
   /** Shared reconcile-family CTEs: the synthetic tracked-files frame
     * (branch/chunk/size/exists residues), the watch-folder registry,
