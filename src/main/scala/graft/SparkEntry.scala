@@ -168,6 +168,8 @@ object SparkEntry {
     // Search-quality eval (#135): per-query known-item metrics + verdict
     "search_quality"     -> ((s, d) => QualityMetrics.searchQuality(s, d)),
     "quality_verdict"    -> ((s, d) => QualityMetrics.qualityVerdict(s, d)),
+    // Recovery: rebuild tracked-file state from scrolled store points
+    "state_reconstruct"  -> ((s, d) => StateReconstruct.stateReconstruct(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -4180,6 +4182,113 @@ object SparkEntry {
         |    'text|add|' || tenant_id || '|scratchpad|' || payload_json), 1, 32)
         |  END AS idem_key
         |FROM j ORDER BY id""".stripMargin,
+    // recover_state/reconstruction.rs:22 reconstruct_project_state —
+    // per-tenant root inference (LCA via the min/max-path trick),
+    // (file_path|absolute_path, branches[0]|branch|'main') grouping,
+    // first-point attributes by (chunk_index, point_id), chunk rows
+    // only for extractable point ids, sha256[..32] content hashes.
+    "state_reconstruct" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, source,
+        |    CAST((start_char - 1) // 150 AS INTEGER) AS chunk_index,
+        |    chunk_text
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest(generate_series(1, greatest(length(text), 1), 150)) AS start_char,
+        |      unnest(list_transform(generate_series(1, greatest(length(text), 1), 150),
+        |        s -> substr(text, s, 200))) AS chunk_text
+        |    FROM documents)
+        |  WHERE length(chunk_text) > 0),
+        |cp AS (
+        |  SELECT *,
+        |    '/proj/' || source || '/' ||
+        |    ['src','tests','lib','config','e2e'][(doc_id % 5) + 1] || '/' ||
+        |    ['main.py','lib.rs','util.ts','types.d.ts','README.md','guide.pdf',
+        |     'index.html','deck.pptx','app.yaml','data.json','table.csv','dist.whl',
+        |     'bundle.tar.gz','.gitignore','LICENSE','test_core.py','app.test.ts'
+        |    ][(doc_id % 17) + 1] AS path
+        |  FROM chunks),
+        |pts AS (
+        |  SELECT
+        |    CASE WHEN doc_id % 31 = 3 AND chunk_index = 0 THEN NULL
+        |      ELSE md5(CAST(doc_id AS VARCHAR) || '#' ||
+        |        CAST(chunk_index AS VARCHAR) || '#' || chunk_text) END AS point_id,
+        |    source AS tenant_id,
+        |    CASE WHEN doc_id % 23 = 11 THEN NULL ELSE path END AS file_path,
+        |    CASE WHEN doc_id % 19 = 7 THEN NULL ELSE path END AS absolute_path,
+        |    CASE WHEN doc_id % 5 = 0 THEN ['feature', 'main']
+        |         WHEN doc_id % 5 = 1 THEN CAST([] AS VARCHAR[]) END AS branches,
+        |    CASE WHEN doc_id % 5 = 2 THEN 'dev' END AS branch,
+        |    chunk_index, chunk_text AS content,
+        |    md5(path) AS file_hash,
+        |    CASE WHEN chunk_index = 0 THEN 'python' ELSE 'rust' END AS language,
+        |    ['code','text','docs'][(doc_id % 3) + 1] AS file_type,
+        |    md5(path || '#0') AS base_point,
+        |    regexp_replace(path, '^/proj/[^/]+/', '') AS relative_path,
+        |    CASE WHEN lower(string_split(path, '/')[-1]) LIKE '%.d.ts' THEN 'd.ts'
+        |         WHEN regexp_matches(lower(string_split(path, '/')[-1]), '^.+\.[^.]+$')
+        |           THEN regexp_extract(lower(string_split(path, '/')[-1]), '\.([^.]+)$', 1)
+        |    END AS extension
+        |  FROM cp),
+        |rpx AS (
+        |  SELECT tenant_id, COALESCE(absolute_path, file_path) AS rp FROM pts
+        |  WHERE COALESCE(absolute_path, file_path) IS NOT NULL),
+        |roots0 AS (
+        |  SELECT tenant_id, count(*) AS n_paths,
+        |    min(rp) AS min_p, max(rp) AS max_p
+        |  FROM rpx GROUP BY tenant_id),
+        |roots1 AS (
+        |  SELECT *, string_split(min_p, '/') AS a, string_split(max_p, '/') AS b
+        |  FROM roots0),
+        |roots2 AS (
+        |  SELECT *, COALESCE(
+        |    list_position(list_transform(
+        |      generate_series(1, greatest(len(a), len(b))),
+        |      i -> a[CAST(i AS INTEGER)] IS NOT DISTINCT FROM b[CAST(i AS INTEGER)]),
+        |      false) - 1,
+        |    least(len(a), len(b))) AS plen
+        |  FROM roots1),
+        |roots AS (
+        |  SELECT tenant_id,
+        |    CASE WHEN n_paths = 1 THEN
+        |      CASE WHEN regexp_matches(min_p, '^/[^/]*$') THEN '/'
+        |           ELSE regexp_replace(min_p, '/?[^/]*$', '') END
+        |    WHEN plen = 0 THEN '/unknown-project'
+        |    ELSE array_to_string(a[1:plen], '/') END AS project_root
+        |  FROM roots2),
+        |tn AS (SELECT DISTINCT tenant_id FROM pts),
+        |troots AS (
+        |  SELECT tn.tenant_id, COALESCE(project_root, '/unknown-project')
+        |    AS project_root
+        |  FROM tn LEFT JOIN roots ON tn.tenant_id = roots.tenant_id),
+        |k AS (
+        |  SELECT *, COALESCE(file_path, absolute_path) AS g_path,
+        |    COALESCE(branches[1], branch, 'main') AS g_branch,
+        |    lpad(CAST(chunk_index AS VARCHAR), 6, '0') || ':' ||
+        |      COALESCE(point_id, '') AS sortk
+        |  FROM pts
+        |  WHERE COALESCE(file_path, absolute_path) IS NOT NULL
+        |    AND COALESCE(file_path, absolute_path) <> ''),
+        |g AS (
+        |  SELECT tenant_id, g_path AS file_path, g_branch AS branch,
+        |    count(*) AS chunk_count,
+        |    arg_min(file_hash, sortk) AS fh, arg_min(language, sortk) AS lg,
+        |    arg_min(file_type, sortk) AS ft, arg_min(base_point, sortk) AS bp,
+        |    arg_min(relative_path, sortk) AS rp, arg_min(extension, sortk) AS ex,
+        |    CAST(sum(CASE WHEN point_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_chunks,
+        |    md5(COALESCE(array_to_string(list_sort(list_filter(list(
+        |      CASE WHEN point_id IS NOT NULL
+        |        THEN lpad(CAST(chunk_index AS VARCHAR), 6, '0') || ':' ||
+        |          substr(sha256(content), 1, 32) END), x -> x IS NOT NULL)), '|'), ''))
+        |      AS chunks_digest
+        |  FROM k GROUP BY tenant_id, g_path, g_branch)
+        |SELECT g.tenant_id, project_root, file_path, branch, chunk_count,
+        |  COALESCE(fh, '') AS file_hash, lg AS language, ft AS file_type,
+        |  bp AS base_point, rp AS relative_path, ex AS extension,
+        |  n_chunks, chunks_digest
+        |FROM g JOIN troots ON g.tenant_id = troots.tenant_id
+        |ORDER BY g.tenant_id, file_path, branch""".stripMargin,
     // benchmark/quality/metrics.rs evaluate_query over the 40-lane
     // corpus ranked frame: raw-rank hits, deduped precision/recall,
     // duplicate rate, MRR; path_match.rs normalization + glob grammar
