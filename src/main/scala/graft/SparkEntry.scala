@@ -170,6 +170,9 @@ object SparkEntry {
     "quality_verdict"    -> ((s, d) => QualityMetrics.qualityVerdict(s, d)),
     // Recovery: rebuild tracked-file state from scrolled store points
     "state_reconstruct"  -> ((s, d) => StateReconstruct.stateReconstruct(s, d)),
+    // Admin perf report: grouped + two-level latency statistics
+    "perf_stats"         -> ((s, d) => PerfStats.perfStats(s, d)),
+    "perf_stats_2d"      -> ((s, d) => PerfStats.perfStats2d(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -4289,6 +4292,75 @@ object SparkEntry {
         |  n_chunks, chunks_digest
         |FROM g JOIN troots ON g.tenant_id = troots.tenant_id
         |ORDER BY g.tenant_id, file_path, branch""".stripMargin,
+    // admin/perf_queries.rs grouped stats: COALESCE('') groups within
+    // the cutoff, nearest-rank percentiles (round-half-away index),
+    // stderr = sample stddev/sqrt(n) (0 under 2 samples), the project
+    // dimension resolved through the watch-folder basename map with
+    // "(tenant)" collision suffixes, '' -> '(unknown)' elsewhere.
+    "perf_stats" ->
+      s"""$perfTimingsCtes,
+        |d AS (
+        |  SELECT 'project' AS dim, COALESCE(tenant_id, '') AS grp, duration_ms FROM t
+        |  UNION ALL SELECT 'phase', COALESCE(phase, ''), duration_ms FROM t
+        |  UNION ALL SELECT 'language', COALESCE(language, ''), duration_ms FROM t
+        |  UNION ALL SELECT 'op', COALESCE(op, ''), duration_ms FROM t),
+        |g AS (
+        |  SELECT dim, grp, list_sort(list(duration_ms)) AS ds, count(*) AS n,
+        |    avg(duration_ms) AS avg_ms, stddev_samp(duration_ms) AS sd
+        |  FROM d GROUP BY dim, grp),
+        |wf AS (SELECT source AS tenant_id,
+        |    CAST(substring(source, 4) AS INT) AS wn
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |wfp AS (SELECT tenant_id,
+        |    CASE WHEN wn % 4 = 0 THEN '/work/alpha'
+        |         WHEN wn % 4 = 1 THEN '/work/proj-' || wn || '/'
+        |         ELSE '/work/proj-' || wn END AS path,
+        |    CASE WHEN wn % 7 = 6 THEN 'w-parent' END AS parent_watch_id,
+        |    CASE WHEN wn % 9 = 8 THEN 'libraries' ELSE 'projects' END AS coll
+        |  FROM wf),
+        |nm0 AS (SELECT tenant_id, COALESCE(
+        |    (list_filter(list_reverse(string_split(path, '/')), s -> s <> ''))[1],
+        |    tenant_id) AS nm
+        |  FROM wfp WHERE parent_watch_id IS NULL AND coll = 'projects'),
+        |nmc AS (SELECT nm, count(*) AS nc FROM nm0 GROUP BY nm),
+        |names AS (SELECT tenant_id AS map_tenant,
+        |    CASE WHEN nc > 1 THEN nm || ' (' || tenant_id || ')' ELSE nm END
+        |      AS display_name
+        |  FROM nm0 JOIN nmc USING (nm))
+        |SELECT dim,
+        |  CASE WHEN dim = 'project' THEN COALESCE(display_name, grp)
+        |       WHEN grp = '' THEN '(unknown)' ELSE grp END AS group_key,
+        |  n, round(avg_ms, 6) AS avg_ms,
+        |  round(CASE WHEN n < 2 THEN 0.0 ELSE sd / sqrt(n) END, 6) AS std_err,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(ds[least(CAST(round(0.50 * (n - 1))
+        |    AS INTEGER), CAST(n - 1 AS INTEGER)) + 1] AS DOUBLE) END AS p50_ms,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(ds[least(CAST(round(0.95 * (n - 1))
+        |    AS INTEGER), CAST(n - 1 AS INTEGER)) + 1] AS DOUBLE) END AS p95_ms,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(ds[least(CAST(round(0.99 * (n - 1))
+        |    AS INTEGER), CAST(n - 1 AS INTEGER)) + 1] AS DOUBLE) END AS p99_ms
+        |FROM g LEFT JOIN names ON dim = 'project' AND grp = map_tenant
+        |ORDER BY dim, group_key""".stripMargin,
+    // perf_queries.rs:203 query_two_level_stats — (collection, phase)
+    // nesting, same statistics per pair.
+    "perf_stats_2d" ->
+      s"""$perfTimingsCtes,
+        |g AS (
+        |  SELECT COALESCE(collection, '') AS g1, COALESCE(phase, '') AS g2,
+        |    list_sort(list(duration_ms)) AS ds, count(*) AS n,
+        |    avg(duration_ms) AS avg_ms, stddev_samp(duration_ms) AS sd
+        |  FROM t GROUP BY 1, 2)
+        |SELECT
+        |  CASE WHEN g1 = '' THEN '(unknown)' ELSE g1 END AS group1_key,
+        |  CASE WHEN g2 = '' THEN '(unknown)' ELSE g2 END AS group2_key,
+        |  n, round(avg_ms, 6) AS avg_ms,
+        |  round(CASE WHEN n < 2 THEN 0.0 ELSE sd / sqrt(n) END, 6) AS std_err,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(ds[least(CAST(round(0.50 * (n - 1))
+        |    AS INTEGER), CAST(n - 1 AS INTEGER)) + 1] AS DOUBLE) END AS p50_ms,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(ds[least(CAST(round(0.95 * (n - 1))
+        |    AS INTEGER), CAST(n - 1 AS INTEGER)) + 1] AS DOUBLE) END AS p95_ms,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(ds[least(CAST(round(0.99 * (n - 1))
+        |    AS INTEGER), CAST(n - 1 AS INTEGER)) + 1] AS DOUBLE) END AS p99_ms
+        |FROM g ORDER BY group1_key, group2_key""".stripMargin,
     // benchmark/quality/metrics.rs evaluate_query over the 40-lane
     // corpus ranked frame: raw-rank hits, deduped precision/recall,
     // duplicate rate, MRR; path_match.rs normalization + glob grammar
@@ -4342,6 +4414,22 @@ object SparkEntry {
         |  concat_ws('; ', r1, r2) AS reasons
         |FROM gr ORDER BY mode""".stripMargin,
   )
+
+  /** Shared perf-timings CTE: the events-derived processing log within
+    * the 14-day cutoff anchored at the log's max timestamp. */
+  private val perfTimingsCtes: String =
+    """WITH now_t AS (SELECT max(ts) AS now_ts FROM events),
+      |t AS (
+      |  SELECT event_id AS queue_id, 'src' || (user_id % 20) AS tenant_id,
+      |    event_type AS phase,
+      |    ['ingest','update','delete'][(event_id % 3) + 1] AS op,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL
+      |      ELSE ['rust','python','go'][(event_id % 3) + 1] END AS language,
+      |    CASE WHEN event_id % 4 = 0 THEN 'libraries'
+      |      ELSE 'projects' END AS collection,
+      |    CAST(floor(value * 37) AS BIGINT) AS duration_ms
+      |  FROM events, now_t
+      |  WHERE epoch_us(ts) > epoch_us(now_ts) - CAST(14 * 86400 AS BIGINT) * 1000000)""".stripMargin
 
   /** Shared search-quality CTEs: the 40-lane ranked frame, the gold
     * expectation axis (literal / glob / never-match arms), the
