@@ -236,7 +236,9 @@ object CrossBoundary {
     val concepts = ranked.filter(col("symbol_type") === "concept_node")
       .groupBy(col("probe_id")).agg(collect_set(col("node_id")).as("concept_ids"))
     val attributed = ranked
-      .join(concepts, Seq("probe_id"), "left")
+      // per-probe concept-id sets are probe-axis tiny — broadcast so
+      // the capped frame never shuffles for the attribution join
+      .join(broadcast(concepts), Seq("probe_id"), "left")
       .withColumn("via_concept", try_element_at(
         filter(split(col("path"), " -> "),
           c => array_contains(coalesce(col("concept_ids"),

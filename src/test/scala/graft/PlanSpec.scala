@@ -206,10 +206,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cross-boundary hops are key-equality frontier joins, never a cross product") {
+    // The hop joins themselves run inside the per-level localCheckpoint
+    // jobs (explicit broadcast() hints on the frontier, node axis, and
+    // reached set — see CrossBoundary.crossBoundaryOf), so the FINAL
+    // plan only shows the cap stage: assert no cartesian anywhere and
+    // that the concept-attribution join broadcasts.
     val p = plan("cross_boundary")
     assert(!p.contains("CartesianProduct"), "cross_boundary must not cross-join")
     assert(p.contains("BroadcastHashJoin"),
-      "the bounded frontier must broadcast past the adjacency:\n" + p.take(2000))
+      "the cap stage's concept attribution must broadcast:\n" + p.take(2000))
   }
 
   test("find_path BFS joins the frontier broadcast on (tenant, node)") {
