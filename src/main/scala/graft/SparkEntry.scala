@@ -173,6 +173,16 @@ object SparkEntry {
     // Admin perf report: grouped + two-level latency statistics
     "perf_stats"         -> ((s, d) => PerfStats.perfStats(s, d)),
     "perf_stats_2d"      -> ((s, d) => PerfStats.perfStats2d(s, d)),
+    // Tags CLI read layer: summary / search / per-tenant stats
+    "tag_summary"        -> ((s, d) => TagStoreOps.tagSummary(s, d)),
+    "tag_search"         -> ((s, d) => TagStoreOps.tagSearch(s, d)),
+    "tag_stats"          -> ((s, d) => TagStoreOps.tagStats(s, d)),
+    // Stats CLI: processing rollup/breakdown + search-instrumentation overview
+    "processing_ops"     -> ((s, d) => CliStats.processingOps(s, d)),
+    "processing_stats"   -> ((s, d) => CliStats.processingStats(s, d)),
+    "search_overview"    -> ((s, d) => CliStats.searchOverview(s, d)),
+    // Admin cleanup-orphans: per-collection store-vs-registry tenant scan
+    "tenant_orphans"     -> ((s, d) => CliStats.tenantOrphans(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -4413,7 +4423,212 @@ object SparkEntry {
         |    WHEN 0 THEN 'good' WHEN 1 THEN 'mixed' ELSE 'poor' END AS grade,
         |  concat_ws('; ', r1, r2) AS reasons
         |FROM gr ORDER BY mode""".stripMargin,
+    // tags/summary.rs:34 — per-tenant concept-tag frequency, top 20
+    // (tie-broken by tag; the reference's SQLite order is unspecified).
+    "tag_summary" ->
+      s"""$tagStoreCtes
+        |SELECT tag, count(DISTINCT doc_id) AS doc_count,
+        |  round(avg(score), 6) AS avg_score
+        |FROM tags
+        |WHERE tenant_id = 'src3' AND collection = 'projects'
+        |  AND tag_type = 'concept'
+        |GROUP BY tag ORDER BY doc_count DESC, tag LIMIT 20""".stripMargin,
+    // tags/search.rs:36 — LIKE-grouped concept search with the
+    // watch-folder display-name map, top 50.
+    "tag_search" ->
+      s"""$tagStoreCtes,
+        |$tenantNamesCtes,
+        |g AS (
+        |  SELECT tag, tenant_id, count(DISTINCT doc_id) AS doc_count,
+        |    round(avg(score), 6) AS avg_score
+        |  FROM tags
+        |  WHERE collection = 'projects' AND tag LIKE '%data%'
+        |    AND tag_type = 'concept'
+        |  GROUP BY tag, tenant_id)
+        |SELECT tag, COALESCE(display_name, tenant_id) AS project, tenant_id,
+        |  doc_count, avg_score
+        |FROM g LEFT JOIN names ON tenant_id = map_tenant
+        |ORDER BY doc_count DESC, tag, tenant_id LIMIT 50""".stripMargin,
+    // tags/stats.rs:70 compute_stats_for_tenant over every tenant in
+    // the collection — the four point queries as grouped frames.
+    "tag_stats" ->
+      s"""$tagStoreCtes,
+        |$tenantNamesCtes,
+        |ks AS (
+        |  SELECT tenant_id, count(DISTINCT doc_id) AS doc_count,
+        |    count(*) AS total_kw
+        |  FROM kw WHERE collection = 'projects' GROUP BY tenant_id),
+        |tc AS (
+        |  SELECT tenant_id, count(*) AS total_tags FROM tags
+        |  WHERE collection = 'projects' AND tag_type = 'concept'
+        |  GROUP BY tenant_id),
+        |cc AS (
+        |  SELECT tenant_id, count(*) AS canonical_count FROM canon
+        |  WHERE collection = 'projects' GROUP BY tenant_id),
+        |ta AS (SELECT DISTINCT tenant_id FROM tags WHERE collection = 'projects')
+        |SELECT COALESCE(display_name, ta.tenant_id) AS project, ta.tenant_id,
+        |  COALESCE(doc_count, 0) AS doc_count,
+        |  round(CASE WHEN COALESCE(doc_count, 0) = 0 THEN 0.0
+        |    ELSE total_kw::DOUBLE / doc_count END, 1) AS avg_keywords,
+        |  round(CASE WHEN COALESCE(doc_count, 0) = 0 THEN 0.0
+        |    ELSE COALESCE(total_tags, 0)::DOUBLE / doc_count END, 1) AS avg_tags,
+        |  COALESCE(canonical_count, 0) AS canonical_count
+        |FROM ta LEFT JOIN ks USING (tenant_id) LEFT JOIN tc USING (tenant_id)
+        |  LEFT JOIN cc USING (tenant_id)
+        |  LEFT JOIN names ON ta.tenant_id = map_tenant
+        |ORDER BY ta.tenant_id""".stripMargin,
+    // stats/processing.rs:102 query_operations — op/item_type rollup.
+    "processing_ops" ->
+      s"""$perfTimingsCtes
+        |SELECT op, item_type, count(*) AS cnt, sum(duration_ms) AS total_ms
+        |FROM t GROUP BY op, item_type ORDER BY cnt DESC, op, item_type""".stripMargin,
+    // stats/processing.rs:131 query_phases + :168 percentiles (the
+    // stats/mod.rs:173 nearest-rank round((n-1)p/100) formula).
+    "processing_stats" ->
+      s"""$perfTimingsCtes,
+        |g AS (
+        |  SELECT phase, list_sort(list(duration_ms)) AS ds, count(*) AS cnt,
+        |    min(duration_ms) AS min_ms, round(avg(duration_ms), 0) AS avg_ms,
+        |    max(duration_ms) AS max_ms, sum(duration_ms) AS total_ms
+        |  FROM t GROUP BY phase)
+        |SELECT phase, cnt, min_ms, avg_ms, max_ms, total_ms,
+        |  CAST(ds[least(CAST(round(0.25 * (cnt - 1)) AS INTEGER),
+        |    CAST(cnt - 1 AS INTEGER)) + 1] AS BIGINT) AS q1_ms,
+        |  CAST(ds[least(CAST(round(0.50 * (cnt - 1)) AS INTEGER),
+        |    CAST(cnt - 1 AS INTEGER)) + 1] AS BIGINT) AS median_ms,
+        |  CAST(ds[least(CAST(round(0.75 * (cnt - 1)) AS INTEGER),
+        |    CAST(cnt - 1 AS INTEGER)) + 1] AS BIGINT) AS q3_ms
+        |FROM g ORDER BY total_ms DESC, phase""".stripMargin,
+    // stats/overview.rs — the five report sections as one long frame;
+    // latency percentiles use the report's own truncating index
+    // sorted[n*p/100] (:186), distinct from the nearest-rank formula.
+    "search_overview" ->
+      s"""$searchEventsCte,
+        |tot AS (SELECT count(*) AS total FROM se),
+        |beh AS (SELECT behavior, count(*) AS n FROM se
+        |  WHERE behavior IS NOT NULL GROUP BY behavior),
+        |bt AS (SELECT sum(n) AS bt FROM beh),
+        |lat AS (
+        |  SELECT list_sort(list(latency_ms)) AS ls, count(*) AS n,
+        |    round(avg(latency_ms), 0) AS avg_ms
+        |  FROM se WHERE tool = 'mcp_qdrant' AND latency_ms IS NOT NULL)
+        |SELECT 'total' AS section, 'events' AS key, total AS n,
+        |  CAST(NULL AS DOUBLE) AS pct, CAST(NULL AS DOUBLE) AS ms FROM tot
+        |UNION ALL
+        |SELECT 'tool', tool, count(*), round(count(*) * 100.0 / total, 0), NULL
+        |FROM se, tot GROUP BY tool, total
+        |UNION ALL
+        |SELECT 'behavior', behavior, n, round(n * 100.0 / bt, 0), NULL
+        |FROM beh, bt
+        |UNION ALL
+        |SELECT 'latency', u.key, lat.n, NULL, u.ms
+        |FROM lat, LATERAL (VALUES
+        |  ('avg', CAST(avg_ms AS DOUBLE)),
+        |  ('p50', CAST(ls[(n * 50 // 100) + 1] AS DOUBLE)),
+        |  ('p95', CAST(ls[(n * 95 // 100) + 1] AS DOUBLE)),
+        |  ('p99', CAST(ls[(n * 99 // 100) + 1] AS DOUBLE))) AS u(key, ms)
+        |UNION ALL
+        |SELECT 'top_query', query_text, n, NULL, NULL FROM (
+        |  SELECT query_text, count(*) AS n FROM se
+        |  WHERE query_text IS NOT NULL GROUP BY query_text
+        |  ORDER BY n DESC, query_text LIMIT 10)
+        |UNION ALL
+        |SELECT 'resolution', 'resolved', count(*),
+        |  round(count(*) * 100.0 / total, 0), NULL
+        |FROM se, tot WHERE resolved GROUP BY total""".stripMargin,
+    // admin/cleanup_orphans.rs:67 scan_collections_for_orphans —
+    // store tenants anti-joined against the registry, per collection.
+    "tenant_orphans" ->
+      s"""WITH stored AS (
+        |  SELECT DISTINCT source AS tenant_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'libraries' ELSE 'projects' END
+        |      AS collection
+        |  FROM documents),
+        |$tenantFoldersCtes,
+        |known AS (SELECT coll AS collection, tenant_id FROM wfp)
+        |SELECT collection, tenant_id FROM stored
+        |WHERE NOT EXISTS (SELECT 1 FROM known k
+        |  WHERE k.collection = stored.collection
+        |    AND k.tenant_id = stored.tenant_id)
+        |ORDER BY collection, tenant_id""".stripMargin,
   )
+
+  /** Shared synthetic tag-store CTEs (TagStoreOps twin): the nlp.rs
+    * token table as keywords with tf-saturation scores, per-doc top-5
+    * concept tags + path tags, and the tf≥2 canonical axis. Ends in
+    * CTEs `kw`, `tags`, `canon`. */
+  private val tagStoreCtes: String =
+    s"""$tokenStatsCte,
+       |meta AS (
+       |  SELECT doc_id, source AS tenant_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN 'libraries' ELSE 'projects' END
+       |      AS collection
+       |  FROM documents),
+       |kw AS (
+       |  SELECT m.tenant_id, m.collection, tfc.doc_id, tfc.term AS keyword,
+       |    tfc.tf::DOUBLE / (tfc.tf + 1.2) AS score
+       |  FROM tfc JOIN meta m USING (doc_id)),
+       |ctags AS (
+       |  SELECT tenant_id, collection, doc_id, keyword AS tag,
+       |    'concept' AS tag_type, score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, keyword) AS rnk FROM kw)
+       |  WHERE rnk <= 5),
+       |tags AS (
+       |  SELECT * FROM ctags
+       |  UNION ALL
+       |  SELECT tenant_id, collection, doc_id, 'path:' || tenant_id,
+       |    'path', 0.5
+       |  FROM meta),
+       |canon AS (
+       |  SELECT DISTINCT m.tenant_id, m.collection, tfc.term AS tag
+       |  FROM tfc JOIN meta m USING (doc_id) WHERE tfc.tf >= 2)""".stripMargin
+
+  /** The watch-folder registry rows (PerfStats.perfFolders twin) —
+    * CTEs `wf`, `wfp` (tenant_id, path, parent_watch_id, coll). */
+  private val tenantFoldersCtes: String =
+    """wf AS (SELECT source AS tenant_id,
+      |    CAST(substring(source, 4) AS INT) AS wn
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |wfp AS (SELECT tenant_id,
+      |    CASE WHEN wn % 4 = 0 THEN '/work/alpha'
+      |         WHEN wn % 4 = 1 THEN '/work/proj-' || wn || '/'
+      |         ELSE '/work/proj-' || wn END AS path,
+      |    CASE WHEN wn % 7 = 6 THEN 'w-parent' END AS parent_watch_id,
+      |    CASE WHEN wn % 9 = 8 THEN 'libraries' ELSE 'projects' END AS coll
+      |  FROM wf)""".stripMargin
+
+  /** The tenant display-name map (PerfStats.tenantNamesOf twin) —
+    * basename with tenant-id fallback, collision "(tenant)" suffix.
+    * Ends in CTE `names` (map_tenant, display_name); includes
+    * [[tenantFoldersCtes]]. */
+  private val tenantNamesCtes: String =
+    s"""$tenantFoldersCtes,
+       |nm0 AS (SELECT tenant_id, COALESCE(
+       |    (list_filter(list_reverse(string_split(path, '/')), s -> s <> ''))[1],
+       |    tenant_id) AS nm
+       |  FROM wfp WHERE parent_watch_id IS NULL AND coll = 'projects'),
+       |nmc AS (SELECT nm, count(*) AS nc FROM nm0 GROUP BY nm),
+       |names AS (SELECT tenant_id AS map_tenant,
+       |    CASE WHEN nc > 1 THEN nm || ' (' || tenant_id || ')' ELSE nm END
+       |      AS display_name
+       |  FROM nm0 JOIN nmc USING (nm))""".stripMargin
+
+  /** The synthetic search-instrumentation log (CliStats.searchEvents
+    * twin) — CTE `se`. */
+  private val searchEventsCte: String =
+    """WITH se AS (
+      |  SELECT event_id,
+      |    ['mcp_qdrant','rg','grep','cli_search'][(event_id % 4) + 1] AS tool,
+      |    CASE WHEN event_id % 13 = 0 THEN NULL
+      |      ELSE 'query-' || (user_id % 37) END AS query_text,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL
+      |      ELSE CAST(floor(value * 200) AS BIGINT) END AS latency_ms,
+      |    CASE WHEN event_id % 3 <> 0 THEN
+      |      ['lookup','explore','navigate'][((user_id + event_id) % 3) + 1]
+      |      END AS behavior,
+      |    event_id % 5 = 0 AS resolved
+      |  FROM events)""".stripMargin
 
   /** Shared perf-timings CTE: the events-derived processing log within
     * the 14-day cutoff anchored at the log's max timestamp. */
@@ -4427,6 +4642,7 @@ object SparkEntry {
       |      ELSE ['rust','python','go'][(event_id % 3) + 1] END AS language,
       |    CASE WHEN event_id % 4 = 0 THEN 'libraries'
       |      ELSE 'projects' END AS collection,
+      |    ['file','text','folder','tenant'][(user_id % 4) + 1] AS item_type,
       |    CAST(floor(value * 37) AS BIGINT) AS duration_ms
       |  FROM events, now_t
       |  WHERE epoch_us(ts) > epoch_us(now_ts) - CAST(14 * 86400 AS BIGINT) * 1000000)""".stripMargin

@@ -121,6 +121,8 @@ object PerfStats {
             (pmod(col("event_id"), lit(3)) + 1).cast("int"))).as("language"),
         when(pmod(col("event_id"), lit(4)) === 0, lit("libraries"))
           .otherwise(lit("projects")).as("collection"),
+        element_at(array(lit("file"), lit("text"), lit("folder"), lit("tenant")),
+          (pmod(col("user_id"), lit(4)) + 1).cast("int")).as("item_type"),
         floor(col("value") * 37).cast("long").as("duration_ms"))
   }
 
