@@ -183,6 +183,14 @@ object SparkEntry {
     "search_overview"    -> ((s, d) => CliStats.searchOverview(s, d)),
     // Admin cleanup-orphans: per-collection store-vs-registry tenant scan
     "tenant_orphans"     -> ((s, d) => CliStats.tenantOrphans(s, d)),
+    // Queue status reporting: stats summary, dimension pivots, per-entity view
+    "queue_stats"        -> ((s, d) => QueueStatus.queueStats(s, d)),
+    "queue_breakdown"    -> ((s, d) => QueueStatus.queueBreakdown(s, d)),
+    "entity_queue"       -> ((s, d) => QueueStatus.entityQueue(s, d)),
+    // Status history: per-metric telemetry summaries
+    "metrics_summary"    -> ((s, d) => CliStats.metricsSummary(s, d)),
+    // Project branches: per-branch distinct tracked-file counts
+    "project_branches"   -> ((s, d) => TargetBranch.projectBranches(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -4551,6 +4559,125 @@ object SparkEntry {
         |  WHERE k.collection = stored.collection
         |    AND k.tenant_id = stored.tenant_id)
         |ORDER BY collection, tenant_id""".stripMargin,
+    // queue/stats.rs:38 build_summary + :69 oldest pending + :89 active
+    // counts — long format (metric, n, id); oldest totalized by
+    // (created_at, queue_id).
+    "queue_stats" ->
+      s"""$unifiedQueueCte,
+        |now_q AS (SELECT max(created_at) AS now_ts FROM uq),
+        |oldest AS (
+        |  SELECT queue_id, created_at FROM uq WHERE status = 'pending'
+        |  ORDER BY created_at, queue_id LIMIT 1)
+        |SELECT 'total_items' AS metric, count(*) AS n,
+        |  CAST(NULL AS VARCHAR) AS id FROM uq
+        |UNION ALL
+        |SELECT status, count(*), NULL FROM uq GROUP BY status
+        |UNION ALL
+        |SELECT 'active_collections', count(DISTINCT collection), NULL
+        |FROM uq WHERE status IN ('pending', 'in_progress')
+        |UNION ALL
+        |SELECT 'active_projects', count(DISTINCT tenant_id), NULL
+        |FROM uq WHERE status IN ('pending', 'in_progress')
+        |UNION ALL
+        |SELECT 'oldest_pending_age_s',
+        |  CAST(floor(epoch(now_ts)) AS BIGINT)
+        |    - CAST(floor(epoch(created_at)) AS BIGINT), queue_id
+        |FROM oldest, now_q
+        |ORDER BY metric""".stripMargin,
+    // queue/stats.rs:204 get_breakdown for the three dimensions in one
+    // unioned pivot.
+    "queue_breakdown" ->
+      s"""$unifiedQueueCte,
+        |d AS (
+        |  SELECT 'item_type' AS dim, item_type AS key, status FROM uq
+        |  UNION ALL SELECT 'op', op, status FROM uq
+        |  UNION ALL SELECT 'collection', collection, status FROM uq)
+        |SELECT dim, key,
+        |  sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END) AS pending,
+        |  sum(CASE WHEN status = 'in_progress' THEN 1 ELSE 0 END) AS in_progress,
+        |  sum(CASE WHEN status = 'done' THEN 1 ELSE 0 END) AS done,
+        |  sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS failed
+        |FROM d GROUP BY dim, key ORDER BY dim, key""".stripMargin,
+    // status/overview/entity_query.rs:13 — active-status pivot per
+    // (collection, tenant) with conditional collection prefixes
+    // (watch/helpers.rs:85) and the full tenant name map (:58).
+    "entity_queue" ->
+      s"""$unifiedQueueCte,
+        |$tenantNamesCtes,
+        |lib0 AS (
+        |  SELECT tenant_id AS map_tenant, COALESCE(
+        |    (list_filter(list_reverse(string_split(path, '/')), s -> s <> ''))[1],
+        |    tenant_id) AS display_name
+        |  FROM wfp WHERE parent_watch_id IS NULL AND coll = 'libraries'),
+        |full_names AS (
+        |  SELECT * FROM names
+        |  UNION ALL
+        |  SELECT * FROM lib0 WHERE map_tenant NOT IN
+        |    (SELECT map_tenant FROM names)),
+        |f AS (SELECT * FROM uq
+        |  WHERE status IN ('pending', 'in_progress', 'failed')),
+        |p AS (
+        |  SELECT collection, tenant_id,
+        |    sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END) AS pending,
+        |    sum(CASE WHEN status = 'in_progress' THEN 1 ELSE 0 END) AS in_progress,
+        |    sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS failed
+        |  FROM f GROUP BY collection, tenant_id),
+        |nc AS (SELECT count(DISTINCT collection) AS n_coll FROM f)
+        |SELECT CASE WHEN n_coll > 1 THEN
+        |    (CASE collection WHEN 'projects' THEN 'prj:'
+        |      WHEN 'libraries' THEN 'lib:' WHEN 'rules' THEN 'rls:'
+        |      WHEN 'scratchpad' THEN 'scp:' ELSE '' END)
+        |    || COALESCE(display_name, tenant_id)
+        |  ELSE COALESCE(display_name, tenant_id) END AS display,
+        |  pending, in_progress, failed
+        |FROM p LEFT JOIN full_names ON tenant_id = map_tenant, nc
+        |ORDER BY lower(display), display""".stripMargin,
+    // status/history.rs:87/:108 — per raw metric within the 24h cutoff:
+    // AVG/MIN/MAX/COUNT + latest (the N+1 correlated subquery as one
+    // arg-max, ties totalized by (timestamp, event_id)).
+    "metrics_summary" ->
+      """WITH mh AS (
+        |  SELECT event_id, 'm_' || event_type AS metric_name,
+        |    CASE WHEN event_id % 6 = 0 THEN 'hourly' ELSE 'raw' END
+        |      AS aggregation_period,
+        |    ts AS timestamp, value AS metric_value
+        |  FROM events),
+        |cut AS (SELECT to_timestamp(epoch(max(timestamp))::BIGINT - 24 * 3600)
+        |  AS cutoff_ts FROM mh),
+        |fr AS (
+        |  SELECT mh.* FROM mh, cut
+        |  WHERE aggregation_period = 'raw' AND timestamp >= cutoff_ts),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY metric_name
+        |    ORDER BY timestamp DESC, event_id DESC) AS rn FROM fr)
+        |SELECT fr.metric_name,
+        |  round(avg(metric_value), 6) AS avg,
+        |  round(min(metric_value), 6) AS min,
+        |  round(max(metric_value), 6) AS max,
+        |  count(*) AS count,
+        |  round(any_value(l.latest), 6) AS latest
+        |FROM fr JOIN (SELECT metric_name, metric_value AS latest
+        |  FROM rk WHERE rn = 1) l USING (metric_name)
+        |GROUP BY fr.metric_name ORDER BY fr.metric_name""".stripMargin,
+    // project/branches.rs:74 — per-branch distinct tracked-file counts
+    // for one tenant (json_each lateral = unnest over the membership
+    // array; empty memberships contribute no rows).
+    "project_branches" ->
+      """WITH tracked AS (
+        |  SELECT source AS tenant_id, doc_id AS file_id,
+        |    CASE WHEN (doc_id // 20) % 13 = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE (CASE WHEN (doc_id // 20) % 10 < 6 THEN ['main']
+        |          ELSE ['b' || ((doc_id // 20) % 4)] END)
+        |      || (CASE WHEN (doc_id // 20) % 5 = 0 THEN ['dev']
+        |          ELSE CAST([] AS VARCHAR[]) END)
+        |    END AS branches
+        |  FROM documents),
+        |x AS (
+        |  SELECT file_id, unnest(branches) AS branch_name
+        |  FROM tracked WHERE tenant_id = 'src3')
+        |SELECT branch_name, count(DISTINCT file_id) AS file_count
+        |FROM x GROUP BY branch_name
+        |ORDER BY file_count DESC, branch_name""".stripMargin,
   )
 
   /** Shared synthetic tag-store CTEs (TagStoreOps twin): the nlp.rs
@@ -4613,6 +4740,20 @@ object SparkEntry {
        |    CASE WHEN nc > 1 THEN nm || ' (' || tenant_id || ')' ELSE nm END
        |      AS display_name
        |  FROM nm0 JOIN nmc USING (nm))""".stripMargin
+
+  /** The synthetic unified_queue (QueueStatus.queue twin) — CTE `uq`. */
+  private val unifiedQueueCte: String =
+    """WITH uq AS (
+      |  SELECT 'q-' || event_id AS queue_id,
+      |    CASE event_id % 4 WHEN 0 THEN 'done' WHEN 1 THEN 'pending'
+      |      WHEN 2 THEN 'in_progress' ELSE 'failed' END AS status,
+      |    ['file','text','folder','tenant'][(user_id % 4) + 1] AS item_type,
+      |    ['ingest','update','delete'][(event_id % 3) + 1] AS op,
+      |    CASE user_id % 7 WHEN 0 THEN 'libraries' WHEN 1 THEN 'rules'
+      |      WHEN 2 THEN 'scratchpad' ELSE 'projects' END AS collection,
+      |    'src' || (user_id % 20) AS tenant_id,
+      |    ts AS created_at
+      |  FROM events)""".stripMargin
 
   /** The synthetic search-instrumentation log (CliStats.searchEvents
     * twin) — CTE `se`. */

@@ -164,6 +164,49 @@ object CliStats {
   def searchOverview(spark: SparkSession, dir: String): DataFrame =
     searchOverviewOf(searchEvents(spark, dir))
 
+  /** The synthetic metrics_history log (status/history.rs reads the
+    * daemon's telemetry table): metric names from event types, raw vs
+    * rolled-up aggregation periods, values from the events value axis. */
+  def metricsHistory(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      concat(lit("m_"), col("event_type")).as("metric_name"),
+      when(pmod(col("event_id"), lit(6)) === 0, lit("hourly"))
+        .otherwise(lit("raw")).as("aggregation_period"),
+      col("ts").as("timestamp"),
+      col("value").as("metric_value"))
+
+  /** §3 `*Of` form of `wqm status history`'s metric summaries
+    * (status/history.rs:87 query_metric_summaries + :108
+    * query_single_metric): per raw-period metric name within the
+    * cutoff — AVG/MIN/MAX/COUNT plus the latest value (the reference's
+    * correlated ORDER BY timestamp DESC LIMIT 1 subquery per metric —
+    * N+1 — as one max_by; ties totalized by (timestamp, event_id)). */
+  def metricsSummaryOf(history: DataFrame, cutoff: DataFrame): DataFrame =
+    history.crossJoin(broadcast(cutoff))
+      .filter(col("aggregation_period") === "raw" &&
+        col("timestamp") >= col("cutoff_ts"))
+      .groupBy(col("metric_name"))
+      .agg(
+        round(avg(col("metric_value")), 6).as("avg"),
+        round(min(col("metric_value")), 6).as("min"),
+        round(max(col("metric_value")), 6).as("max"),
+        count(lit(1)).as("count"),
+        round(max_by(col("metric_value"),
+          struct(col("timestamp"), col("event_id"))), 6).as("latest"))
+      .orderBy(col("metric_name"))
+
+  /** status history metric summaries over the synthetic log — 24 h
+    * range (parse_range_to_seconds "24h") anchored at the log's max
+    * timestamp. */
+  def metricsSummary(spark: SparkSession, dir: String): DataFrame = {
+    val h = metricsHistory(spark, dir)
+    val cutoff = h.agg(
+      timestamp_seconds(unix_seconds(max(col("timestamp"))) - 24L * 3600L)
+        .as("cutoff_ts"))
+    metricsSummaryOf(h, cutoff)
+  }
+
   /** §3 `*Of` form of the orphan scan: (collection, tenant_id) rows
     * present in the store but absent from the registry, sorted. */
   def tenantOrphansOf(stored: DataFrame, known: DataFrame): DataFrame =

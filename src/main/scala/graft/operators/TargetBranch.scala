@@ -115,4 +115,41 @@ object TargetBranch {
       .union(Seq("src_gone").toDF("watch_folder_id"))
     resolveOf(targets, tracked, detected)
   }
+
+  /** §3 `*Of` form of `wqm project branches`
+    * (cli/commands/project/branches.rs:74): per-branch distinct-file
+    * counts for one tenant's tracked rows — the reference's
+    * `json_each(tf.branches)` lateral as one explode — ordered by
+    * file_count DESC, branch ASC. */
+  def projectBranchesOf(tracked: DataFrame, tenant: String): DataFrame =
+    tracked.filter(col("tenant_id") === tenant)
+      .select(col("file_id"), explode(col("branches")).as("branch_name"))
+      .groupBy(col("branch_name"))
+      .agg(countDistinct(col("file_id")).as("file_count"))
+      .orderBy(col("file_count").desc, col("branch_name"))
+
+  /** project branches over a tracked-files synthesis on the documents
+    * axis: branch membership arrays with a 60% `main` mode, a `b0..b3`
+    * tail, a second `dev` membership every 5th file, and an
+    * empty-membership row every 13th (contributing no branch rows —
+    * the json_each lateral's natural drop). */
+  def projectBranches(spark: SparkSession, dir: String,
+                      tenant: String = "src3"): DataFrame = {
+    // Residues derive from the per-tenant file index (doc_id div 20),
+    // NOT doc_id itself — the corpus assigns source = doc_id % 20, so
+    // doc_id residues are constant within a tenant and would collapse
+    // every file onto one branch.
+    val idx = floor(col("doc_id") / 20).cast("long")
+    val tracked = Tables.documents(spark, dir).select(
+      col("source").as("tenant_id"),
+      col("doc_id").as("file_id"),
+      when(pmod(idx, lit(13)) === 0, array().cast("array<string>"))
+        .otherwise(concat(
+          array(when(pmod(idx, lit(10)) < 6, lit("main"))
+            .otherwise(concat(lit("b"), pmod(idx, lit(4))))),
+          when(pmod(idx, lit(5)) === 0, array(lit("dev")))
+            .otherwise(array().cast("array<string>"))))
+        .as("branches"))
+    projectBranchesOf(tracked, tenant)
+  }
 }
