@@ -102,31 +102,51 @@ object GraphAlgorithms {
     }
   }
 
+  /** Node count under which the n-sized per-iteration frames (ranks /
+    * labels / out-degrees) are broadcast into the edge-sized joins —
+    * each iteration then runs edge-side map-only with one small
+    * aggregation exchange, instead of re-shuffling the edge list. A
+    * 2M-node frame is tens of MB; past it the loops fall back to the
+    * shuffle joins that scale to billion-node graphs (where the right
+    * posture is edge/rank co-partitioning, not broadcast). */
+  private val broadcastNodeLimit = 2000000.0
+
   private def pageRankEdgesImpl(e: DataFrame, nodes: DataFrame, n: Double,
                                 iterations: Int, damping: Double): DataFrame = {
+    // Broadcast the n-sized side below the node limit (see above).
+    val mb: DataFrame => DataFrame =
+      if (n <= broadcastNodeLimit) broadcast else identity
+    // Materialized ONCE: every broadcast build of an un-materialized
+    // frame re-executes its whole plan, so without this each iteration
+    // re-aggregates the edge cache for out-degrees (twice — the
+    // dangling anti join and the contribution join), which the probe
+    // measured as the dominant per-iteration cost.
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint()
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iterations) {
       // Mass from dangling nodes (no outgoing edges) spreads uniformly;
       // computed as a broadcast 1-row aggregate, NOT a driver collect,
       // so each iteration is a single job with no action barrier.
-      val dangling = ranks.join(outDeg, ranks("node_id") === outDeg("src"), "left_anti")
+      val dangling = ranks.join(mb(outDeg), ranks("node_id") === outDeg("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))
       val contribs = e
-        .join(ranks, e("src") === ranks("node_id"))
-        .join(outDeg, "src")
+        .join(mb(ranks), e("src") === ranks("node_id"))
+        .join(mb(outDeg), "src")
         .select(col("dst").as("node_id"), (col("rank") / col("out_deg")).as("contrib"))
         .groupBy(col("node_id")).agg(sum(col("contrib")).as("in_contrib"))
-      // Eager checkpoint every 2 iterations: bounds lineage depth (the
-      // unchecked plan recomputes quadratically) while halving the
-      // materialization jobs vs per-iteration checkpointing.
-      ranks = nodes.join(contribs, Seq("node_id"), "left")
+      // Eager checkpoint EVERY iteration: each consumer of the new
+      // ranks (the dangling aggregate, the broadcast build, the next
+      // update join) then reads the materialized n-sized rows instead
+      // of re-running the un-checkpointed chain — n-sized
+      // materialization is cheap, repeated edge-sized recompute is not.
+      ranks = nodes.join(mb(contribs), Seq("node_id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node_id"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("in_contrib"), lit(0.0)) + col("dangling_mass") / n)).as("rank"))
-      if (i % 2 == 0 || i == iterations) ranks = ranks.localCheckpoint()
+        .localCheckpoint()
     }
     ranks.select(col("node_id"), round(col("rank"), 6).as("score"))
       .orderBy(col("node_id"))
@@ -158,6 +178,10 @@ object GraphAlgorithms {
   private def communitiesEdgesImpl(undirected: DataFrame,
                                    iterations: Int, minSize: Int): DataFrame = {
     val nodes = undirected.select(col("a").as("node_id")).distinct()
+    // Broadcast the n-sized labels frame into the edge-sized vote join
+    // below the node limit (the fallback shuffle path scales past it).
+    val mb: DataFrame => DataFrame =
+      if (nodes.count() <= broadcastNodeLimit) broadcast else identity
 
     // Initial label = stable per-node integer from md5 hex nibbles —
     // the same arithmetic is computable in the DuckDB oracle twin
@@ -168,20 +192,21 @@ object GraphAlgorithms {
     for (i <- 1 to iterations) {
       // Each node votes its label to neighbours; self-vote stabilizes.
       val votes = undirected
-        .join(labels, undirected("b") === labels("node_id"))
+        .join(mb(labels), undirected("b") === labels("node_id"))
         .select(col("a").as("node_id"), col("label"))
         .union(labels.select(col("node_id"), col("label")))
       val counted = votes.groupBy(col("node_id"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("node_id")).orderBy(col("cnt").desc, col("label"))
-      labels = counted.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node_id"), col("label"))
-      // eager every 2: bound lineage without a job per iteration.
-      // (A fixpoint early-exit was measured and reverted: the derived
-      // order graph keeps churning labels through the cap, so the
-      // per-check join+count actions cost more than they save.)
-      if (i % 2 == 0 || i == iterations) labels = labels.localCheckpoint()
+      // Winner per node = highest vote count, smallest label on ties —
+      // as one max_by aggregation ((cnt, -label) is unique per node, so
+      // the pick is total) instead of a sort window over the counted
+      // frame. Checkpoint EVERY iteration: the next round's broadcast
+      // build would otherwise re-run this chain (including the
+      // edge-sized vote join) once per consumer.
+      labels = counted.groupBy(col("node_id"))
+        .agg(max_by(col("label"),
+          struct(col("cnt"), negate(col("label")))).as("label"))
+        .localCheckpoint()
     }
     // Normalize community ids to the minimum member node id; drop tiny ones.
     val sized = labels

@@ -76,19 +76,27 @@ object TextAnalysis {
     */
   def langId(spark: SparkSession, dir: String, topGrams: Int = 40): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val grams = docs.select(col("doc_id"), col("lang"),
-      explode(expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substr(text, i, 3))")).as("g"))
+    // One explode + ONE aggregation to per-doc gram counts — the
+    // profile (per-language rollup) and the per-doc distinct gram set
+    // both derive from this far smaller frame, so the text is scanned
+    // and exploded once instead of twice and the doc-gram `distinct`
+    // shuffle disappears (its keys are this groupBy's keys).
+    val docGrams = docs.select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substr(text, i, 3))")).as("g"))
+      .groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
 
     // Per-language profile: top trigrams by frequency (deterministic tiebreak).
-    val profile = grams.groupBy(col("lang"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
+    val profile = docGrams.groupBy(col("lang"), col("g"))
+      .agg(sum(col("cnt")).as("cnt"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("g"))))
       .filter(col("rn") <= topGrams)
       .select(col("lang").as("p_lang"), col("g"), (lit(topGrams + 1) - col("rn")).as("weight"))
 
     // Score each doc against each profile by summed weight of matching grams.
-    val scored = grams.select(col("doc_id"), col("g")).distinct()
+    val scored = docGrams.select(col("doc_id"), col("g"))
       .join(broadcast(profile), Seq("g"))
       .groupBy(col("doc_id"), col("p_lang"))
       .agg(sum(col("weight")).as("score"))
