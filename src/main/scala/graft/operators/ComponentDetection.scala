@@ -131,19 +131,31 @@ object ComponentDetection {
   }
 
   /** assign_component (detection.rs:325): the longest matching
-    * base_path wins; files matching no component keep a null id. */
+    * base_path wins (ties to the lexicographically smallest); files
+    * matching no component keep a null id. Components are workspace
+    * members — config-sized per tenant — so they ride as ONE broadcast
+    * array per tenant and the longest-match pick runs map-side inside
+    * the file scan (filter + sort_array HOFs), with no per-file
+    * join-explosion, no window shuffle, and no second join. */
   def assignComponents(files: DataFrame, components: DataFrame): DataFrame = {
-    val matched = files.join(broadcast(components), Seq("tenant_id"))
-      .filter(col("rel_path") === col("base_path") ||
-        col("rel_path").startsWith(concat(col("base_path"), lit("/"))))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(length(col("base_path")).desc, col("base_path"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id").as("m_doc_id"), col("component_id"), col("source"))
-    files.join(matched, files("doc_id") === matched("m_doc_id"), "left")
+    val perTenant = components.groupBy(col("tenant_id"))
+      .agg(collect_list(struct(col("base_path"), col("component_id"),
+        col("source"))).as("comps"))
+    files.join(broadcast(perTenant), Seq("tenant_id"), "left")
+      .withColumn("best",
+        try_element_at(
+          sort_array(transform(
+            filter(coalesce(col("comps"),
+              expr("CAST(array() AS array<struct<base_path:string,component_id:string,source:string>>)")),
+              c => col("rel_path") === c("base_path") ||
+                col("rel_path").startsWith(concat(c("base_path"), lit("/")))),
+            c => struct((-length(c("base_path"))).as("k"),
+              c("base_path").as("bp"), c("component_id").as("component_id"),
+              c("source").as("source")))),
+          lit(1)))
       .select(col("doc_id"), col("tenant_id"), col("rel_path"),
-        col("component_id"), col("source"))
+        col("best.component_id").as("component_id"),
+        col("best.source").as("source"))
   }
 
   /** component_detect query: tenants (= `source`, `src<n>`) cycle
