@@ -191,6 +191,8 @@ object SparkEntry {
     "metrics_summary"    -> ((s, d) => CliStats.metricsSummary(s, d)),
     // Project branches: per-branch distinct tracked-file counts
     "project_branches"   -> ((s, d) => TargetBranch.projectBranches(s, d)),
+    // Library inventory: folders + format-routed + orphan arms
+    "library_list"       -> ((s, d) => LibraryList.libraryList(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -4678,6 +4680,47 @@ object SparkEntry {
         |SELECT branch_name, count(DISTINCT file_id) AS file_count
         |FROM x GROUP BY branch_name
         |ORDER BY file_count DESC, branch_name""".stripMargin,
+    // library/list.rs — the three-arm inventory: library folders
+    // (:120, mode default + Watching/Paused), format-routed project
+    // folders (:175), orphaned doc-count tenants (:217).
+    "library_list" ->
+      """WITH lf AS (
+        |  SELECT source AS tenant_id,
+        |    CAST(substring(source, 4) AS INT) AS wn
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |reg AS (
+        |  SELECT tenant_id,
+        |    CASE WHEN wn % 9 = 8 THEN 'libraries'
+        |         WHEN wn % 9 = 5 THEN 'rules' ELSE 'projects' END AS collection,
+        |    CASE WHEN wn % 9 = 8 THEN '/lib/pkg-' || wn
+        |         ELSE '/work/proj-' || wn END AS path,
+        |    CASE WHEN wn % 2 = 0 THEN 'full' END AS library_mode,
+        |    wn % 4 <> 1 AS enabled
+        |  FROM lf),
+        |dc AS (
+        |  SELECT source AS watch_tenant, count(*) AS doc_count
+        |  FROM documents WHERE (doc_id // 20) % 4 = 0 GROUP BY source),
+        |libf AS (
+        |  SELECT tenant_id AS name, path,
+        |    COALESCE(library_mode, 'incremental') AS mode,
+        |    CASE WHEN enabled THEN 'Watching' ELSE 'Paused' END AS status,
+        |    COALESCE(doc_count, 0) AS documents
+        |  FROM reg LEFT JOIN dc ON tenant_id = watch_tenant
+        |  WHERE collection = 'libraries'),
+        |routed AS (
+        |  SELECT tenant_id AS name, path, 'auto-routed' AS mode,
+        |    'Active' AS status, doc_count AS documents
+        |  FROM reg JOIN dc ON tenant_id = watch_tenant
+        |  WHERE collection = 'projects'),
+        |known AS (SELECT name FROM libf UNION ALL SELECT name FROM routed),
+        |orph AS (
+        |  SELECT watch_tenant AS name, '—' AS path, '—' AS mode,
+        |    'Orphan' AS status, doc_count AS documents
+        |  FROM dc WHERE watch_tenant NOT IN (SELECT name FROM known))
+        |SELECT * FROM (
+        |  SELECT * FROM libf UNION ALL SELECT * FROM routed
+        |  UNION ALL SELECT * FROM orph)
+        |ORDER BY (status = 'Watching') DESC, lower(name), name""".stripMargin,
   )
 
   /** Shared synthetic tag-store CTEs (TagStoreOps twin): the nlp.rs
