@@ -193,6 +193,8 @@ object SparkEntry {
     "project_branches"   -> ((s, d) => TargetBranch.projectBranches(s, d)),
     // Library inventory: folders + format-routed + orphan arms
     "library_list"       -> ((s, d) => LibraryList.libraryList(s, d)),
+    // Per-project language file counts under the CLI walk-exclusion rules
+    "language_projects"  -> ((s, d) => LanguageProjects.languageProjects(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -4721,6 +4723,39 @@ object SparkEntry {
         |  SELECT * FROM libf UNION ALL SELECT * FROM routed
         |  UNION ALL SELECT * FROM orph)
         |ORDER BY (status = 'Watching') DESC, lower(name), name""".stripMargin,
+    // language/projects.rs — per (project, language) counts under the
+    // exclusion.rs walk rules; the oracle maps only the extensions the
+    // synthetic corpus produces (the full registry table is spec'd).
+    "language_projects" ->
+      """WITH f AS (
+        |  SELECT
+        |    CASE WHEN CAST(substring(source, 4) AS INT) % 3 = 0 THEN ''
+        |      ELSE 'proj' || CAST(substring(source, 4) AS INT) END
+        |      AS project_name,
+        |    '/work/proj-' || CAST(substring(source, 4) AS INT) AS root,
+        |    ['src','lib','node_modules','.git','.github','target']
+        |      [((doc_id // 20) % 6) + 1] AS dirn,
+        |    ['main.rs','util.py','index.ts','app.js','notes.md','data.json',
+        |     'README','mod.rs'][((doc_id // 20) % 8) + 1] AS fname
+        |  FROM documents),
+        |kept AS (
+        |  SELECT *,
+        |    CASE WHEN fname LIKE '%.rs' THEN 'rust'
+        |         WHEN fname LIKE '%.py' THEN 'python'
+        |         WHEN fname LIKE '%.ts' THEN 'typescript'
+        |         WHEN fname LIKE '%.js' THEN 'javascript'
+        |         WHEN fname LIKE '%.json' THEN 'json' END AS language
+        |  FROM f
+        |  WHERE NOT (CASE WHEN dirn = '.github' THEN FALSE
+        |    WHEN dirn LIKE '.%' THEN TRUE
+        |    ELSE dirn IN ('target','node_modules','__pycache__','dist',
+        |      'build','vendor') END))
+        |SELECT CASE WHEN project_name <> '' THEN project_name
+        |    ELSE (list_filter(list_reverse(string_split(root, '/')),
+        |      s -> s <> ''))[1] END AS project,
+        |  language, count(*) AS file_count
+        |FROM kept WHERE language IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY project, language""".stripMargin,
   )
 
   /** Shared synthetic tag-store CTEs (TagStoreOps twin): the nlp.rs
