@@ -195,6 +195,8 @@ object SparkEntry {
     "library_list"       -> ((s, d) => LibraryList.libraryList(s, d)),
     // Per-project language file counts under the CLI walk-exclusion rules
     "language_projects"  -> ((s, d) => LanguageProjects.languageProjects(s, d)),
+    // Branch-switch handling: branch-add membership + changed-file enqueue
+    "branch_switch"      -> ((s, d) => BranchSwitch.branchSwitch(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -4756,6 +4758,56 @@ object SparkEntry {
         |  language, count(*) AS file_count
         |FROM kept WHERE language IS NOT NULL
         |GROUP BY 1, 2 ORDER BY project, language""".stripMargin,
+    // branch_switch/handlers.rs:71 — branch-add for unchanged old-branch
+    // files (db.rs:79 candidates) + the queue.rs:22 op mapping with the
+    // two-row rename.
+    "branch_switch" ->
+      """WITH base AS (
+        |  SELECT source AS tenant_id, doc_id AS file_id, (doc_id // 20) AS idx,
+        |    ['src','tests','lib','config','e2e'][((doc_id // 20) % 5) + 1]
+        |      || '/' ||
+        |    ['main.py','lib.rs','util.ts','types.d.ts','README.md','guide.pdf',
+        |     'index.html','deck.pptx','app.yaml','data.json','table.csv',
+        |     'dist.whl','bundle.tar.gz','.gitignore','LICENSE','test_core.py',
+        |     'app.test.ts'][((doc_id // 20) % 17) + 1] AS path
+        |  FROM documents),
+        |tracked AS (
+        |  SELECT tenant_id, path,
+        |    CASE WHEN idx % 10 < 6 THEN ['main']
+        |         WHEN idx % 10 < 8 THEN ['main','feature-x']
+        |         WHEN idx % 10 = 8 THEN ['dev']
+        |         ELSE ['main','dev'] END AS branches
+        |  FROM base),
+        |changes AS (
+        |  SELECT tenant_id, path,
+        |    ['modified','added','deleted','renamed','copied','type_changed']
+        |      [((idx // 5) % 6) + 1] AS status,
+        |    path || '.old' AS old_path
+        |  FROM base WHERE idx % 5 = 0),
+        |cp AS (SELECT DISTINCT tenant_id, path FROM changes),
+        |ba AS (
+        |  SELECT t.tenant_id, t.path, 'branch_add' AS action,
+        |    list_append(t.branches, 'feature-x') AS branches_after
+        |  FROM tracked t
+        |  WHERE list_contains(branches, 'main')
+        |    AND NOT list_contains(branches, 'feature-x')
+        |    AND NOT EXISTS (SELECT 1 FROM cp
+        |      WHERE cp.tenant_id = t.tenant_id AND cp.path = t.path)),
+        |enq AS (
+        |  SELECT tenant_id, path,
+        |    CASE WHEN status IN ('modified','type_changed') THEN 'update'
+        |         WHEN status IN ('added','copied','renamed') THEN 'add'
+        |         WHEN status = 'deleted' THEN 'delete' END AS action,
+        |    CAST([] AS VARCHAR[]) AS branches_after
+        |  FROM changes),
+        |ren AS (
+        |  SELECT tenant_id, old_path AS path, 'delete' AS action,
+        |    CAST([] AS VARCHAR[]) AS branches_after
+        |  FROM changes WHERE status = 'renamed')
+        |SELECT * FROM (
+        |  SELECT * FROM ba UNION ALL SELECT * FROM enq
+        |  UNION ALL SELECT * FROM ren)
+        |ORDER BY tenant_id, path, action""".stripMargin,
   )
 
   /** Shared synthetic tag-store CTEs (TagStoreOps twin): the nlp.rs
