@@ -197,6 +197,16 @@ object SparkEntry {
     "language_projects"  -> ((s, d) => LanguageProjects.languageProjects(s, d)),
     // Branch-switch handling: branch-add membership + changed-file enqueue
     "branch_switch"      -> ((s, d) => BranchSwitch.branchSwitch(s, d)),
+    // TUI project browser rows: registry + per-tenant doc/queue/branch
+    "tui_projects"       -> ((s, d) => TuiViews.tuiProjects(s, d)),
+    // TUI library browser rows: nesting markers + name disambiguation
+    "tui_libraries"      -> ((s, d) => TuiViews.tuiLibraries(s, d)),
+    // TUI service view: the database-derived status panel
+    "tui_service"        -> ((s, d) => TuiViews.tuiService(s, d)),
+    // TUI dashboard: the seven fetch sections as one long frame
+    "tui_dashboard"      -> ((s, d) => TuiViews.tuiDashboard(s, d)),
+    // Tiered tenant-argument resolution (exact/prefix/substring cascade)
+    "tenant_resolve"     -> ((s, d) => TenantResolve.tenantResolve(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -4808,6 +4818,274 @@ object SparkEntry {
         |  SELECT * FROM ba UNION ALL SELECT * FROM enq
         |  UNION ALL SELECT * FROM ren)
         |ORDER BY tenant_id, path, action""".stripMargin,
+    // projects_data.rs:80 fetch_project_rows — top-level folders +
+    // per-tenant queue/doc/branch maps (:192/:216/:239).
+    "tui_projects" ->
+      s"""$tuiCtes,
+        |dc AS (
+        |  SELECT w.tenant_id, count(*) AS doc_count
+        |  FROM tf JOIN wf w ON tf.watch_folder_id = w.watch_id
+        |  GROUP BY 1),
+        |br AS (
+        |  SELECT tenant_id, primary_branch AS branch FROM (
+        |    SELECT w.tenant_id, tf.primary_branch, count(*) AS n,
+        |      row_number() OVER (PARTITION BY w.tenant_id
+        |        ORDER BY count(*) DESC, tf.primary_branch) AS rk
+        |    FROM tf JOIN wf w ON tf.watch_folder_id = w.watch_id
+        |    WHERE tf.primary_branch IS NOT NULL AND tf.primary_branch <> ''
+        |    GROUP BY 1, 2) WHERE rk = 1),
+        |qc AS (
+        |  SELECT tenant_id, count(*) AS queue_count FROM uq2
+        |  WHERE status IN ('pending', 'in_progress') GROUP BY 1),
+        |top AS (
+        |  SELECT * FROM wf WHERE parent_watch_id IS NULL
+        |  ORDER BY is_active DESC, path LIMIT 200)
+        |SELECT w.watch_id,
+        |  coalesce(list_filter(string_split(w.path, '/'), x -> x <> '')[-1],
+        |    w.watch_id) AS name,
+        |  CASE WHEN starts_with(w.path, '/home/user')
+        |    THEN '~' || substring(w.path, 11) ELSE w.path END AS display_path,
+        |  w.is_active, w.enabled,
+        |  coalesce(dc.doc_count, 0) AS doc_count,
+        |  coalesce(qc.queue_count, 0) AS queue_count,
+        |  coalesce(br.branch, '') AS branch
+        |FROM top w
+        |LEFT JOIN dc ON dc.tenant_id = w.tenant_id
+        |LEFT JOIN br ON br.tenant_id = w.tenant_id
+        |LEFT JOIN qc ON qc.tenant_id = w.tenant_id
+        |ORDER BY w.is_active DESC, display_path""".stripMargin,
+    // libraries_data.rs:57 fetch_library_rows — per-watch counts, the
+    // P:<project> nesting marker (:131), display-name disambiguation
+    // (:161), status labels (:243).
+    "tui_libraries" ->
+      s"""$tuiCtes,
+        |dcw AS (
+        |  SELECT watch_folder_id, count(*) AS cnt FROM tf GROUP BY 1),
+        |libs AS (
+        |  SELECT w.watch_id, w.tenant_id, w.path, w.enabled, w.is_active,
+        |    w.library_mode, coalesce(d.cnt, 0) AS doc_count,
+        |    p.path AS parent_path, p.collection AS parent_collection,
+        |    list_filter(string_split(w.path, '/'), x -> x <> '')[-1] AS base,
+        |    list_filter(string_split(w.path, '/'), x -> x <> '')[-2]
+        |      AS parent_comp
+        |  FROM wf w
+        |  LEFT JOIN dcw d ON d.watch_folder_id = w.watch_id
+        |  LEFT JOIN wf p ON p.watch_id = w.parent_watch_id
+        |  WHERE w.collection = 'libraries')
+        |SELECT watch_id, tenant_id AS tag,
+        |  CASE WHEN count(*) OVER (PARTITION BY base) > 1
+        |         AND parent_comp IS NOT NULL
+        |    THEN parent_comp || '/' || base ELSE base END AS name,
+        |  CASE WHEN starts_with(path, '/home/user')
+        |    THEN '~' || substring(path, 11) ELSE path END AS display_path,
+        |  enabled, is_active,
+        |  coalesce(library_mode, 'incremental') AS mode, doc_count,
+        |  CASE WHEN parent_path IS NOT NULL
+        |         AND parent_collection <> 'libraries'
+        |    THEN 'P:' ||
+        |      list_filter(string_split(parent_path, '/'), x -> x <> '')[-1]
+        |    END AS source,
+        |  CASE WHEN NOT enabled THEN 'disabled'
+        |       WHEN is_active THEN 'watching'
+        |       ELSE 'stopped' END AS status
+        |FROM libs ORDER BY tag""".stripMargin,
+    // service_data.rs:60 fetch_service_status — the database-derived
+    // status panel as one long (metric, value) frame.
+    "tui_service" ->
+      s"""$tuiCtes,
+        |dl AS (SELECT count(*) AS n FROM events WHERE event_id % 97 = 0),
+        |sv AS (SELECT max((event_id % 12) + 1) AS v FROM events)
+        |SELECT 'queue_' || status AS metric,
+        |  CAST(count(*) AS VARCHAR) AS value FROM uq2 GROUP BY status
+        |UNION ALL SELECT 'dead_letter', CAST(n AS VARCHAR) FROM dl
+        |UNION ALL SELECT 'tracked_files',
+        |  CAST(count(file_id) AS VARCHAR) FROM tf
+        |UNION ALL SELECT 'total_chunks',
+        |  CAST(CAST(coalesce(sum(chunk_count), 0) AS BIGINT) AS VARCHAR)
+        |  FROM tf
+        |UNION ALL SELECT 'paused_folders',
+        |  CAST(CAST(sum(CASE WHEN is_paused THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS VARCHAR) FROM wf
+        |UNION ALL SELECT 'total_folders', CAST(count(*) AS VARCHAR) FROM wf
+        |UNION ALL SELECT 'qdrant_url', 'http://localhost:6333'
+        |UNION ALL SELECT 'schema_version', CAST(v AS VARCHAR) FROM sv
+        |ORDER BY metric""".stripMargin,
+    // dashboard_fetch.rs:16 — the seven dashboard sections as one long
+    // frame; errors totalized by the queue_id tiebreak.
+    "tui_dashboard" ->
+      s"""$tuiCtes,
+        |names AS (
+        |  SELECT tenant_id,
+        |    coalesce(list_filter(string_split(path, '/'), x -> x <> '')[-1],
+        |      path) AS display
+        |  FROM wf WHERE parent_watch_id IS NULL),
+        |tfc AS (
+        |  SELECT w.tenant_id, count(tf.file_id) AS tracked_files
+        |  FROM tf JOIN wf w ON tf.watch_folder_id = w.watch_id
+        |  WHERE w.collection = 'projects' GROUP BY 1),
+        |ltf AS (
+        |  SELECT w.tenant_id, count(tf.file_id) AS tracked_files
+        |  FROM tf JOIN wf w ON tf.watch_folder_id = w.watch_id
+        |  WHERE w.collection = 'libraries' GROUP BY 1),
+        |bi AS (
+        |  SELECT tenant_id, prim, branch_count FROM (
+        |    SELECT w.tenant_id, tf.primary_branch AS prim, count(*) AS n,
+        |      CAST(count(*) OVER (PARTITION BY w.tenant_id) AS BIGINT)
+        |        AS branch_count,
+        |      row_number() OVER (PARTITION BY w.tenant_id
+        |        ORDER BY count(*) DESC, tf.primary_branch) AS rk
+        |    FROM tf JOIN wf w ON tf.watch_folder_id = w.watch_id
+        |    WHERE w.collection = 'projects'
+        |      AND tf.primary_branch IS NOT NULL AND tf.primary_branch <> ''
+        |    GROUP BY 1, 2) WHERE rk = 1),
+        |qcp AS (
+        |  SELECT tenant_id,
+        |    CAST(sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qp,
+        |    CAST(sum(CASE WHEN status = 'in_progress' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qi,
+        |    CAST(sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qf
+        |  FROM uq2 WHERE collection = 'projects'
+        |    AND status IN ('pending', 'in_progress', 'failed') GROUP BY 1),
+        |qcl AS (
+        |  SELECT tenant_id,
+        |    CAST(sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qp,
+        |    CAST(sum(CASE WHEN status = 'in_progress' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qi,
+        |    CAST(sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qf
+        |  FROM uq2 WHERE collection = 'libraries'
+        |    AND status IN ('pending', 'in_progress', 'failed') GROUP BY 1),
+        |qcs AS (
+        |  SELECT tenant_id,
+        |    CAST(sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qp,
+        |    CAST(sum(CASE WHEN status = 'in_progress' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qi,
+        |    CAST(sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qf
+        |  FROM uq2 WHERE collection = 'scratchpad'
+        |    AND status IN ('pending', 'in_progress', 'failed') GROUP BY 1),
+        |qcr AS (
+        |  SELECT tenant_id,
+        |    CAST(sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qp,
+        |    CAST(sum(CASE WHEN status = 'in_progress' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qi,
+        |    CAST(sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qf
+        |  FROM uq2 WHERE collection = 'rules'
+        |    AND status IN ('pending', 'in_progress', 'failed') GROUP BY 1),
+        |err AS (
+        |  SELECT queue_id, collection, tenant_id, error_message,
+        |    row_number() OVER (ORDER BY updated_at DESC, queue_id) AS rk
+        |  FROM uq2 WHERE status = 'failed' AND error_message IS NOT NULL)
+        |SELECT * FROM (
+        |SELECT 'summary' AS section, 'queue' AS id, '' AS name,
+        |  CAST(0 AS BIGINT) AS tracked_files,
+        |  CAST(sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS queue_pending,
+        |  CAST(sum(CASE WHEN status = 'in_progress' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS queue_in_progress,
+        |  CAST(sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS queue_failed,
+        |  CAST(NULL AS VARCHAR) AS extra
+        |FROM uq2
+        |UNION ALL
+        |SELECT 'projects', w.tenant_id,
+        |  coalesce(list_filter(string_split(w.path, '/'), x -> x <> '')[-1],
+        |    w.path),
+        |  coalesce(t.tracked_files, 0), coalesce(q.qp, 0),
+        |  coalesce(q.qi, 0), coalesce(q.qf, 0),
+        |  CAST(coalesce(b.branch_count, 0) AS VARCHAR)
+        |FROM wf w
+        |LEFT JOIN qcp q ON q.tenant_id = w.tenant_id
+        |LEFT JOIN tfc t ON t.tenant_id = w.tenant_id
+        |LEFT JOIN bi b ON b.tenant_id = w.tenant_id
+        |WHERE w.parent_watch_id IS NULL AND w.collection = 'projects'
+        |UNION ALL
+        |SELECT 'libraries', w.tenant_id, w.tenant_id,
+        |  coalesce(t.tracked_files, 0), coalesce(q.qp, 0),
+        |  coalesce(q.qi, 0), coalesce(q.qf, 0),
+        |  CASE WHEN coalesce(w.library_mode, 'incremental') = 'incremental'
+        |    THEN 'inc' ELSE coalesce(w.library_mode, 'incremental') END
+        |FROM wf w
+        |LEFT JOIN qcl q ON q.tenant_id = w.tenant_id
+        |LEFT JOIN ltf t ON t.tenant_id = w.tenant_id
+        |WHERE w.collection = 'libraries'
+        |UNION ALL
+        |SELECT 'scratchpad', q.tenant_id,
+        |  coalesce(n.display, q.tenant_id), 0, q.qp, q.qi, q.qf,
+        |  CAST(NULL AS VARCHAR)
+        |FROM qcs q LEFT JOIN names n ON n.tenant_id = q.tenant_id
+        |UNION ALL
+        |SELECT 'rules', q.tenant_id,
+        |  coalesce(n.display, q.tenant_id), 0, q.qp, q.qi, q.qf,
+        |  CAST(NULL AS VARCHAR)
+        |FROM qcr q LEFT JOIN names n ON n.tenant_id = q.tenant_id
+        |UNION ALL
+        |SELECT 'active_projects', w.tenant_id,
+        |  coalesce(list_filter(string_split(w.path, '/'), x -> x <> '')[-1],
+        |    w.path),
+        |  coalesce(t.tracked_files, 0), coalesce(q.qp, 0),
+        |  coalesce(q.qi, 0), coalesce(q.qf, 0),
+        |  coalesce(b.prim, '—')
+        |FROM wf w
+        |LEFT JOIN qcp q ON q.tenant_id = w.tenant_id
+        |LEFT JOIN tfc t ON t.tenant_id = w.tenant_id
+        |LEFT JOIN bi b ON b.tenant_id = w.tenant_id
+        |WHERE w.is_active AND w.collection = 'projects'
+        |  AND w.parent_watch_id IS NULL
+        |UNION ALL
+        |SELECT 'errors', e.queue_id, coalesce(n.display, e.tenant_id),
+        |  0, 0, 0, 0,
+        |  CASE e.collection WHEN 'projects' THEN 'P' WHEN 'libraries'
+        |    THEN 'L' WHEN 'scratchpad' THEN 'S' WHEN 'rules' THEN 'R'
+        |    ELSE '?' END || ':' || e.error_message
+        |FROM err e LEFT JOIN names n ON n.tenant_id = e.tenant_id
+        |WHERE e.rk <= 50)
+        |ORDER BY section, id""".stripMargin,
+    // tenants.rs:85 resolve_tenant_entries — first tier with any
+    // matches decides; unique resolves, several is ambiguous.
+    "tenant_resolve" ->
+      s"""$tuiCtes,
+        |entries AS (
+        |  SELECT tenant_id,
+        |    coalesce(list_filter(string_split(path, '/'), x -> x <> '')[-1],
+        |      path) AS name
+        |  FROM wf),
+        |probes AS (
+        |  SELECT unnest(['src4', 'docs', 'proj-7', 'src1', 'src1x',
+        |                 'proj-1', 'rules-', 'oj-7', 'zzz']) AS input),
+        |pair AS (
+        |  SELECT p.input, e.tenant_id,
+        |    CASE WHEN e.tenant_id = p.input THEN 1
+        |         WHEN e.name = p.input THEN 2
+        |         WHEN starts_with(e.tenant_id, p.input) THEN 3
+        |         WHEN starts_with(e.name, p.input) THEN 4
+        |         ELSE 5 END AS tier
+        |  FROM probes p JOIN entries e
+        |    ON e.tenant_id = p.input OR e.name = p.input
+        |      OR starts_with(e.tenant_id, p.input)
+        |      OR starts_with(e.name, p.input)
+        |      OR contains(e.name, p.input)),
+        |per_tier AS (
+        |  SELECT input, tier, count(*) AS n, min(tenant_id) AS the_tenant
+        |  FROM pair GROUP BY 1, 2),
+        |decided AS (
+        |  SELECT input, tier, n, the_tenant,
+        |    row_number() OVER (PARTITION BY input ORDER BY tier) AS rk
+        |  FROM per_tier)
+        |SELECT p.input,
+        |  CASE WHEN d.tier IS NULL THEN 'unknown'
+        |       WHEN d.n = 1 THEN 'resolved' ELSE 'ambiguous' END AS outcome,
+        |  coalesce(d.tier, 0) AS tier,
+        |  CASE WHEN d.n = 1 THEN d.the_tenant END AS tenant_id,
+        |  coalesce(d.n, 0) AS n_candidates
+        |FROM probes p LEFT JOIN decided d ON d.input = p.input AND d.rk = 1
+        |ORDER BY p.input""".stripMargin,
   )
 
   /** Shared synthetic tag-store CTEs (TagStoreOps twin): the nlp.rs
@@ -4870,6 +5148,48 @@ object SparkEntry {
        |    CASE WHEN nc > 1 THEN nm || ' (' || tenant_id || ')' ELSE nm END
        |      AS display_name
        |  FROM nm0 JOIN nmc USING (nm))""".stripMargin
+
+  /** The TUI data-layer syntheses (TuiViews twins): watch_folders
+    * registry `wf`, tracked_files `tf`, and the unified_queue extended
+    * with updated_at/error_message `uq2`. */
+  private val tuiCtes: String =
+    """WITH wf AS (
+      |  SELECT 'w-' || wn AS watch_id, tenant_id,
+      |    CASE WHEN wn % 9 = 8 THEN 'libraries'
+      |         WHEN wn % 9 = 5 THEN 'rules' ELSE 'projects' END AS collection,
+      |    CASE WHEN wn = 17 THEN 'w-3' WHEN wn = 13 THEN 'w-4' END
+      |      AS parent_watch_id,
+      |    CASE WHEN wn = 8 THEN '/home/user/lib/docs'
+      |         WHEN wn = 17 THEN '/srv/vendor/docs'
+      |         WHEN wn % 9 = 5 THEN '/etc/rules-' || wn
+      |         WHEN wn % 3 = 0 THEN '/home/user/work/proj-' || wn
+      |         ELSE '/srv/data/proj-' || wn END AS path,
+      |    wn % 4 <> 2 AS is_active, wn % 5 <> 1 AS enabled,
+      |    CASE WHEN wn % 2 = 0 THEN 'sync' END AS library_mode,
+      |    wn % 7 = 0 AS is_paused, wn % 11 = 0 AS is_archived
+      |  FROM (SELECT DISTINCT source AS tenant_id,
+      |          CAST(substring(source, 4) AS INT) AS wn FROM documents)),
+      |tf AS (
+      |  SELECT 'w-' || CAST(substring(source, 4) AS INT) AS watch_folder_id,
+      |    doc_id AS file_id,
+      |    CASE WHEN (doc_id // 20) % 13 = 0 THEN NULL
+      |         WHEN (doc_id // 20) % 10 < 6 THEN 'main'
+      |         ELSE 'b' || ((doc_id // 20) % 4) END AS primary_branch,
+      |    (doc_id // 20) % 7 + 1 AS chunk_count
+      |  FROM documents),
+      |uq2 AS (
+      |  SELECT 'q-' || event_id AS queue_id,
+      |    CASE event_id % 4 WHEN 0 THEN 'done' WHEN 1 THEN 'pending'
+      |      WHEN 2 THEN 'in_progress' ELSE 'failed' END AS status,
+      |    ['file','text','folder','tenant'][(user_id % 4) + 1] AS item_type,
+      |    ['ingest','update','delete'][(event_id % 3) + 1] AS op,
+      |    CASE user_id % 7 WHEN 0 THEN 'libraries' WHEN 1 THEN 'rules'
+      |      WHEN 2 THEN 'scratchpad' ELSE 'projects' END AS collection,
+      |    'src' || (user_id % 20) AS tenant_id,
+      |    ts AS created_at, ts AS updated_at,
+      |    CASE WHEN event_id % 4 = 3 AND event_id % 5 <> 0
+      |      THEN 'io error #' || (event_id % 23) END AS error_message
+      |  FROM events)""".stripMargin
 
   /** The synthetic unified_queue (QueueStatus.queue twin) — CTE `uq`. */
   private val unifiedQueueCte: String =
