@@ -207,6 +207,10 @@ object SparkEntry {
     "tui_dashboard"      -> ((s, d) => TuiViews.tuiDashboard(s, d)),
     // Tiered tenant-argument resolution (exact/prefix/substring cascade)
     "tenant_resolve"     -> ((s, d) => TenantResolve.tenantResolve(s, d)),
+    // MCP-server queue stats: status/type/collection pivots + stale leases
+    "mcp_queue_stats"    -> ((s, d) => McpQueueStats.mcpQueueStats(s, d)),
+    // Metrics-exporter depth gauge + NULL-imputing drain backlog estimate
+    "queue_depth_bytes"  -> ((s, d) => McpQueueStats.queueDepthBytes(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -5086,6 +5090,57 @@ object SparkEntry {
         |  coalesce(d.n, 0) AS n_candidates
         |FROM probes p LEFT JOIN decided d ON d.input = p.input AND d.rk = 1
         |ORDER BY p.input""".stripMargin,
+    // mcp-server/sqlite/queue_stats.rs:144 get_queue_stats — the four
+    // reads; stale = in_progress with lease past the max-ts anchor.
+    "mcp_queue_stats" ->
+      s"""$tuiCtes,
+        |uqx AS (
+        |  SELECT uq2.*,
+        |    CASE WHEN status = 'in_progress'
+        |      THEN created_at + (CAST(substring(queue_id, 3) AS BIGINT) % 3)
+        |        * 12 * INTERVAL '1 hour' END AS lease_until
+        |  FROM uq2),
+        |nowq AS (SELECT max(created_at) AS now_ts FROM uqx)
+        |SELECT * FROM (
+        |SELECT 'status' AS metric, status AS key, count(*) AS n
+        |FROM uqx GROUP BY status
+        |UNION ALL
+        |SELECT 'by_item_type', item_type, count(*)
+        |FROM uqx WHERE status = 'pending' GROUP BY item_type
+        |UNION ALL
+        |SELECT 'by_collection', collection, count(*)
+        |FROM uqx WHERE status = 'pending' GROUP BY collection
+        |UNION ALL
+        |SELECT 'stale_items', '', count(*)
+        |FROM uqx, nowq
+        |WHERE status = 'in_progress' AND lease_until < now_ts)
+        |ORDER BY metric, key""".stripMargin,
+    // queue_operations/query.rs:113 depth gauge (done excluded) + :180
+    // pending-bytes estimate as the closed form sum_known + n_null·avg.
+    "queue_depth_bytes" ->
+      s"""$tuiCtes,
+        |uqx AS (
+        |  SELECT uq2.*,
+        |    CASE WHEN CAST(substring(queue_id, 3) AS BIGINT) % 6 <> 0
+        |      THEN (CAST(substring(queue_id, 3) AS BIGINT) % 1000 + 1) * 100
+        |      END AS size_bytes
+        |  FROM uq2),
+        |agg AS (
+        |  SELECT CAST(coalesce(sum(size_bytes), 0) AS BIGINT) AS sum_known,
+        |    count(size_bytes) AS n_known, count(*) AS n_pending
+        |  FROM uqx WHERE status = 'pending')
+        |SELECT * FROM (
+        |SELECT 'depth' AS metric, item_type || '|' || status AS key,
+        |  CAST(count(*) AS DOUBLE) AS val
+        |FROM uqx WHERE status <> 'done' GROUP BY item_type, status
+        |UNION ALL
+        |SELECT 'pending_bytes', 'estimate',
+        |  CASE WHEN n_pending = 0 THEN 0.0
+        |    ELSE floor(sum_known + (n_pending - n_known) *
+        |      (CASE WHEN n_known > 0 THEN CAST(sum_known AS DOUBLE) / n_known
+        |            ELSE 4096.0 END)) END
+        |FROM agg)
+        |ORDER BY metric, key""".stripMargin,
   )
 
   /** Shared synthetic tag-store CTEs (TagStoreOps twin): the nlp.rs
