@@ -211,6 +211,10 @@ object SparkEntry {
     "mcp_queue_stats"    -> ((s, d) => McpQueueStats.mcpQueueStats(s, d)),
     // Metrics-exporter depth gauge + NULL-imputing drain backlog estimate
     "queue_depth_bytes"  -> ((s, d) => McpQueueStats.queueDepthBytes(s, d)),
+    // Per-concept implements/covers rollup with the zero-edge LEFT JOIN
+    "graph_concepts"     -> ((s, d) => GraphConceptsOps.graphConcepts(s, d)),
+    // One concept's linked nodes grouped by parsed depth level
+    "graph_topics"       -> ((s, d) => GraphConceptsOps.graphTopics(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -5141,6 +5145,51 @@ object SparkEntry {
         |            ELSE 4096.0 END)) END
         |FROM agg)
         |ORDER BY metric, key""".stripMargin,
+    // concepts.rs:74 query_concepts — distinct-source counts per edge
+    // type per concept, zero-edge concepts kept, top-10 per tenant
+    // (ties totalized by concept name).
+    "graph_concepts" ->
+      s"""$conceptEdgesCte
+        |SELECT tenant_id, concept, implements_count, covers_count FROM (
+        |  SELECT b.tenant_id, 'concept-' || b.k AS concept,
+        |    coalesce(ic.ic, 0) AS implements_count,
+        |    coalesce(cc.cc, 0) AS covers_count,
+        |    row_number() OVER (PARTITION BY b.tenant_id
+        |      ORDER BY coalesce(ic.ic, 0) + coalesce(cc.cc, 0) DESC,
+        |        'concept-' || b.k) AS rk
+        |  FROM (SELECT t.tenant_id, ku.k
+        |        FROM (SELECT DISTINCT tenant_id FROM cov) t CROSS JOIN ku) b
+        |  LEFT JOIN (SELECT tenant_id, k, count(DISTINCT node_id) AS ic
+        |             FROM imp GROUP BY 1, 2) ic
+        |    ON ic.tenant_id = b.tenant_id AND ic.k = b.k
+        |  LEFT JOIN (SELECT tenant_id, k, count(DISTINCT doc_id) AS cc
+        |             FROM cov GROUP BY 1, 2) cc
+        |    ON cc.tenant_id = b.tenant_id AND cc.k = b.k)
+        |WHERE rk <= 10
+        |ORDER BY tenant_id, implements_count + covers_count DESC, concept""".stripMargin,
+    // topics.rs:83 — concept-8's linked nodes grouped by the parsed
+    // depth (IMPLEMENTS edges carry no metadata → the unknown group),
+    // groups in the :71 depth_sort_key display order.
+    "graph_topics" ->
+      s"""$conceptEdgesCte,
+        |arms AS (
+        |  SELECT tenant_id, depth, 'document_section' AS symbol_type,
+        |    file_path, 'doc' || doc_id AS symbol_name,
+        |    'COVERS_TOPIC' AS edge_type
+        |  FROM cov WHERE k = 8
+        |  UNION ALL
+        |  SELECT tenant_id, 'unknown', 'function',
+        |    regexp_extract(node_id, '^node:(.+\\.rs):', 1), symbol_name,
+        |    'IMPLEMENTS_CONCEPT'
+        |  FROM imp WHERE k = 8)
+        |SELECT tenant_id, depth,
+        |  CASE depth WHEN 'reference' THEN 0 WHEN 'rigorous' THEN 1
+        |    WHEN 'intermediate' THEN 2 WHEN 'introductory' THEN 3
+        |    WHEN 'qualitative' THEN 4 ELSE 5 END AS dord,
+        |  count(*) OVER (PARTITION BY tenant_id, depth) AS group_count,
+        |  symbol_type, file_path, symbol_name, edge_type
+        |FROM arms
+        |ORDER BY tenant_id, dord, symbol_name""".stripMargin,
   )
 
   /** Shared synthetic tag-store CTEs (TagStoreOps twin): the nlp.rs
@@ -5203,6 +5252,52 @@ object SparkEntry {
        |    CASE WHEN nc > 1 THEN nm || ' (' || tenant_id || ')' ELSE nm END
        |      AS display_name
        |  FROM nm0 JOIN nmc USING (nm))""".stripMargin
+
+  /** The concept-edge syntheses (GraphConceptsOps twins): COVERS_TOPIC
+    * rows with the doc_id%5 depth axis `cov`, the distinct-symbol
+    * IMPLEMENTS rows `imp` (corpusSymbols vocabulary), and the concept
+    * universe `ku`. */
+  private val conceptEdgesCte: String =
+    """WITH cov AS (
+      |  SELECT source AS tenant_id, doc_id, doc_id % 60 AS k,
+      |    ['qualitative','introductory','intermediate','rigorous',
+      |     'reference'][(doc_id % 5) + 1] AS depth,
+      |    source || '/doc' || doc_id ||
+      |      (CASE WHEN doc_id % 12 = 7 THEN '.rs'
+      |            WHEN doc_id % 12 = 8 THEN '.markdown'
+      |            WHEN doc_id % 12 = 9 THEN '.txt'
+      |            WHEN doc_id % 12 = 10 THEN '.MD'
+      |            ELSE '.md' END) AS file_path
+      |  FROM documents),
+      |symdef AS (
+      |  SELECT * FROM (VALUES
+      |    ('window',0,'all'),('batch',0,'all'),('spark',0,'all'),
+      |    ('filter',0,'all'),('stream',0,'all'),('customer',0,'all'),
+      |    ('query',0,'all'),('table',0,'all'),('column',0,'all'),
+      |    ('vector',0,'all'),('order',0,'all'),('small',0,'all'),
+      |    ('sort',0,'all'),('group',0,'all'),('scan',0,'all'),
+      |    ('merge',0,'all'),('merge',1,'even'),
+      |    ('slow',0,'all'),('slow',1,'mod3'),
+      |    ('hash',0,'all'),('hash',1,'all'),
+      |    ('join',1,'all'),('join',2,'all'),
+      |    ('value',0,'all'),('data',0,'all'),('windo',0,'all'),
+      |    ('agg',0,'all'),('row',0,'all'),('key',0,'all'))
+      |    AS v(symbol_name, fidx, cond)),
+      |imp AS (
+      |  SELECT DISTINCT tenant_id,
+      |    'node:' || tenant_id || '/f' || fidx || '.rs:' || symbol_name
+      |      AS node_id,
+      |    symbol_name,
+      |    (length(symbol_name) * 7 + ascii(substr(symbol_name, 1, 1))) % 60
+      |      AS k
+      |  FROM (SELECT DISTINCT source AS tenant_id,
+      |          CAST(substring(source, 4) AS INT) AS t FROM documents)
+      |  CROSS JOIN symdef
+      |  WHERE cond = 'all' OR (cond = 'even' AND t % 2 = 0)
+      |     OR (cond = 'mod3' AND t % 3 = 0)),
+      |ku AS (
+      |  SELECT DISTINCT k FROM
+      |    (SELECT k FROM cov UNION ALL SELECT k FROM imp))""".stripMargin
 
   /** The TUI data-layer syntheses (TuiViews twins): watch_folders
     * registry `wf`, tracked_files `tf`, and the unified_queue extended
