@@ -215,6 +215,8 @@ object SparkEntry {
     "graph_concepts"     -> ((s, d) => GraphConceptsOps.graphConcepts(s, d)),
     // One concept's linked nodes grouped by parsed depth level
     "graph_topics"       -> ((s, d) => GraphConceptsOps.graphTopics(s, d)),
+    // The fairness scheduler's dequeue selection (6-key priority, batch 64)
+    "queue_dequeue"      -> ((s, d) => QueueDequeue.queueDequeue(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -5190,6 +5192,55 @@ object SparkEntry {
         |  symbol_type, file_path, symbol_name, edge_type
         |FROM arms
         |ORDER BY tenant_id, dord, symbol_name""".stripMargin,
+    // dequeue.rs:342 build_dequeue_query — the DESC scheduler pass,
+    // batch 64; full-key ties totalized by queue_id.
+    "queue_dequeue" ->
+      s"""$tuiCtes,
+        |dq AS (
+        |  SELECT queue_id, item_type,
+        |    ['delete','reset','add','update','rename','uplift','scan']
+        |      [(((CAST(substring(queue_id, 3) AS BIGINT) // 4) % 7)) + 1]
+        |      AS op,
+        |    collection, tenant_id, status, created_at,
+        |    CASE WHEN status = 'in_progress'
+        |      THEN created_at + (CAST(substring(queue_id, 3) AS BIGINT) % 3)
+        |        * 12 * INTERVAL '1 hour' END AS lease_until
+        |  FROM uq2),
+        |nowq AS (SELECT max(created_at) AS now_ts FROM dq),
+        |act AS (SELECT tenant_id AS w_tenant, is_active FROM wf
+        |        WHERE collection = 'projects' AND parent_watch_id IS NULL),
+        |el AS (
+        |  SELECT q.queue_id, q.item_type, q.op, q.collection, q.tenant_id,
+        |    q.created_at,
+        |    CASE WHEN q.op IN ('delete', 'reset') THEN 1 ELSE 0 END
+        |      AS k_delete,
+        |    CASE WHEN q.item_type = 'tenant' AND q.op IN ('add', 'scan')
+        |      THEN 1 ELSE 0 END AS k_tenant,
+        |    CASE WHEN CAST(floor(epoch(n.now_ts)) AS BIGINT)
+        |           - CAST(floor(epoch(q.created_at)) AS BIGINT)
+        |           >= 21 * 86400 THEN 2
+        |         WHEN CAST(floor(epoch(n.now_ts)) AS BIGINT)
+        |           - CAST(floor(epoch(q.created_at)) AS BIGINT)
+        |           >= 7 * 86400 THEN 1 ELSE 0 END AS k_age,
+        |    CASE WHEN q.collection = 'rules' THEN 1
+        |         WHEN q.collection = 'libraries' THEN 0
+        |         WHEN a.is_active THEN 1 ELSE 0 END AS k_active,
+        |    CASE q.op WHEN 'delete' THEN 10 WHEN 'reset' THEN 8
+        |      WHEN 'add' THEN 5 WHEN 'update' THEN 4 WHEN 'rename' THEN 3
+        |      WHEN 'uplift' THEN 2 ELSE 1 END AS k_op
+        |  FROM dq q CROSS JOIN nowq n
+        |  LEFT JOIN act a ON a.w_tenant = q.tenant_id
+        |  WHERE (q.status = 'pending'
+        |          AND (q.lease_until IS NULL OR q.lease_until < n.now_ts))
+        |     OR (q.status = 'in_progress' AND q.lease_until < n.now_ts))
+        |SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY k_delete DESC,
+        |      k_tenant DESC, k_age DESC, k_active DESC, k_op DESC,
+        |      created_at ASC, queue_id) AS INTEGER) AS dequeue_rank,
+        |    queue_id, item_type, op, collection, tenant_id,
+        |    k_delete, k_tenant, k_age, k_active, k_op
+        |  FROM el)
+        |WHERE dequeue_rank <= 64 ORDER BY dequeue_rank""".stripMargin,
   )
 
   /** Shared synthetic tag-store CTEs (TagStoreOps twin): the nlp.rs
