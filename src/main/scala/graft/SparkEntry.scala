@@ -217,6 +217,8 @@ object SparkEntry {
     "graph_topics"       -> ((s, d) => GraphConceptsOps.graphTopics(s, d)),
     // The fairness scheduler's dequeue selection (6-key priority, batch 64)
     "queue_dequeue"      -> ((s, d) => QueueDequeue.queueDequeue(s, d)),
+    // Failed-item triage verdicts (permanent→DLQ, unsalvageable→drop)
+    "queue_triage"       -> ((s, d) => QueueTriage.queueTriage(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -5241,6 +5243,101 @@ object SparkEntry {
         |    k_delete, k_tenant, k_age, k_active, k_op
         |  FROM el)
         |WHERE dequeue_rank <= 64 ORDER BY dequeue_rank""".stripMargin,
+    // triage.rs:32 triage_failed_items — the verdict cascade over the
+    // first-100 failed slice (rowid LIMIT totalized by queue_id).
+    "queue_triage" ->
+      s"""$tuiCtes,
+        |fq AS (
+        |  SELECT queue_id, item_type, tenant_id, collection,
+        |    ['delete','add','update','scan']
+        |      [(((CAST(substring(queue_id, 3) AS BIGINT) // 4) % 4)) + 1]
+        |      AS op,
+        |    CASE WHEN CAST(substring(queue_id, 3) AS BIGINT) % 13 <> 0
+        |      THEN 'src/f' || (CAST(substring(queue_id, 3) AS BIGINT) % 37)
+        |        || '.rs' END AS file_path,
+        |    CASE WHEN CAST(substring(queue_id, 3) AS BIGINT) % 11 = 0
+        |           THEN '[permanent_exhausted] retries'
+        |         WHEN CAST(substring(queue_id, 3) AS BIGINT) % 11 = 1
+        |           THEN '[permanent_data] parse'
+        |         WHEN CAST(substring(queue_id, 3) AS BIGINT) % 11 = 2
+        |           THEN '[permanent_gone] missing'
+        |         ELSE 'io error #'
+        |           || (CAST(substring(queue_id, 3) AS BIGINT) % 23)
+        |         END AS error_message
+        |  FROM uq2 WHERE status = 'failed'),
+        |slice AS (
+        |  SELECT * FROM (SELECT *,
+        |    row_number() OVER (ORDER BY queue_id) AS rk FROM fq)
+        |  WHERE rk <= 100),
+        |trk AS (
+        |  SELECT w.tenant_id, w.collection,
+        |    'src/f' || s.slot || '.rs' AS relative_path,
+        |    CASE WHEN s.slot % 5 < 2 THEN 0 ELSE 3 END AS chunk_count
+        |  FROM wf w CROSS JOIN range(0, 37) s(slot) WHERE s.slot % 3 <> 0),
+        |fex AS (
+        |  SELECT w.tenant_id, w.collection,
+        |    'src/f' || s.slot || '.rs' AS exists_path
+        |  FROM wf w CROSS JOIN range(0, 37) s(slot) WHERE s.slot % 2 = 1)
+        |SELECT q.queue_id, q.item_type, q.op, q.tenant_id, q.collection,
+        |  q.file_path,
+        |  CASE WHEN q.error_message LIKE '[permanent_exhausted]%'
+        |         OR q.error_message LIKE '[permanent_data]%'
+        |         OR q.error_message LIKE '[permanent_gone]%' THEN 'dropped'
+        |       WHEN q.item_type <> 'file' THEN 'skipped'
+        |       WHEN q.op = 'delete' AND q.file_path IS NULL THEN 'dropped'
+        |       WHEN q.op = 'delete' AND t.relative_path IS NULL THEN 'dropped'
+        |       WHEN q.op = 'delete' AND t.chunk_count = 0 THEN 'dropped'
+        |       WHEN q.op = 'delete' THEN 'skipped'
+        |       WHEN q.op IN ('add', 'update') AND q.file_path IS NULL
+        |         THEN 'skipped'
+        |       WHEN q.op IN ('add', 'update') AND w.tenant_id IS NULL
+        |         THEN 'skipped'
+        |       WHEN q.op IN ('add', 'update') AND e.exists_path IS NULL
+        |         THEN 'dropped'
+        |       WHEN q.op IN ('add', 'update') THEN 'skipped'
+        |       ELSE 'skipped' END AS action,
+        |  CASE WHEN q.error_message LIKE '[permanent_exhausted]%'
+        |         OR q.error_message LIKE '[permanent_data]%'
+        |         OR q.error_message LIKE '[permanent_gone]%' THEN 'dlq'
+        |       WHEN q.item_type <> 'file' THEN 'kept'
+        |       WHEN q.op = 'delete' AND q.file_path IS NULL THEN 'deleted'
+        |       WHEN q.op = 'delete' AND t.relative_path IS NULL THEN 'deleted'
+        |       WHEN q.op = 'delete' AND t.chunk_count = 0 THEN 'deleted'
+        |       WHEN q.op = 'delete' THEN 'kept'
+        |       WHEN q.op IN ('add', 'update') AND q.file_path IS NULL
+        |         THEN 'kept'
+        |       WHEN q.op IN ('add', 'update') AND w.tenant_id IS NULL
+        |         THEN 'kept'
+        |       WHEN q.op IN ('add', 'update') AND e.exists_path IS NULL
+        |         THEN 'deleted'
+        |       ELSE 'kept' END AS route,
+        |  CASE WHEN q.error_message LIKE '[permanent_exhausted]%'
+        |         OR q.error_message LIKE '[permanent_data]%'
+        |         OR q.error_message LIKE '[permanent_gone]%' THEN 'permanent'
+        |       WHEN q.item_type <> 'file' THEN 'non_file'
+        |       WHEN q.op = 'delete' AND q.file_path IS NULL
+        |         THEN 'delete_no_path'
+        |       WHEN q.op = 'delete' AND t.relative_path IS NULL
+        |         THEN 'delete_untracked'
+        |       WHEN q.op = 'delete' AND t.chunk_count = 0
+        |         THEN 'delete_no_chunks'
+        |       WHEN q.op = 'delete' THEN 'delete_has_chunks'
+        |       WHEN q.op IN ('add', 'update') AND q.file_path IS NULL
+        |         THEN 'no_path'
+        |       WHEN q.op IN ('add', 'update') AND w.tenant_id IS NULL
+        |         THEN 'no_watch'
+        |       WHEN q.op IN ('add', 'update') AND e.exists_path IS NULL
+        |         THEN 'file_missing'
+        |       WHEN q.op IN ('add', 'update') THEN 'file_present'
+        |       ELSE 'op_manual' END AS reason
+        |FROM slice q
+        |LEFT JOIN (SELECT DISTINCT tenant_id, collection FROM wf) w
+        |  ON w.tenant_id = q.tenant_id AND w.collection = q.collection
+        |LEFT JOIN trk t ON t.relative_path = q.file_path
+        |  AND t.tenant_id = q.tenant_id AND t.collection = q.collection
+        |LEFT JOIN fex e ON e.exists_path = q.file_path
+        |  AND e.tenant_id = q.tenant_id AND e.collection = q.collection
+        |ORDER BY q.queue_id""".stripMargin,
   )
 
   /** Shared synthetic tag-store CTEs (TagStoreOps twin): the nlp.rs
