@@ -219,6 +219,8 @@ object SparkEntry {
     "queue_dequeue"      -> ((s, d) => QueueDequeue.queueDequeue(s, d)),
     // Failed-item triage verdicts (permanent→DLQ, unsalvageable→drop)
     "queue_triage"       -> ((s, d) => QueueTriage.queueTriage(s, d)),
+    // DLQ entry derivation: category extraction + replay gate
+    "dlq_entries"        -> ((s, d) => DlqOps.dlqEntries(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -5338,6 +5340,48 @@ object SparkEntry {
         |LEFT JOIN fex e ON e.exists_path = q.file_path
         |  AND e.tenant_id = q.tenant_id AND e.collection = q.collection
         |ORDER BY q.queue_id""".stripMargin,
+    // dlq.rs:30 move_to_dlq + :329 extract_error_category — the DLQ
+    // entry each DLQ-bound failed row becomes.
+    "dlq_entries" ->
+      s"""$tuiCtes,
+        |db AS (
+        |  SELECT queue_id, item_type,
+        |    CAST(substring(queue_id, 3) AS BIGINT) AS eid,
+        |    op, tenant_id, collection, updated_at
+        |  FROM uq2 WHERE status = 'failed'
+        |    AND CAST(substring(queue_id, 3) AS BIGINT) % 11 < 4),
+        |en AS (
+        |  SELECT queue_id, item_type, op, tenant_id, collection,
+        |    CASE WHEN eid % 13 <> 0
+        |      THEN 'src/f' || (eid % 37) || '.rs' END AS file_path,
+        |    CASE WHEN eid % 11 = 0 THEN '[permanent_exhausted] retries'
+        |         WHEN eid % 11 = 1 THEN '[permanent_data] parse'
+        |         WHEN eid % 11 = 2 THEN '[permanent_gone] missing'
+        |         ELSE 'exhausted after ' || (eid % 5 + 1) || ' retries'
+        |         END AS error_message,
+        |    CAST(eid % 6 AS INTEGER) AS retry_count,
+        |    CASE WHEN eid % 9 = 0
+        |           THEN '{"resurrection_count":' || (eid % 4) || '}'
+        |         WHEN eid % 9 = 1 THEN '{"other":1}' END AS metadata,
+        |    CASE WHEN eid % 7 <> 0 THEN updated_at END AS last_error_at,
+        |    updated_at
+        |  FROM db),
+        |cat AS (
+        |  SELECT *,
+        |    CASE WHEN error_message LIKE '[%' AND contains(error_message, ']')
+        |           THEN regexp_extract(error_message, '^\\[([^\\]]*)\\]', 1)
+        |         WHEN contains(error_message, 'exhausted')
+        |           THEN 'permanent_exhausted'
+        |         ELSE 'unknown' END AS error_category
+        |  FROM en)
+        |SELECT queue_id AS original_queue_id, item_type, op, tenant_id,
+        |  collection, file_path, error_category, error_message, retry_count,
+        |  coalesce(CAST(json_extract_string(metadata,
+        |    '$$.resurrection_count') AS BIGINT), 0) AS resurrection_count,
+        |  coalesce(last_error_at, updated_at) AS final_failure_at,
+        |  error_category <> 'permanent_data' AS replayable_without_force
+        |FROM cat
+        |ORDER BY final_failure_at DESC, original_queue_id""".stripMargin,
   )
 
   /** Shared synthetic tag-store CTEs (TagStoreOps twin): the nlp.rs
