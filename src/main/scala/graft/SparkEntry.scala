@@ -221,6 +221,8 @@ object SparkEntry {
     "queue_triage"       -> ((s, d) => QueueTriage.queueTriage(s, d)),
     // DLQ entry derivation: category extraction + replay gate
     "dlq_entries"        -> ((s, d) => DlqOps.dlqEntries(s, d)),
+    // Failure classification, routing cascade, and cost samples
+    "failure_routing"    -> ((s, d) => FailureRouting.failureRouting(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -5382,6 +5384,92 @@ object SparkEntry {
         |  error_category <> 'permanent_data' AS replayable_without_force
         |FROM cat
         |ORDER BY final_failure_at DESC, original_queue_id""".stripMargin,
+    // metrics.rs:48 classify_error + batch_processing.rs:525 routing
+    // cascade + :375 cost_samples under DOM-07.
+    "failure_routing" ->
+      s"""$tuiCtes,
+        |fi AS (
+        |  SELECT queue_id, item_type, op, tenant_id,
+        |    CAST(substring(queue_id, 3) AS BIGINT) AS eid
+        |  FROM uq2 WHERE status = 'failed'),
+        |ax AS (
+        |  SELECT queue_id, item_type, op, tenant_id,
+        |    ['file_not_found','invalid_payload','queue_operation',
+        |     'processing_failed','storage','embedding',
+        |     'embedding_unavailable','other'][(eid % 8) + 1] AS error_kind,
+        |    ['Rate limit hit (429)','database is locked by writer',
+        |     'no watch_folder found for tenant','permission denied: /srv',
+        |     'validation failed on field','binary file has no text',
+        |     'connection reset by peer','Too Many Requests']
+        |      [(((eid // 8) % 8)) + 1] AS error_message,
+        |    CAST(eid % 5 AS INTEGER) AS retry_count,
+        |    CASE WHEN eid % 6 <> 0 THEN (eid % 2000 + 1) * 50 END
+        |      AS size_bytes,
+        |    eid % 500 + 10 AS processing_ms,
+        |    CAST(eid % 300 AS DOUBLE) / 10.0 AS elapsed_secs
+        |  FROM fi),
+        |cl AS (
+        |  SELECT *,
+        |    CASE
+        |      WHEN error_kind = 'file_not_found' THEN 'permanent_gone'
+        |      WHEN error_kind = 'invalid_payload' THEN 'permanent_data'
+        |      WHEN error_kind IN ('queue_operation', 'processing_failed') THEN
+        |        CASE
+        |          WHEN contains(lower(error_message), 'rate limit')
+        |            OR contains(lower(error_message), '429')
+        |            OR contains(lower(error_message), 'too many requests')
+        |            THEN 'rate_limit'
+        |          WHEN contains(lower(error_message), 'database locked')
+        |            OR contains(lower(error_message), 'sqlite_busy')
+        |            THEN 'transient_infrastructure'
+        |          WHEN contains(lower(error_message), 'no watch_folder found')
+        |            THEN 'permanent_gone'
+        |          WHEN contains(lower(error_message), 'permission denied')
+        |            OR contains(lower(error_message), 'access denied')
+        |            THEN 'permanent_gone'
+        |          WHEN contains(lower(error_message), 'validation')
+        |            OR contains(lower(error_message), 'invalid')
+        |            OR contains(lower(error_message), 'malformed')
+        |            OR contains(lower(error_message), 'unsupported')
+        |            OR contains(lower(error_message), 'binary file')
+        |            THEN 'permanent_data'
+        |          ELSE 'transient_infrastructure' END
+        |      WHEN error_kind = 'storage' THEN 'transient_infrastructure'
+        |      WHEN error_kind = 'embedding' THEN
+        |        CASE WHEN contains(lower(error_message), 'rate limit')
+        |            OR contains(lower(error_message), '429')
+        |            OR contains(lower(error_message), 'too many requests')
+        |          THEN 'rate_limit' ELSE 'transient_resource' END
+        |      WHEN error_kind = 'embedding_unavailable'
+        |        THEN 'subsystem_unavailable'
+        |      ELSE 'transient_infrastructure' END AS category
+        |  FROM ax)
+        |SELECT queue_id, item_type, op, tenant_id, error_kind,
+        |  error_message, retry_count, category,
+        |  starts_with(category, 'permanent') AS is_permanent,
+        |  contains(lower(error_message), 'database is locked')
+        |    OR contains(lower(error_message), 'database locked')
+        |    OR contains(lower(error_message), 'sqlite_busy') AS sqlite_busy,
+        |  CASE WHEN category = 'permanent_gone' THEN 'delete'
+        |       WHEN category IN ('subsystem_unavailable', 'rate_limit')
+        |         THEN 'park'
+        |       WHEN starts_with(category, 'permanent')
+        |         OR retry_count + 1 >= 3 THEN 'dlq'
+        |       ELSE 'retry' END AS action,
+        |  CASE WHEN category <> 'permanent_gone'
+        |         AND category NOT IN ('subsystem_unavailable', 'rate_limit')
+        |    THEN '[' || category || '] ' || error_message END
+        |    AS categorized_message,
+        |  CASE WHEN size_bytes IS NOT NULL AND size_bytes > 0
+        |    THEN round(CAST(processing_ms AS DOUBLE) /
+        |      greatest(CAST(size_bytes AS DOUBLE) / 1024.0, 4.0), 6) END
+        |    AS ms_per_kb,
+        |  CASE WHEN size_bytes IS NOT NULL AND size_bytes > 0
+        |         AND elapsed_secs > 0.0
+        |    THEN round(CAST(size_bytes AS DOUBLE) / elapsed_secs, 6) END
+        |    AS throughput
+        |FROM cl
+        |ORDER BY queue_id""".stripMargin,
   )
 
   /** Shared synthetic tag-store CTEs (TagStoreOps twin): the nlp.rs
