@@ -265,4 +265,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
       "the tree needs only doc_id from the corpus:\n" + p.take(2000))
   }
+
+  test("TUI views ride broadcast joins onto the registry — never a shuffle join") {
+    for (name <- Seq("tui_projects", "tui_libraries", "tui_dashboard")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n" + p.take(2000))
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: per-tenant maps are config-sized — must broadcast:\n" + p.take(2000))
+      assert(!p.contains("CartesianProduct"), s"$name must not cross-join")
+    }
+  }
+
+  test("dequeue selection is one scan + broadcast activity map + bounded top-k") {
+    val p = plan("queue_dequeue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "the registry side must broadcast")
+  }
+
+  test("triage caps the slice at 100 BEFORE the probe joins") {
+    // The rank window runs on the failed scan; every downstream lookup
+    // (watch/tracked/exists) joins the ≤100-row slice via broadcast.
+    val p = plan("queue_triage")
+    assert(!p.contains("SortMergeJoin"),
+      "probe lookups must broadcast against the capped slice:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("DLQ entry derivation and failure routing are join-free map passes") {
+    for (name <- Seq("dlq_entries", "failure_routing")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name must be a single-scan projection:\n" +
+        p.take(2000))
+    }
+  }
 }
