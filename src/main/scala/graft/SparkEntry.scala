@@ -223,6 +223,22 @@ object SparkEntry {
     "dlq_entries"        -> ((s, d) => DlqOps.dlqEntries(s, d)),
     // Failure classification, routing cascade, and cost samples
     "failure_routing"    -> ((s, d) => FailureRouting.failureRouting(s, d)),
+    // TUI queue browser rows: object extraction, name/kind/root maps
+    "tui_queue"          -> ((s, d) => TuiBrowsers.tuiQueue(s, d)),
+    // TUI file-list popup: tracked⋈watch abs paths, per-watch top-5000
+    "tui_files"          -> ((s, d) => TuiBrowsers.tuiFiles(s, d)),
+    // TUI log viewer: JSONL level extraction + pino buckets + tail-200
+    "log_levels"         -> ((s, d) => TuiBrowsers.logLevels(s, d)),
+    // MCP tracked-files list/count with the full filter-clause grammar
+    "tracked_search"     -> ((s, d) => TrackedFilesQueries.trackedSearch(s, d)),
+    // MCP submodule + component listings with extract_repo_name
+    "submodule_repos"    -> ((s, d) => TrackedFilesQueries.submoduleRepos(s, d)),
+    // MCP registered-projects list + the #111 retry hint
+    "project_registry"   -> ((s, d) => TrackedFilesQueries.projectRegistry(s, d)),
+    // MCP tag search: tokenizer, LIKE-OR probe, top-10, baskets join
+    "tag_match"          -> ((s, d) => TagQueries.tagMatch(s, d)),
+    // MCP canonical-tag hierarchy read: parent names + child counts
+    "tag_tree"           -> ((s, d) => TagQueries.tagTree(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -5063,6 +5079,366 @@ object SparkEntry {
         |FROM err e LEFT JOIN names n ON n.tenant_id = e.tenant_id
         |WHERE e.rk <= 50)
         |ORDER BY section, id""".stripMargin,
+    // queue_data.rs fetch_queue_rows — the queue browser's five status
+    // filters × top-200, object extraction (extract_object_relative),
+    // the name-collision/kind/root maps, and the relative-age buckets.
+    "tui_queue" ->
+      s"""$tuiCtes,
+        |tq0 AS (
+        |  SELECT uq2.*, CAST(substring(queue_id, 3) AS BIGINT) AS eid
+        |  FROM uq2),
+        |tq AS (
+        |  SELECT queue_id, status, op, created_at, tq0.tenant_id, eid,
+        |    CASE WHEN item_type = 'text' AND eid % 5 = 0 THEN 'url'
+        |         WHEN item_type = 'text' AND eid % 5 = 1 THEN 'website'
+        |         WHEN item_type = 'text' AND eid % 5 = 2 THEN 'doc'
+        |         ELSE item_type END AS item_type,
+        |    w.path AS tenant_path
+        |  FROM tq0 LEFT JOIN wf w ON w.tenant_id = tq0.tenant_id),
+        |tqp AS (
+        |  SELECT queue_id, status, op, created_at, tenant_id, item_type,
+        |    CASE WHEN item_type = 'file' THEN
+        |      CASE eid % 4
+        |        WHEN 0 THEN '{"file_path":"src/f' || (eid % 50)
+        |          || '.rs","size_bytes":' || (eid % 9000 + 100) || '}'
+        |        WHEN 1 THEN '{"file_path":"./x/y' || (eid % 50) || '.md"}'
+        |        WHEN 2 THEN '{"file_path":"' || tenant_path || '/deep/a'
+        |          || (eid % 50) || '.py","size_bytes":'
+        |          || (eid % 7000 + 50) || '}'
+        |        ELSE '{"file_path":"/elsewhere/z' || (eid % 50)
+        |          || '.go","size_bytes":"big"}' END
+        |    WHEN item_type = 'folder' THEN
+        |      CASE WHEN eid % 2 = 0 THEN '{"folder_path":"' || tenant_path
+        |          || '/sub/dir' || (eid % 20) || '"}'
+        |        ELSE '{"folder_path":"rel/dir' || (eid % 20) || '"}' END
+        |    WHEN item_type IN ('url', 'website') THEN
+        |      '{"url":"https://ex.com/p/' || (eid % 100) || '"}'
+        |    WHEN item_type IN ('text', 'doc') THEN
+        |      CASE eid % 3
+        |        WHEN 0 THEN '{"title":"note ' || (eid % 40) || '"}'
+        |        WHEN 1 THEN '{"content":"' || repeat('c', 41) || '-'
+        |          || (eid % 9) || '"}'
+        |        ELSE '{}' END
+        |    WHEN eid % 7 = 0 THEN 'not json'
+        |    ELSE '{}' END AS payload_json
+        |  FROM tq),
+        |topw AS (SELECT * FROM wf WHERE parent_watch_id IS NULL),
+        |nmb AS (
+        |  SELECT tenant_id AS n_tenant,
+        |    coalesce(list_filter(string_split(path, '/'), x -> x <> '')[-1],
+        |      tenant_id) AS nm
+        |  FROM topw),
+        |names2 AS (
+        |  SELECT n_tenant,
+        |    CASE WHEN count(*) OVER (PARTITION BY nm) > 1
+        |      THEN nm || ' (' || CASE WHEN len(n_tenant) <= 8 THEN n_tenant
+        |        ELSE substring(n_tenant, 1, 8) END || ')'
+        |      ELSE nm END AS display
+        |  FROM nmb),
+        |kinds AS (
+        |  SELECT tenant_id AS k_tenant,
+        |    CASE WHEN collection = 'libraries' THEN 'L' ELSE 'P' END AS kind
+        |  FROM topw),
+        |roots AS (SELECT tenant_id AS r_tenant, path AS root FROM topw),
+        |nowq AS (SELECT max(created_at) AS now_ts FROM tqp),
+        |fl AS (SELECT unnest(['all', 'pending', 'in_progress', 'failed',
+        |  'done']) AS filter),
+        |ranked AS (
+        |  SELECT tqp.*, fl.filter,
+        |    row_number() OVER (PARTITION BY fl.filter
+        |      ORDER BY created_at DESC, queue_id) AS rk
+        |  FROM tqp, fl
+        |  WHERE fl.filter = 'all' OR tqp.status = fl.filter),
+        |ext AS (
+        |  SELECT r.*,
+        |    CASE WHEN json_valid(payload_json)
+        |      THEN json_extract_string(payload_json, '$$.file_path') END AS fp,
+        |    CASE WHEN json_valid(payload_json)
+        |      THEN json_extract_string(payload_json, '$$.folder_path') END AS fo,
+        |    CASE WHEN json_valid(payload_json)
+        |      THEN json_extract_string(payload_json, '$$.url') END AS u,
+        |    CASE WHEN json_valid(payload_json)
+        |      THEN json_extract_string(payload_json, '$$.title') END AS ti,
+        |    CASE WHEN json_valid(payload_json)
+        |      THEN json_extract_string(payload_json, '$$.content') END AS co,
+        |    CASE WHEN json_valid(payload_json)
+        |      THEN json_extract_string(payload_json, '$$.size_bytes') END AS sz,
+        |    ro.root
+        |  FROM ranked r LEFT JOIN roots ro ON ro.r_tenant = r.tenant_id
+        |  WHERE r.rk <= 200),
+        |obj AS (
+        |  SELECT ext.*,
+        |    CASE WHEN item_type = 'file' THEN coalesce(
+        |      CASE WHEN starts_with(fp, '/') THEN
+        |        coalesce(
+        |          CASE WHEN root IS NOT NULL
+        |              AND starts_with(fp, rtrim(root, '/'))
+        |              AND regexp_replace(substring(fp,
+        |                len(rtrim(root, '/')) + 1), '^/+', '') <> ''
+        |            THEN regexp_replace(substring(fp,
+        |              len(rtrim(root, '/')) + 1), '^/+', '') END,
+        |          coalesce(list_filter(string_split(fp, '/'),
+        |            x -> x <> '')[-1], fp))
+        |        ELSE regexp_replace(fp, '^(\\./)+', '') END, '')
+        |    WHEN item_type = 'folder' THEN coalesce(
+        |      CASE WHEN starts_with(fo, '/') THEN
+        |        coalesce(
+        |          CASE WHEN root IS NOT NULL
+        |              AND starts_with(fo, rtrim(root, '/'))
+        |              AND regexp_replace(substring(fo,
+        |                len(rtrim(root, '/')) + 1), '^/+', '') <> ''
+        |            THEN regexp_replace(substring(fo,
+        |              len(rtrim(root, '/')) + 1), '^/+', '') END,
+        |          coalesce(list_filter(string_split(fo, '/'),
+        |            x -> x <> '')[-1], fo))
+        |        ELSE regexp_replace(fo, '^(\\./)+', '') END || '/', '')
+        |    WHEN item_type IN ('url', 'website') THEN coalesce(u, '')
+        |    WHEN item_type IN ('text', 'doc') THEN coalesce(
+        |      CASE WHEN len(ti) <= 40 THEN ti
+        |           ELSE substring(ti, 1, 37) || '...' END,
+        |      CASE WHEN len(co) <= 40 THEN co
+        |           ELSE substring(co, 1, 37) || '...' END, '')
+        |    ELSE '' END AS object
+        |  FROM ext)
+        |SELECT o.filter, o.rk, o.queue_id,
+        |  CASE WHEN len(o.queue_id) <= 8 THEN o.queue_id
+        |    ELSE substring(o.queue_id, 1, 8) END AS short_id,
+        |  o.tenant_id,
+        |  coalesce(n.display, CASE WHEN len(o.tenant_id) <= 8
+        |    THEN o.tenant_id ELSE substring(o.tenant_id, 1, 8) END)
+        |    AS project,
+        |  o.object, o.item_type, o.op, o.status,
+        |  CASE
+        |    WHEN secs < 0 THEN 'future'
+        |    WHEN secs < 60 THEN secs || 's ago'
+        |    WHEN secs < 3600 THEN (secs // 60) || 'm ago'
+        |    WHEN secs < 86400 THEN (secs // 3600) || 'h ago'
+        |    ELSE (secs // 86400) || 'd ago' END AS age,
+        |  coalesce(k.kind, '?') AS kind,
+        |  CASE WHEN regexp_matches(o.sz, '^[0-9]+$$')
+        |    THEN CAST(o.sz AS BIGINT) END AS size_bytes
+        |FROM (SELECT obj.*,
+        |    CAST(floor(epoch(now_ts)) AS BIGINT)
+        |      - CAST(floor(epoch(created_at)) AS BIGINT) AS secs
+        |  FROM obj, nowq) o
+        |LEFT JOIN names2 n ON n.n_tenant = o.tenant_id
+        |LEFT JOIN kinds k ON k.k_tenant = o.tenant_id
+        |ORDER BY o.filter, o.rk""".stripMargin,
+    // file_list_data.rs fetch_from_conn — tracked⋈watch abs-path
+    // reconstruction, per-watch relative_path order, LIMIT 5000.
+    "tui_files" ->
+      s"""$tuiCtes,
+        |ranked AS (
+        |  SELECT tf.watch_folder_id, tf.relative_path,
+        |    w.path || '/' || tf.relative_path AS abs_path,
+        |    tf.size_bytes, coalesce(tf.chunk_count, 0) AS chunk_count,
+        |    row_number() OVER (PARTITION BY tf.watch_folder_id
+        |      ORDER BY tf.relative_path) AS rk
+        |  FROM tf JOIN wf w ON tf.watch_folder_id = w.watch_id)
+        |SELECT watch_folder_id, rk, relative_path, abs_path, size_bytes,
+        |  chunk_count
+        |FROM ranked WHERE rk <= 5000
+        |ORDER BY watch_folder_id, relative_path""".stripMargin,
+    // logs_data.rs extract_json_level + Level::from_line +
+    // read_tail_lines — the level walk, pino buckets, tail 200.
+    "log_levels" ->
+      """WITH lines AS (
+        |  SELECT event_id AS line_no,
+        |    CASE event_id % 13
+        |      WHEN 0 THEN '{"timestamp":"t","level":"ERROR","msg":"m'
+        |        || event_id || '"}'
+        |      WHEN 1 THEN '{"level":"err","msg":"m"}'
+        |      WHEN 2 THEN '{"level":"FATAL","msg":"m"}'
+        |      WHEN 3 THEN '{"level":"WARNING","msg":"m"}'
+        |      WHEN 4 THEN '{ "level" : "INFO" , "msg": "x" }'
+        |      WHEN 5 THEN '{"level":"DEBUG","msg":"m"}'
+        |      WHEN 6 THEN '{"level":"TRACE","msg":"m"}'
+        |      WHEN 7 THEN '{"level":' || (event_id % 70) || ',"msg":"n"}'
+        |      WHEN 8 THEN '{"level":"NOTICE","msg":"m"}'
+        |      WHEN 9 THEN '{"level":"42","msg":"m"}'
+        |      WHEN 10 THEN '{"msg":"no level"}'
+        |      WHEN 11 THEN 'plain text line'
+        |      ELSE '{"level":,"msg":"m"}' END AS line
+        |  FROM events),
+        |tail AS (
+        |  SELECT line_no, line,
+        |    row_number() OVER (ORDER BY line_no DESC) AS tail_rk
+        |  FROM lines WHERE trim(line) <> ''),
+        |walk AS (
+        |  SELECT line_no, line,
+        |    strpos(line, '"level"') AS idx,
+        |    ltrim(substring(line, strpos(line, '"level"') + 7)) AS after_trim
+        |  FROM tail WHERE tail_rk <= 200),
+        |walk2 AS (
+        |  SELECT line_no, line, idx, after_trim,
+        |    ltrim(substring(after_trim, 2)) AS after_colon
+        |  FROM walk),
+        |lv AS (
+        |  SELECT line_no, line,
+        |    CASE WHEN idx > 0 AND starts_with(after_trim, ':') THEN
+        |      CASE WHEN starts_with(after_colon, '"') THEN
+        |        CASE WHEN strpos(substring(after_colon, 2), '"') > 0
+        |          THEN substring(substring(after_colon, 2), 1,
+        |            strpos(substring(after_colon, 2), '"') - 1) END
+        |      ELSE nullif(regexp_extract(after_colon, '^([0-9]+)', 1), '')
+        |      END END AS level_val
+        |  FROM walk2)
+        |SELECT line_no, line,
+        |  CASE
+        |    WHEN upper(level_val) IN ('ERROR', 'ERR', 'FATAL') THEN 'ERROR'
+        |    WHEN upper(level_val) IN ('WARN', 'WARNING') THEN 'WARN'
+        |    WHEN upper(level_val) = 'INFO' THEN 'INFO'
+        |    WHEN upper(level_val) = 'DEBUG' THEN 'DEBUG'
+        |    WHEN upper(level_val) = 'TRACE' THEN 'TRACE'
+        |    WHEN regexp_matches(level_val, '^[0-9]+$$') THEN
+        |      CASE WHEN CAST(level_val AS BIGINT) >= 50 THEN 'ERROR'
+        |           WHEN CAST(level_val AS BIGINT) >= 40 THEN 'WARN'
+        |           WHEN CAST(level_val AS BIGINT) >= 30 THEN 'INFO'
+        |           WHEN CAST(level_val AS BIGINT) >= 20 THEN 'DEBUG'
+        |           ELSE 'TRACE' END
+        |    END AS level
+        |FROM lv ORDER BY line_no""".stripMargin,
+    // tracked_files/{queries,filters}.rs — the full buildFilterClause
+    // grammar per scenario; generated from the SAME scenario list the
+    // Spark side runs (globs pre-translated to the identical regex).
+    "tracked_search" -> trackedSearchOracle,
+    // tracked_files/queries.rs:59 extract_repo_name + the component
+    // listing over the config-sized submodule/component axes.
+    "submodule_repos" ->
+      """WITH sm(parent_watch_id, submodule_path, git_remote_url) AS (VALUES
+        |  ('w-3', 'vendor/lib-a', 'https://github.com/acme/lib-a.git'),
+        |  ('w-3', 'vendor/lib-b', 'git@github.com:acme/lib-b.git'),
+        |  ('w-3', 'vendor/lib-c', 'https://host/group/sub/lib-c/'),
+        |  ('w-3', 'deps/fallback', NULL),
+        |  ('w-4', 'x/y', 'git@host:lib-d'),
+        |  ('w-4', 'tools/helper', 'https://h/u/r.git.git'),
+        |  ('w-4', 'odd', 'x:')),
+        |cl AS (
+        |  SELECT *, regexp_replace(regexp_replace(git_remote_url,
+        |    '/+$', ''), '(\.git)+$', '') AS cleaned
+        |  FROM sm),
+        |rn AS (
+        |  SELECT *,
+        |    CASE WHEN git_remote_url IS NOT NULL AND
+        |        nullif(string_split(string_split(cleaned, '/')[-1],
+        |          ':')[-1], '') IS NOT NULL
+        |      THEN string_split(string_split(cleaned, '/')[-1], ':')[-1]
+        |      ELSE coalesce(list_filter(string_split(submodule_path, '/'),
+        |        x -> x <> '')[-1], submodule_path) END AS name
+        |  FROM cl),
+        |comps(watch_folder_id, component_name, base_path, source) AS (VALUES
+        |  ('w-3', 'core', 'src/core', 'cargo'),
+        |  ('w-3', 'cli', 'src/cli', 'cargo'),
+        |  ('w-4', 'web', 'packages/web', 'npm'),
+        |  ('w-4', 'api', 'services/api', 'directory'))
+        |SELECT * FROM (
+        |  SELECT 'submodule' AS section, parent_watch_id AS watch_id, name,
+        |    submodule_path AS path, CAST(NULL AS VARCHAR) AS source
+        |  FROM rn
+        |  UNION ALL
+        |  SELECT 'component', watch_folder_id, component_name, base_path,
+        |    source
+        |  FROM comps)
+        |ORDER BY section, watch_id, path, name""".stripMargin,
+    // project_queries.rs:196 list_registered_projects (+ :73 the #111
+    // hint): is_active NOT filtered, DESC NULLS LAST order pinned.
+    "project_registry" ->
+      s"""$tuiCtes,
+        |proj AS (
+        |  SELECT tenant_id AS project_id, path, is_active,
+        |    '2024-01-' || lpad(CAST((CAST(substring(tenant_id, 4) AS INT)
+        |      % 28) + 1 AS VARCHAR), 2, '0') AS created_at,
+        |    CASE WHEN CAST(substring(tenant_id, 4) AS INT) % 4 = 0
+        |      THEN NULL
+        |      ELSE '2024-02-' || lpad(CAST(((CAST(substring(tenant_id, 4)
+        |        AS INT) * 3) % 28) + 1 AS VARCHAR), 2, '0') END
+        |      AS last_activity_at
+        |  FROM wf WHERE collection = 'projects'),
+        |rows0 AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY last_activity_at DESC NULLS LAST,
+        |      created_at DESC, project_id) AS rk,
+        |    coalesce(list_filter(string_split(path, '/'), x -> x <> '')[-1],
+        |      path) AS container_folder
+        |  FROM proj)
+        |SELECT * FROM (
+        |  SELECT 'project' AS section, rk, project_id, path AS project_path,
+        |    container_folder, is_active, created_at, last_activity_at,
+        |    CAST(NULL AS VARCHAR) AS hint
+        |  FROM rows0
+        |  UNION ALL
+        |  SELECT 'hint', 0, NULL, NULL, NULL, false, NULL, NULL,
+        |    CASE WHEN (SELECT count(*) FROM rows0) = 0
+        |      THEN ' No projects are registered yet — register one with ' ||
+        |        'the ''store'' tool (type:"project").'
+        |      ELSE ' Available projects — retry with projectId=<id>: ' ||
+        |        (SELECT string_agg(container_folder || ' (projectId: ' ||
+        |          project_id || ')', ', ' ORDER BY rk)
+        |         FROM rows0 WHERE rk <= 15) ||
+        |        CASE WHEN (SELECT count(*) FROM rows0) > 15
+        |          THEN ' (+' || ((SELECT count(*) FROM rows0) - 15)
+        |            || ' more)'
+        |          ELSE '' END END)
+        |ORDER BY section, rk""".stripMargin,
+    // tag_queries.rs get_matching_tags + get_keyword_baskets_for_tags —
+    // tokens ('vector','dup','wind') are tokenize_query("Vector dup
+    // Wind QA z.") computed by the same driver-side tokenizer.
+    "tag_match" ->
+      s"""$tagStoreCtes,
+        |twi AS (
+        |  SELECT (doc_id * 10 + rnk) AS tag_id, tenant_id, collection,
+        |    doc_id, keyword AS tag, score
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, keyword) AS rnk FROM kw)
+        |  WHERE rnk <= 5),
+        |bsk AS (
+        |  SELECT doc_id AS b_doc, list_sort(list(keyword)) AS basket
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, keyword) AS rnk FROM kw)
+        |  WHERE rnk <= 3 GROUP BY doc_id),
+        |matched AS (
+        |  SELECT DISTINCT tag_id, tag, score, doc_id FROM twi
+        |  WHERE collection = 'projects'
+        |    AND (lower(tag) LIKE '%vector%' OR lower(tag) LIKE '%dup%'
+        |      OR lower(tag) LIKE '%wind%')),
+        |topt AS (
+        |  SELECT *, row_number() OVER (ORDER BY score DESC, tag, tag_id)
+        |    AS rk
+        |  FROM matched)
+        |SELECT rk, tag_id, tag, round(score, 6) AS score,
+        |  unnest(coalesce(b.basket, [CAST(NULL AS VARCHAR)]))
+        |    AS basket_keyword
+        |FROM topt LEFT JOIN bsk b ON b.b_doc = topt.doc_id
+        |WHERE rk <= 10
+        |ORDER BY rk, basket_keyword""".stripMargin,
+    // tag_queries.rs get_tag_hierarchy — parent name LEFT JOIN (the
+    // dangling-parent arm is real) + correlated child counts.
+    "tag_tree" ->
+      s"""$tagStoreCtes,
+        |canon2 AS (
+        |  SELECT collection, keyword AS canonical_name
+        |  FROM kw GROUP BY collection, keyword
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |ctid AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY collection,
+        |    canonical_name) AS BIGINT) AS canonical_id
+        |  FROM canon2),
+        |ct2 AS (
+        |  SELECT canonical_id, canonical_name, collection,
+        |    canonical_id % 3 AS level,
+        |    CASE WHEN canonical_id % 3 = 0 THEN NULL
+        |      ELSE (canonical_id // 3) * 3 END AS parent_id
+        |  FROM ctid),
+        |ctp AS (SELECT * FROM ct2 WHERE collection = 'projects')
+        |SELECT c.canonical_name AS name, c.level,
+        |  p.canonical_name AS parent_name,
+        |  coalesce(cc.cc, 0) AS child_count
+        |FROM ctp c
+        |LEFT JOIN ctp p ON c.parent_id = p.canonical_id
+        |LEFT JOIN (SELECT parent_id, count(*) AS cc FROM ctp
+        |  WHERE parent_id IS NOT NULL GROUP BY 1) cc
+        |  ON cc.parent_id = c.canonical_id
+        |ORDER BY c.level, name""".stripMargin,
     // tenants.rs:85 resolve_tenant_entries — first tier with any
     // matches decides; unique resolves, several is ambiguous.
     "tenant_resolve" ->
@@ -5476,6 +5852,61 @@ object SparkEntry {
     * token table as keywords with tf-saturation scores, per-doc top-5
     * concept tags + path tags, and the tf≥2 canonical axis. Ends in
     * CTEs `kw`, `tags`, `canon`. */
+  /** The tracked_search oracle, generated from the SAME scenario list
+    * the Spark side runs (TrackedFilesQueries.Scenarios) so filter
+    * arms and glob→regex translations can never drift. Plain string
+    * concatenation — regexes carry `$`/`\` that must reach DuckDB
+    * verbatim. */
+  private def trackedSearchOracle: String = {
+    val idx = "(doc_id // 20)"
+    val ext = s"['rs','md','py','ts','go'][($idx % 5) + 1]"
+    val tsf =
+      "WITH tsf AS (\n" +
+        "  SELECT 'w-' || CAST(substring(source, 4) AS INT) AS watch_folder_id,\n" +
+        s"    ['src','lib','docs','tests'][($idx % 4) + 1] || '/f' || $idx\n" +
+        s"      || '.' || $ext AS relative_path,\n" +
+        s"    CASE WHEN $ext = 'md' THEN 'docs' ELSE 'code' END AS file_type,\n" +
+        s"    ['rust','markdown','python','typescript','go'][($idx % 5) + 1]\n" +
+        "      AS language,\n" +
+        s"    $ext AS extension,\n" +
+        s"    $idx % 4 = 3 AS is_test,\n" +
+        s"    CASE WHEN $idx % 13 = 0 THEN CAST([] AS VARCHAR[])\n" +
+        s"      ELSE list_concat([CASE WHEN $idx % 10 < 6 THEN 'main'\n" +
+        s"        ELSE 'b' || ($idx % 4) END],\n" +
+        s"        CASE WHEN $idx % 5 = 0 THEN ['dev']\n" +
+        "        ELSE CAST([] AS VARCHAR[]) END) END AS branches\n" +
+        "  FROM documents)\n"
+    val blocks = graft.operators.TrackedFilesQueries.Scenarios.map { s =>
+      val conds = Seq(
+        Some(s"watch_folder_id = '${s.watch}'"),
+        s.path.map(p => s"relative_path LIKE '$p/%'"),
+        s.fileType.map(t => s"file_type = '$t'"),
+        s.language.map(l => s"language = '$l'"),
+        s.extension.map(e => s"extension = '$e'"),
+        if (!s.includeTests) Some("NOT is_test") else None,
+        s.branch.map(b => s"list_contains(branches, '$b')"),
+        s.glob.map(g => "regexp_matches(relative_path, '" +
+          graft.operators.TrackedFilesQueries.globToRegex(
+            g.replace("**", "*")) + "')"),
+        if (s.componentBasePaths.nonEmpty)
+          Some(s.componentBasePaths.map(bp =>
+            s"(relative_path = '$bp' OR relative_path LIKE '$bp/%')")
+            .mkString("(", " OR ", ")"))
+        else None,
+        s.afterPath.map(a => s"relative_path > '$a'")
+      ).flatten.mkString(" AND ")
+      "SELECT * FROM (\n" +
+        s"  SELECT '${s.name}' AS scenario, relative_path, file_type,\n" +
+        "    language, extension, is_test,\n" +
+        "    count(*) OVER () AS total,\n" +
+        "    row_number() OVER (ORDER BY relative_path) AS rk\n" +
+        s"  FROM tsf WHERE $conds)\n" +
+        s"WHERE rk <= ${s.limit}"
+    }
+    tsf + blocks.mkString("", "\nUNION ALL\n", "\n") +
+      "ORDER BY scenario, relative_path"
+  }
+
   private val tagStoreCtes: String =
     s"""$tokenStatsCte,
        |meta AS (
@@ -5591,6 +6022,7 @@ object SparkEntry {
       |      AS parent_watch_id,
       |    CASE WHEN wn = 8 THEN '/home/user/lib/docs'
       |         WHEN wn = 17 THEN '/srv/vendor/docs'
+      |         WHEN wn = 11 THEN '/srv/alt/docs'
       |         WHEN wn % 9 = 5 THEN '/etc/rules-' || wn
       |         WHEN wn % 3 = 0 THEN '/home/user/work/proj-' || wn
       |         ELSE '/srv/data/proj-' || wn END AS path,
@@ -5605,7 +6037,13 @@ object SparkEntry {
       |    CASE WHEN (doc_id // 20) % 13 = 0 THEN NULL
       |         WHEN (doc_id // 20) % 10 < 6 THEN 'main'
       |         ELSE 'b' || ((doc_id // 20) % 4) END AS primary_branch,
-      |    (doc_id // 20) % 7 + 1 AS chunk_count
+      |    (doc_id // 20) % 7 + 1 AS chunk_count,
+      |    ['src','lib','docs','tests'][((doc_id // 20) % 4) + 1] ||
+      |      '/f' || (doc_id // 20) ||
+      |      ['.rs','.md','.py','.ts','.go'][((doc_id // 20) % 5) + 1]
+      |      AS relative_path,
+      |    CASE WHEN (doc_id // 20) % 6 = 0 THEN NULL
+      |         ELSE (doc_id // 20) % 5000 + 64 END AS size_bytes
       |  FROM documents),
       |uq2 AS (
       |  SELECT 'q-' || event_id AS queue_id,

@@ -38,7 +38,10 @@ object TuiViews {
     * from top-level listings), activity/enablement flags, and paths
     * chosen so both home-prefixed and bare arms of home_to_tilde and
     * both arms of the library display-name disambiguation (the two
-    * libraries share the base folder name `docs`) are exercised. */
+    * libraries share the base folder name `docs`) are exercised. The
+    * w-11 project also uses base `docs`, so the queue browser's
+    * TOP-LEVEL name-collision suffix (queue_data.rs:253 — two
+    * top-level folders named `docs`) is live as well. */
   def registry(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(col("source")).distinct()
       .select(col("source").as("tenant_id"),
@@ -54,6 +57,7 @@ object TuiViews {
           .otherwise(lit(null).cast("string")).as("parent_watch_id"),
         when(col("wn") === 8, lit(s"$Home/lib/docs"))
           .when(col("wn") === 17, lit("/srv/vendor/docs"))
+          .when(col("wn") === 11, lit("/srv/alt/docs"))
           .when(pmod(col("wn"), lit(9)) === 5,
             concat(lit("/etc/rules-"), col("wn")))
           .when(pmod(col("wn"), lit(3)) === 0,
@@ -69,7 +73,10 @@ object TuiViews {
   /** tracked_files synthesis on the documents axis: per-tenant file
     * index residues (doc_id div 20 — doc_id itself is constant mod 20
     * within a tenant), the projectBranches primary_branch convention,
-    * and a chunk_count axis for the service view's SUM. */
+    * a chunk_count axis for the service view's SUM, plus the columns
+    * the file-list popup reads (file_list_data.rs) — a unique-per-watch
+    * relative_path and a nullable size_bytes (the NULL arm is the
+    * older-schema/deleted-file case the popup keeps as `size: None`). */
   def tracked(spark: SparkSession, dir: String): DataFrame = {
     val idx = floor(col("doc_id") / 20).cast("long")
     Tables.documents(spark, dir).select(
@@ -79,7 +86,16 @@ object TuiViews {
       when(pmod(idx, lit(13)) === 0, lit(null).cast("string"))
         .when(pmod(idx, lit(10)) < 6, lit("main"))
         .otherwise(concat(lit("b"), pmod(idx, lit(4)))).as("primary_branch"),
-      (pmod(idx, lit(7)) + 1).as("chunk_count"))
+      (pmod(idx, lit(7)) + 1).as("chunk_count"),
+      concat(
+        element_at(array(lit("src"), lit("lib"), lit("docs"), lit("tests")),
+          (pmod(idx, lit(4)) + 1).cast("int")),
+        lit("/f"), idx,
+        element_at(array(lit(".rs"), lit(".md"), lit(".py"), lit(".ts"),
+          lit(".go")), (pmod(idx, lit(5)) + 1).cast("int")))
+        .as("relative_path"),
+      when(pmod(idx, lit(6)) === 0, lit(null).cast("long"))
+        .otherwise(pmod(idx, lit(5000)) + 64).as("size_bytes"))
   }
 
   /** The unified_queue synthesis (QueueStatus residue conventions) plus
