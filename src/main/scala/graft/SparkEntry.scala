@@ -239,6 +239,26 @@ object SparkEntry {
     "tag_match"          -> ((s, d) => TagQueries.tagMatch(s, d)),
     // MCP canonical-tag hierarchy read: parent names + child counts
     "tag_tree"           -> ((s, d) => TagQueries.tagTree(s, d)),
+    // gitattributes linguist overrides: parse + fnmatch + last-match-wins
+    "gitattr_overrides"  -> ((s, d) => GitattributesOps.gitattrOverrides(s, d)),
+    // CLI debug-log reader: key cascades, from_json buckets, filters, tail
+    "debug_logs"         -> ((s, d) => LogOps.debugLogs(s, d)),
+    // Log retention: active-file exclusion, age cutoff, dry-run, due gate
+    "log_prune"          -> ((s, d) => LogOps.logPrune(s, d)),
+    // New-branch hash-scan classification + Qdrant updates + parent inference
+    "branch_discovery"   -> ((s, d) => BranchDiscoveryOps.branchDiscovery(s, d)),
+    // CLI queue-health verdicts: thresholds, reason strings, worst-of, avg ms
+    "status_health"      -> ((s, d) => CliHealth.statusHealth(s, d)),
+    // The static ExclusionEngine cascade (whitelist/hidden/contains)
+    "exclusion_check"    -> ((s, d) => ExclusionEngineOps.exclusionCheck(s, d)),
+    // The single-level folder scan's enqueue/exclude decision cascade
+    "folder_scan"        -> ((s, d) => FolderScanOps.folderScan(s, d)),
+    // Co-occurrence store reads: degree/neighbors/2-hop betweenness
+    "cooccur_centrality" -> ((s, d) =>
+      CooccurrenceAnalytics.cooccurCentrality(s, d)),
+    // find_clusters as threshold-subgraph components (hops ≥ diameter)
+    "cooccur_clusters"   -> ((s, d) =>
+      CooccurrenceAnalytics.cooccurClusters(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -5439,6 +5459,313 @@ object SparkEntry {
         |  WHERE parent_id IS NOT NULL GROUP BY 1) cc
         |  ON cc.parent_id = c.canonical_id
         |ORDER BY c.level, name""".stripMargin,
+    // gitattributes.rs — generated from the SAME parsed rule list as
+    // the Spark plan (patterns compiled once, shared regex literals).
+    "gitattr_overrides" -> GitattributesOps.oracleSqlFor(
+      GitattributesOps.parse(GitattributesOps.CorpusContent)),
+    // debug/log_parsing.rs — key cascades, from_json buckets, the four
+    // filter scenarios with the since-only rotated-file scope quirk.
+    "debug_logs" ->
+      """WITH lf AS (
+        |  SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'daemon'
+        |      ELSE 'mcp-server' END AS component,
+        |    event_id % 3 AS file_no, event_id AS line_no,
+        |    strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+        |    event_id % 11 AS v,
+        |    'sess-' || (user_id % 7) AS sess
+        |  FROM events),
+        |lines AS (
+        |  SELECT component, file_no, line_no,
+        |    CASE v
+        |      WHEN 0 THEN '{"timestamp":"' || iso
+        |        || '","level":"ERROR","msg":"m"}'
+        |      WHEN 1 THEN '{"time":"' || iso || '","level":"warn","msg":"m"}'
+        |      WHEN 2 THEN '{"ts":"' || iso || '","severity":30,"msg":"m"}'
+        |      WHEN 3 THEN '{"timestamp":"' || iso || '","level":15,"msg":"m"}'
+        |      WHEN 4 THEN '{"timestamp":"' || iso || '","level":5,"msg":"m"}'
+        |      WHEN 5 THEN '{"timestamp":"' || iso || '","level":45,"msg":"m"}'
+        |      WHEN 6 THEN '{"timestamp":"' || iso
+        |        || '","level":"FATAL","session_id":"' || sess || '"}'
+        |      WHEN 7 THEN '{"level":"INFO","session_id":"' || sess || '"}'
+        |      WHEN 8 THEN 'plain crash line'
+        |      WHEN 9 THEN '{"timestamp":"bad-ts","level":"DEBUG"}'
+        |      ELSE '{"timestamp":"' || iso || '","level":"NOTICE"}'
+        |      END AS line
+        |  FROM lf),
+        |parsedl AS (
+        |  SELECT *,
+        |    CASE WHEN json_valid(line) THEN coalesce(
+        |      json_extract_string(line, '$.timestamp'),
+        |      json_extract_string(line, '$.time'),
+        |      json_extract_string(line, '$.ts')) END AS ts_str,
+        |    CASE WHEN json_valid(line) THEN coalesce(
+        |      json_extract_string(line, '$.level'),
+        |      json_extract_string(line, '$.severity')) END AS raw_lv,
+        |    CASE WHEN json_valid(line)
+        |        AND json_extract_string(line, '$.level') IS NOT NULL
+        |      THEN regexp_matches(line, '"level"\s*:\s*"')
+        |      ELSE regexp_matches(line, '"severity"\s*:\s*"') END AS is_str,
+        |    CASE WHEN json_valid(line)
+        |      THEN json_extract_string(line, '$.session_id') END AS session_id
+        |  FROM lines),
+        |lv2 AS (
+        |  SELECT component, file_no, line_no, session_id,
+        |    try_strptime(ts_str, '%Y-%m-%dT%H:%M:%SZ') AS parsed_time,
+        |    CASE WHEN raw_lv IS NULL THEN NULL
+        |      WHEN is_str THEN
+        |        CASE upper(raw_lv)
+        |          WHEN 'TRACE' THEN 'trace' WHEN 'DEBUG' THEN 'debug'
+        |          WHEN 'INFO' THEN 'info' WHEN 'WARN' THEN 'warn'
+        |          WHEN 'WARNING' THEN 'warn' WHEN 'ERROR' THEN 'error'
+        |          WHEN 'ERR' THEN 'error' WHEN 'FATAL' THEN 'error' END
+        |      WHEN regexp_matches(raw_lv, '^[0-9]+$') THEN
+        |        CASE WHEN CAST(raw_lv AS BIGINT) <= 10 THEN 'trace'
+        |          WHEN CAST(raw_lv AS BIGINT) <= 20 THEN 'debug'
+        |          WHEN CAST(raw_lv AS BIGINT) <= 30 THEN 'info'
+        |          WHEN CAST(raw_lv AS BIGINT) <= 40 THEN 'warn'
+        |          ELSE 'error' END
+        |      END AS level
+        |  FROM parsedl),
+        |since_q AS (
+        |  SELECT max(ts) - INTERVAL 48 HOUR AS since_ts FROM events),
+        |scen AS (
+        |  SELECT * FROM (
+        |    SELECT lv2.*, 'all' AS scenario FROM lv2 WHERE file_no = 0
+        |    UNION ALL
+        |    SELECT lv2.*, 'errors' FROM lv2
+        |    WHERE file_no = 0 AND level IN ('error', 'warn')
+        |    UNION ALL
+        |    SELECT lv2.*, 'session' FROM lv2
+        |    WHERE file_no = 0 AND contains(session_id, 'ss-3')
+        |    UNION ALL
+        |    SELECT lv2.*, 'since' FROM lv2, since_q
+        |    WHERE parsed_time IS NULL OR parsed_time >= since_ts)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY scenario, component
+        |    ORDER BY file_no ASC, line_no DESC) AS tail_rk
+        |  FROM scen)
+        |SELECT scenario, component, file_no, line_no, level, session_id,
+        |  parsed_time IS NOT NULL AS has_time
+        |FROM ranked WHERE tail_rk <= 100
+        |ORDER BY scenario, component, file_no DESC, line_no""".stripMargin,
+    // log_pruner.rs — retention verdicts, live/dry-run summaries, the
+    // run_if_due interval gate.
+    "log_prune" ->
+      """WITH ld(name, age_hours, size) AS (VALUES
+        |  ('daemon.jsonl', 100.0, 500), ('mcp-server.jsonl', 100.0, 700),
+        |  ('workspace.log', 100.0, 300), ('daemon.jsonl.1.gz', 48.0, 1000),
+        |  ('daemon.jsonl.2.gz', 12.0, 900),
+        |  ('workspace.2026-01-24.log.gz', 72.0, 1100),
+        |  ('mcp-server.1.jsonl', 40.0, 200), ('debug.log', 35.5, 50),
+        |  ('old.log.gz', 48.0, 77)),
+        |ver AS (
+        |  SELECT *,
+        |    CASE WHEN name IN ('daemon.jsonl', 'mcp-server.jsonl',
+        |        'workspace.log') THEN 'active'
+        |      WHEN age_hours > 36.0 THEN 'delete'
+        |      ELSE 'keep' END AS verdict
+        |  FROM ld),
+        |del AS (SELECT count(*) AS n, sum(size) AS b FROM ver
+        |  WHERE verdict = 'delete')
+        |SELECT * FROM (
+        |  SELECT 'file' AS section, m.mode, v.name, v.verdict,
+        |    v.age_hours, CAST(v.size AS BIGINT) AS size
+        |  FROM ver v, (SELECT unnest(['live', 'dry_run']) AS mode) m
+        |  UNION ALL
+        |  SELECT 'summary', 'live', 'files_deleted', NULL, NULL, n FROM del
+        |  UNION ALL
+        |  SELECT 'summary', 'live', 'bytes_freed', NULL, NULL,
+        |    CAST(b AS BIGINT) FROM del
+        |  UNION ALL
+        |  SELECT 'summary', 'dry_run', 'files_deleted', NULL, NULL, 0
+        |  UNION ALL
+        |  SELECT 'summary', 'dry_run', 'candidates', NULL, NULL, n FROM del
+        |  UNION ALL
+        |  SELECT 'due', g.gate, NULL,
+        |    CASE WHEN g.age IS NOT NULL AND g.age < 12.0
+        |      THEN 'skip' ELSE 'run' END,
+        |    g.age, NULL
+        |  FROM (VALUES ('never', CAST(NULL AS DOUBLE)), ('recent', 3.0),
+        |    ('stale', 20.0)) g(gate, age))
+        |ORDER BY section, mode, name""".stripMargin,
+    // branch_discovery/scanner.rs — classify, counters, the totalized
+    // per-base_point membership update, parent inference.
+    "branch_discovery" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS file_id, (doc_id // 20) AS idx,
+        |    ['src','lib','docs','tests'][((doc_id // 20) % 4) + 1]
+        |      || '/f' || (doc_id // 20) || '.'
+        |      || ['rs','md','py','ts','go'][((doc_id // 20) % 5) + 1]
+        |      AS relative_path
+        |  FROM documents WHERE source = 'src3'),
+        |kb AS (
+        |  SELECT *,
+        |    CASE WHEN idx % 13 = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_concat(
+        |        [CASE WHEN idx % 10 < 6 THEN 'main'
+        |          ELSE 'b' || (idx % 4) END],
+        |        CASE WHEN idx % 5 = 0 THEN ['dev']
+        |          ELSE CAST([] AS VARCHAR[]) END) END AS base_branches
+        |  FROM tk),
+        |kn AS (
+        |  SELECT file_id, relative_path, 'h' || idx AS file_hash,
+        |    'bp-' || (idx % 6) AS base_point, idx,
+        |    CASE WHEN idx % 11 = 0
+        |      THEN list_distinct(list_append(base_branches, 'feature-x'))
+        |      ELSE base_branches END AS branches
+        |  FROM kb),
+        |fs AS (
+        |  SELECT relative_path,
+        |    CASE WHEN idx % 7 = 1 THEN 'hX' || idx
+        |      ELSE 'h' || idx END AS file_hash
+        |  FROM kn
+        |  UNION ALL
+        |  SELECT 'new/g' || idx || '.rs', 'hN' || idx
+        |  FROM kn WHERE idx % 5 = 0),
+        |j AS (
+        |  SELECT fs.relative_path, fs.file_hash,
+        |    kn.relative_path IS NOT NULL AS matched,
+        |    coalesce(list_contains(kn.branches, 'feature-x'), false)
+        |      AS has_branch,
+        |    kn.base_point, kn.branches
+        |  FROM fs LEFT JOIN kn ON fs.relative_path = kn.relative_path
+        |    AND fs.file_hash = kn.file_hash),
+        |par AS (
+        |  SELECT branch FROM (
+        |    SELECT unnest(branches) AS branch FROM j WHERE matched)
+        |  GROUP BY branch ORDER BY count(*) DESC, branch LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 'classify' AS section, relative_path AS key,
+        |    CASE WHEN NOT matched THEN 'novel'
+        |      WHEN has_branch THEN 'already' ELSE 'shared' END AS value
+        |  FROM j
+        |  UNION ALL
+        |  SELECT 'count', 'shared_count',
+        |    CAST(CAST(sum(CASE WHEN matched AND NOT has_branch
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS VARCHAR) FROM j
+        |  UNION ALL
+        |  SELECT 'count', 'novel_count',
+        |    CAST(CAST(sum(CASE WHEN NOT matched THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS VARCHAR) FROM j
+        |  UNION ALL
+        |  SELECT 'qdrant', base_point,
+        |    unnest(list_sort(list_distinct(
+        |      list_append(branches, 'feature-x'))))
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY base_point
+        |      ORDER BY relative_path) AS rk
+        |    FROM j WHERE matched AND NOT has_branch)
+        |  WHERE rk = 1 AND base_point IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'parent', 'parent_branch', branch FROM par)
+        |ORDER BY section, key, value""".stripMargin,
+    // data/queries/queue.rs — health thresholds, reason strings,
+    // worst-of, avg processing ms.
+    "status_health" -> statusHealthOracle,
+    // patterns/exclusion — generated from the SAME registered pattern
+    // list (the contains-bucket quirk chain).
+    "exclusion_check" -> graft.operators.ExclusionEngineOps.oracleSql,
+    // strategies/processing/folder/scan.rs — generated from the same
+    // gate set (ignore regexes, engine chain, allowlist).
+    "folder_scan" -> folderScanOracle,
+    // cooccurrence_schema/operations.rs — degree, neighbors (max-
+    // degree probe), 2-hop betweenness with the rowid-pair dedup
+    // totalized on the canonical key.
+    "cooccur_centrality" ->
+      s"""$tagStoreCtes,
+        |sc AS (
+        |  SELECT x.tenant_id, x.tag AS symbol_a, y.tag AS symbol_b,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM ctags x JOIN ctags y
+        |    ON x.tenant_id = y.tenant_id AND x.doc_id = y.doc_id
+        |    AND x.tag < y.tag
+        |  GROUP BY 1, 2, 3),
+        |ew AS (
+        |  SELECT tenant_id, symbol, CAST(sum(w) AS BIGINT) AS tw FROM (
+        |    SELECT tenant_id, symbol_a AS symbol, w FROM sc
+        |    UNION ALL SELECT tenant_id, symbol_b, w FROM sc)
+        |  GROUP BY 1, 2),
+        |degm AS (
+        |  SELECT *, max(tw) OVER (PARTITION BY tenant_id) AS mx FROM ew),
+        |probe AS (
+        |  SELECT tenant_id AS p_tenant, symbol AS probe FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY tenant_id
+        |      ORDER BY tw DESC, symbol) AS rk FROM ew)
+        |  WHERE rk = 1),
+        |thr AS (SELECT * FROM sc WHERE w >= 3),
+        |shared AS (
+        |  SELECT e1.tenant_id,
+        |    CASE WHEN e1.symbol_a = e2.symbol_a THEN e1.symbol_a
+        |      WHEN e1.symbol_a = e2.symbol_b THEN e1.symbol_a
+        |      WHEN e1.symbol_b = e2.symbol_a THEN e1.symbol_b
+        |      ELSE e1.symbol_b END AS symbol
+        |  FROM thr e1 JOIN thr e2 ON e1.tenant_id = e2.tenant_id
+        |    AND (e1.symbol_a = e2.symbol_a OR e1.symbol_a = e2.symbol_b
+        |      OR e1.symbol_b = e2.symbol_a OR e1.symbol_b = e2.symbol_b)
+        |    AND (e1.symbol_a < e2.symbol_a
+        |      OR (e1.symbol_a = e2.symbol_a AND e1.symbol_b < e2.symbol_b))),
+        |btw AS (
+        |  SELECT tenant_id, symbol, CAST(count(*) AS BIGINT) AS pc
+        |  FROM shared GROUP BY 1, 2),
+        |btwm AS (
+        |  SELECT *, max(pc) OVER (PARTITION BY tenant_id) AS mx FROM btw)
+        |SELECT * FROM (
+        |  SELECT 'degree' AS section, tenant_id, symbol,
+        |    CAST(NULL AS VARCHAR) AS other,
+        |    round(tw::DOUBLE / mx, 6) AS score, tw AS weight
+        |  FROM degm
+        |  UNION ALL
+        |  SELECT 'neighbors', sc.tenant_id, p.probe,
+        |    CASE WHEN sc.symbol_a = p.probe THEN sc.symbol_b
+        |      ELSE sc.symbol_a END,
+        |    NULL, sc.w
+        |  FROM sc JOIN probe p ON sc.tenant_id = p.p_tenant
+        |  WHERE (sc.symbol_a = p.probe OR sc.symbol_b = p.probe)
+        |    AND sc.w >= 3
+        |  UNION ALL
+        |  SELECT 'betweenness', tenant_id, symbol, NULL,
+        |    round(pc::DOUBLE / mx, 6), pc
+        |  FROM btwm)
+        |ORDER BY section, tenant_id, symbol, other""".stripMargin,
+    // find_clusters under hops ≥ diameter: threshold-subgraph
+    // components (≥ 2 symbols), min-symbol cluster ids.
+    "cooccur_clusters" ->
+      s"""$tagStoreCtes,
+        |sc AS (
+        |  SELECT x.tenant_id, x.tag AS symbol_a, y.tag AS symbol_b,
+        |    count(*) AS w
+        |  FROM ctags x JOIN ctags y
+        |    ON x.tenant_id = y.tenant_id AND x.doc_id = y.doc_id
+        |    AND x.tag < y.tag
+        |  GROUP BY 1, 2, 3),
+        |thr AS (SELECT * FROM sc WHERE w >= 3),
+        |bidir AS (SELECT DISTINCT a, b FROM (
+        |  SELECT tenant_id || '|' || symbol_a AS a,
+        |    tenant_id || '|' || symbol_b AS b FROM thr
+        |  UNION ALL
+        |  SELECT tenant_id || '|' || symbol_b,
+        |    tenant_id || '|' || symbol_a FROM thr)),
+        |lbl AS (
+        |  SELECT t AS node, min(l) AS label FROM (
+        |    WITH RECURSIVE reach AS (
+        |      SELECT DISTINCT a AS t, a AS l FROM bidir
+        |      UNION
+        |      SELECT e.a AS t, r.l FROM reach r JOIN bidir e ON e.b = r.t)
+        |    SELECT t, l FROM reach)
+        |  GROUP BY t),
+        |rows0 AS (
+        |  SELECT string_split(node, '|')[1] AS tenant_id,
+        |    string_split(node, '|')[2] AS symbol,
+        |    string_split(label, '|')[2] AS cluster_id
+        |  FROM lbl),
+        |sized AS (
+        |  SELECT *, count(*) OVER (PARTITION BY tenant_id, cluster_id)
+        |    AS sz
+        |  FROM rows0)
+        |SELECT tenant_id, cluster_id, symbol,
+        |  CAST(3 AS BIGINT) AS min_weight
+        |FROM sized WHERE sz >= 2
+        |ORDER BY tenant_id, cluster_id, symbol""".stripMargin,
     // tenants.rs:85 resolve_tenant_entries — first tier with any
     // matches decides; unique resolves, several is ambiguous.
     "tenant_resolve" ->
@@ -5852,6 +6179,202 @@ object SparkEntry {
     * token table as keywords with tf-saturation scores, per-doc top-5
     * concept tags + path tags, and the tf≥2 canonical axis. Ends in
     * CTEs `kw`, `tags`, `canon`. */
+  /** The folder_scan oracle, generated from the same gates the Spark
+    * plan composes: the compiled Gate-0 ignore regexes, the exclusion
+    * engine's contains chain (via the shared pattern list), the
+    * project allowlist, and the classifier values for the enqueued
+    * extensions. */
+  private def folderScanOracle: String = {
+    import graft.operators.{ExclusionEngineOps, IgnoreRules, FolderScanOps,
+      AllowedExtensionsOps}
+    val gate0 = IgnoreRules.compileLines(FolderScanOps.IgnoreLines)
+    def gate0Sql(isDirLit: String) = gate0.map { p =>
+      val base = s"regexp_matches(name, '${p.regex}')"
+      if (p.dirOnly) s"($base AND $isDirLit)" else base
+    }.mkString("(", " OR ", ")")
+    val containsChain = ExclusionEngineOps.Patterns
+      .map { case (pat, _) => s"contains(relpath, '${pat.replace("'", "''")}')" }
+      .mkString(" OR ")
+    val hidden =
+      """len(list_filter(string_split(relpath, '/'),
+        |      x -> x <> '' AND x <> '.github' AND starts_with(x, '.'))) > 0"""
+        .stripMargin
+    val github =
+      """(starts_with(relpath, '.github/') OR contains(relpath, '/.github/')
+        |      OR relpath = '.github')""".stripMargin
+    val engineExcl =
+      s"(NOT $github AND ($hidden OR ($containsChain)))"
+    val projExts = AllowedExtensionsOps.projectExtensions
+      .map(e => s"'${e.stripPrefix(".")}'").mkString(", ")
+    val rows = FolderScanOps.scanEntriesSeq.map { case (r, n, d, g, sl, a, sz) =>
+      s"('$r', '$n', $d, $g, $sl, $a, $sz)"
+    }.mkString(",\n  ")
+    s"""WITH fsx(root, name, is_dir, has_git, is_symlink, mtime_age_hours,
+       |  size_bytes) AS (VALUES
+       |  $rows),
+       |ex AS (
+       |  SELECT *, name AS relpath,
+       |    CASE WHEN regexp_matches(lower(name), '^.+\\.[^.]+$$')
+       |      THEN regexp_extract(lower(name), '\\.([^.]+)$$', 1) END AS ext
+       |  FROM fsx),
+       |v AS (
+       |  SELECT root, name, is_dir,
+       |    CASE
+       |      WHEN is_symlink THEN 'skipped_symlink'
+       |      WHEN is_dir THEN
+       |        CASE
+       |          WHEN ${gate0Sql("true")} THEN 'excluded_ignore'
+       |          WHEN name <> '.github' AND starts_with(name, '.')
+       |            THEN 'skipped_dir'
+       |          WHEN name <> '.github' AND (${ExclusionEngineOps.Patterns
+                  .map(p => s"contains(name || '/placeholder.txt', " +
+                    s"'${p._1.replace("'", "''")}')")
+                  .mkString(" OR ")})
+       |            THEN 'skipped_dir'
+       |          WHEN has_git THEN 'enqueue_tenant_add'
+       |          ELSE 'enqueue_folder_scan' END
+       |      ELSE
+       |        CASE
+       |          WHEN ${gate0Sql("false")} THEN 'excluded_ignore'
+       |          WHEN $engineExcl THEN 'excluded_static'
+       |          WHEN ext IS NULL OR ext NOT IN ($projExts)
+       |            THEN 'excluded_extension'
+       |          WHEN mtime_age_hours >= 24.0 THEN 'pruned_mtime'
+       |          WHEN size_bytes > ${100L * 1024 * 1024}
+       |            THEN 'excluded_large'
+       |          ELSE 'enqueue_file_add' END
+       |      END AS verdict,
+       |    ext, size_bytes
+       |  FROM ex)
+       |SELECT * FROM (
+       |  SELECT root, name, is_dir, verdict,
+       |    CASE WHEN verdict = 'enqueue_file_add' THEN
+       |      CASE ext WHEN 'rs' THEN 'code' WHEN 'md' THEN 'text'
+       |        WHEN 'py' THEN 'code' END END AS file_type,
+       |    CASE WHEN verdict = 'enqueue_file_add' THEN size_bytes END
+       |      AS size_bytes
+       |  FROM v
+       |  UNION ALL
+       |  SELECT root, '__counters__', false,
+       |    'q=' || CAST(sum(CASE WHEN verdict = 'enqueue_file_add'
+       |        THEN 1 ELSE 0 END) AS BIGINT)
+       |      || ',d=' || CAST(sum(CASE WHEN verdict IN
+       |        ('enqueue_folder_scan', 'enqueue_tenant_add')
+       |        THEN 1 ELSE 0 END) AS BIGINT)
+       |      || ',x=' || CAST(sum(CASE WHEN verdict IN ('excluded_ignore',
+       |        'excluded_static', 'excluded_extension', 'pruned_mtime',
+       |        'excluded_large') THEN 1 ELSE 0 END) AS BIGINT),
+       |    NULL, NULL
+       |  FROM v GROUP BY root)
+       |ORDER BY root, name""".stripMargin
+  }
+
+  /** The status_health oracle: the health()/health_reason() CASE
+    * chains applied to both the fixture axis and the per-collection
+    * unified-queue stats, plus worst-of and the avg-processing row.
+    * Built from the unified-queue and perf-timings CTE bodies. */
+  private def statusHealthOracle: String = {
+    val lvl =
+      """CASE WHEN pending + in_progress + failed = 0 THEN 'healthy'
+        |  WHEN coalesce(age_hours, 0.0) > 24.0
+        |    OR (CASE WHEN pending + in_progress + failed > 0
+        |        THEN failed::DOUBLE / (pending + in_progress + failed)
+        |        ELSE 0.0 END) > 0.1 THEN 'unhealthy'
+        |  WHEN failed > 0 OR coalesce(age_hours, 0.0) > 1.0
+        |    THEN 'degraded'
+        |  ELSE 'healthy' END""".stripMargin
+    val reason =
+      """CASE WHEN pending + in_progress + failed = 0 THEN NULL ELSE
+        |  nullif(concat_ws(', ',
+        |    CASE WHEN coalesce(age_hours, 0.0) > 24.0 THEN
+        |      CASE WHEN CAST(floor(coalesce(age_hours, 0.0) / 24.0)
+        |          AS BIGINT) > 0
+        |        THEN 'oldest pending: ' ||
+        |          CAST(floor(coalesce(age_hours, 0.0) / 24.0) AS BIGINT) ||
+        |          'd ' ||
+        |          CAST(floor(coalesce(age_hours, 0.0) % 24.0) AS BIGINT) ||
+        |          'h (>24h)'
+        |        ELSE 'oldest pending: ' ||
+        |          CAST(floor(coalesce(age_hours, 0.0) % 24.0) AS BIGINT) ||
+        |          'h (>24h)' END
+        |      WHEN coalesce(age_hours, 0.0) > 1.0
+        |        THEN 'oldest pending: ' ||
+        |          CAST(floor(coalesce(age_hours, 0.0)) AS BIGINT) ||
+        |          'h (>1h)' END,
+        |    CASE WHEN (CASE WHEN pending + in_progress + failed > 0
+        |          THEN failed::DOUBLE / (pending + in_progress + failed)
+        |          ELSE 0.0 END) > 0.1
+        |        THEN 'failed: ' || CAST(round(
+        |          (failed::DOUBLE / (pending + in_progress + failed))
+        |            * 100) AS BIGINT) || '% (>10%)'
+        |      WHEN failed > 0 THEN failed || ' failed' END), '') END"""
+        .stripMargin
+    val uqBody = unifiedQueueCte.stripPrefix("WITH ")
+    val tBody = perfTimingsCtes.stripPrefix("WITH ")
+    s"""WITH $uqBody,
+       |$tBody,
+       |fixture(name, pending, in_progress, failed, age_hours) AS (VALUES
+       |  ('empty', 0, 0, 0, CAST(NULL AS DOUBLE)), ('clean', 5, 1, 0, 0.5),
+       |  ('aged', 3, 0, 0, 2.2), ('failed_some', 10, 0, 1, 0.3),
+       |  ('old_days', 2, 0, 0, 50.0), ('high_ratio', 1, 0, 5, 0.2),
+       |  ('both', 1, 0, 5, 30.0)),
+       |nowh AS (SELECT max(created_at) AS now_ts FROM uq),
+       |coll AS (
+       |  SELECT collection AS name,
+       |    CAST(sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS pending,
+       |    CAST(sum(CASE WHEN status = 'in_progress' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS in_progress,
+       |    CAST(sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS failed,
+       |    min(CASE WHEN status = 'pending' THEN created_at END)
+       |      AS oldest_pending
+       |  FROM uq GROUP BY 1),
+       |collh AS (
+       |  SELECT name, pending, in_progress, failed,
+       |    CASE WHEN oldest_pending IS NOT NULL THEN
+       |      (CAST(floor(epoch(now_ts)) AS BIGINT)
+       |        - CAST(floor(epoch(oldest_pending)) AS BIGINT))::DOUBLE
+       |        / 3600.0 END AS age_hours
+       |  FROM coll, nowh),
+       |fixr AS (
+       |  SELECT 'fixture' AS section, name,
+       |    CAST(pending AS BIGINT) AS pending,
+       |    CAST(in_progress AS BIGINT) AS in_progress,
+       |    CAST(failed AS BIGINT) AS failed,
+       |    round(coalesce(age_hours, 0.0), 4) AS age_hours,
+       |    $lvl AS level, $reason AS reason,
+       |    CAST(NULL AS DOUBLE) AS avg_ms
+       |  FROM fixture),
+       |colr AS (
+       |  SELECT 'collection' AS section, name, pending, in_progress, failed,
+       |    round(coalesce(age_hours, 0.0), 4) AS age_hours,
+       |    $lvl AS level, $reason AS reason,
+       |    CAST(NULL AS DOUBLE) AS avg_ms
+       |  FROM collh),
+       |overall AS (
+       |  SELECT 'overall' AS section, 'overall' AS name,
+       |    CAST(0 AS BIGINT) AS pending, CAST(0 AS BIGINT) AS in_progress,
+       |    CAST(0 AS BIGINT) AS failed, 0.0 AS age_hours,
+       |    CASE max(CASE level WHEN 'healthy' THEN 0
+       |      WHEN 'degraded' THEN 1 ELSE 2 END)
+       |      WHEN 0 THEN 'healthy' WHEN 1 THEN 'degraded'
+       |      ELSE 'unhealthy' END AS level,
+       |    CAST(NULL AS VARCHAR) AS reason, CAST(NULL AS DOUBLE) AS avg_ms
+       |  FROM colr),
+       |avgr AS (
+       |  SELECT 'avg' AS section, 'avg_processing_ms' AS name,
+       |    CAST(0 AS BIGINT) AS pending, CAST(0 AS BIGINT) AS in_progress,
+       |    CAST(0 AS BIGINT) AS failed, 0.0 AS age_hours,
+       |    CAST(NULL AS VARCHAR) AS level, CAST(NULL AS VARCHAR) AS reason,
+       |    round(avg(total_ms), 4) AS avg_ms
+       |  FROM (SELECT queue_id, sum(duration_ms) AS total_ms
+       |    FROM t GROUP BY 1))
+       |SELECT * FROM fixr UNION ALL SELECT * FROM colr
+       |UNION ALL SELECT * FROM overall UNION ALL SELECT * FROM avgr
+       |ORDER BY section, name""".stripMargin
+  }
+
   /** The tracked_search oracle, generated from the SAME scenario list
     * the Spark side runs (TrackedFilesQueries.Scenarios) so filter
     * arms and glob→regex translations can never drift. Plain string
