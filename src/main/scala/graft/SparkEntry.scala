@@ -259,6 +259,11 @@ object SparkEntry {
     // find_clusters as threshold-subgraph components (hops ≥ diameter)
     "cooccur_clusters"   -> ((s, d) =>
       CooccurrenceAnalytics.cooccurClusters(s, d)),
+    // Canonical queue payloads: stableStringify + truthiness builders
+    "canonical_payloads" -> ((s, d) =>
+      CanonicalPayloads.canonicalPayloads(s, d)),
+    // Queue-depth throttling: load levels + the keep-1-in-N skip gate
+    "queue_throttle"     -> ((s, d) => QueueThrottle.queueThrottle(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -5766,6 +5771,114 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS min_weight
         |FROM sized WHERE sz >= 2
         |ORDER BY tenant_id, cluster_id, symbol""".stripMargin,
+    // canonicalize/{stable_stringify,payload_builders}.rs — the flat
+    // ASCII corpus slice reconstructed byte-for-byte: sorted-key
+    // concatenation, JSON.stringify escaping, truthiness arms, and
+    // the sha256[..32] idempotency key.
+    "canonical_payloads" ->
+      """WITH d AS (
+        |  SELECT doc_id, source AS tenant_id FROM documents),
+        |rp AS (
+        |  SELECT doc_id AS id, tenant_id,
+        |    ['add','update','remove'][(doc_id % 3) + 1] AS action,
+        |    'rule-' || (doc_id % 50) AS label,
+        |    CASE doc_id % 6
+        |      WHEN 2 THEN 'say "hi" to ' || tenant_id
+        |      WHEN 3 THEN 'line1' || chr(10) || 'line2 \ ' || (doc_id % 9)
+        |      WHEN 4 THEN 'plain content ' || (doc_id % 40)
+        |      WHEN 5 THEN 'plain content ' || (doc_id % 40)
+        |      END AS content,
+        |    CASE WHEN doc_id % 4 = 0 THEN NULL
+        |      WHEN doc_id % 4 = 1 THEN 'project'
+        |      ELSE 'global' END AS scope,
+        |    CASE WHEN doc_id % 4 = 1 THEN tenant_id END AS project_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN 'Title ' || (doc_id % 7) END
+        |      AS title,
+        |    CASE WHEN doc_id % 3 = 0 THEN '[]'
+        |      WHEN doc_id % 3 = 1
+        |        THEN '["tooling","w' || (doc_id % 4) || '"]' END AS tags,
+        |    CASE WHEN doc_id % 7 = 0 THEN 0
+        |      WHEN doc_id % 7 = 1 THEN doc_id % 10 END AS priority
+        |  FROM d),
+        |esc AS (
+        |  SELECT *, CASE WHEN content IS NOT NULL THEN
+        |    replace(replace(replace(content, '\', '\\'), '"', '\"'),
+        |      chr(10), '\n') END AS content_esc
+        |  FROM rp),
+        |rj AS (
+        |  SELECT 'rule' AS kind, id, tenant_id,
+        |    '{' || concat_ws(',',
+        |      '"action":"' || action || '"',
+        |      CASE WHEN content_esc IS NOT NULL
+        |        THEN '"content":"' || content_esc || '"' END,
+        |      '"label":"' || label || '"',
+        |      CASE WHEN priority IS NOT NULL
+        |        THEN '"priority":' || priority END,
+        |      CASE WHEN project_id IS NOT NULL
+        |        THEN '"project_id":"' || project_id || '"' END,
+        |      CASE WHEN scope IS NOT NULL
+        |        THEN '"scope":"' || scope || '"' END,
+        |      '"source_type":"rule"',
+        |      CASE WHEN tags IS NOT NULL THEN '"tags":' || tags END,
+        |      CASE WHEN title IS NOT NULL
+        |        THEN '"title":"' || title || '"' END) || '}' AS payload_json
+        |  FROM esc),
+        |sj AS (
+        |  SELECT 'store' AS kind, doc_id AS id, tenant_id,
+        |    '{' ||
+        |    '"content":"content \"q\" ' || (doc_id % 20) || '",' ||
+        |    '"document_id":"' || lpad(CAST(doc_id % 997 AS VARCHAR), 8, '0')
+        |      || '",' ||
+        |    '"library_name":"lib-' || (doc_id % 5) || '",' ||
+        |    '"metadata":' || CASE WHEN doc_id % 2 = 0 THEN '{}'
+        |      ELSE '{"alpha":"av","zeta":"zv"}' END || ',' ||
+        |    '"source_type":"user_input"' || '}' AS payload_json
+        |  FROM d WHERE doc_id % 3 = 0),
+        |allp AS (
+        |  SELECT kind, id, tenant_id, payload_json,
+        |    substring(sha256('text' || '|' || 'add' || '|' || tenant_id
+        |      || '|' || 'rules' || '|' || payload_json), 1, 32)
+        |      AS idempotency_key
+        |  FROM rj
+        |  UNION ALL
+        |  SELECT kind, id, tenant_id, payload_json,
+        |    substring(sha256('text' || '|' || 'add' || '|' || tenant_id
+        |      || '|' || 'libraries' || '|' || payload_json), 1, 32)
+        |  FROM sj)
+        |SELECT * FROM allp ORDER BY kind, id""".stripMargin,
+    // watching_queue/throttle.rs — depth gauge, load levels, the
+    // keep-1-in-N skip gate and the F-045 reconcile flag.
+    "queue_throttle" ->
+      s"""$unifiedQueueCte,
+        |live AS (SELECT * FROM uq WHERE status <> 'done'),
+        |cnt AS (SELECT unnest(generate_series(0, 19)) AS counter),
+        |lv AS (SELECT unnest(['normal', 'high', 'critical']) AS level),
+        |vt AS (
+        |  SELECT 'throttle' AS section, CAST(counter AS VARCHAR) AS key,
+        |    CAST(counter AS BIGINT) AS n, level,
+        |    CASE level WHEN 'normal' THEN false
+        |      WHEN 'high' THEN counter % 2 <> 0
+        |      ELSE counter % 4 <> 0 END AS throttled
+        |  FROM cnt, lv)
+        |SELECT * FROM (
+        |  SELECT 'depth' AS section, '__total__' AS key,
+        |    count(*) AS n,
+        |    CASE WHEN count(*) >= 5000 THEN 'critical'
+        |      WHEN count(*) >= 1000 THEN 'high' ELSE 'normal' END AS level,
+        |    false AS throttled,
+        |    false AS reconcile_flag
+        |  FROM live
+        |  UNION ALL
+        |  SELECT 'depth', collection, count(*),
+        |    CASE WHEN count(*) >= 5000 THEN 'critical'
+        |      WHEN count(*) >= 1000 THEN 'high' ELSE 'normal' END,
+        |    false, false
+        |  FROM live GROUP BY collection
+        |  UNION ALL
+        |  SELECT section, key, n, level, throttled,
+        |    level = 'critical' AND throttled
+        |  FROM vt)
+        |ORDER BY section, level, n, key""".stripMargin,
     // tenants.rs:85 resolve_tenant_entries — first tier with any
     // matches decides; unique resolves, several is ambiguous.
     "tenant_resolve" ->
