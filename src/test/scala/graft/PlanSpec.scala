@@ -299,4 +299,46 @@ class PlanSpec extends SparkSpec {
         p.take(2000))
     }
   }
+
+  test("queue browser: every lookup map broadcasts; no cartesian beyond the 1-row anchor") {
+    val p = plan("tui_queue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3,
+      s"names/kinds/roots maps must broadcast, got $broadcasts:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "the config-sized registry maps must never shuffle-join")
+  }
+
+  test("tracked search prunes the documents scan to its two source columns") {
+    val p = plan("tracked_search")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("branch discovery joins scan and tracked on the (path, hash) key") {
+    val p = plan("branch_discovery")
+    assert(!p.contains("CartesianProduct"), "classification must equi-join")
+  }
+
+  test("debug-log scenarios reuse one checkpointed parse — no shuffle joins") {
+    val p = plan("debug_logs")
+    assert(!p.contains("SortMergeJoin"),
+      "the since anchor is a broadcast 1-row frame:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("co-occurrence betweenness pairs equi-join on tenant, never cross") {
+    val p = plan("cooccur_centrality")
+    assert(!p.contains("CartesianProduct"),
+      "the shared-endpoint pair join must keep its tenant equi-key")
+  }
+
+  test("canonical payload building is a join-free scalar pass") {
+    val p = plan("canonical_payloads")
+    assert(!p.contains("Join"),
+      "stableStringify is a map-side UDF — no join belongs here:\n" +
+        p.take(2000))
+  }
 }
