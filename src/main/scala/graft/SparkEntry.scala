@@ -264,6 +264,8 @@ object SparkEntry {
       CanonicalPayloads.canonicalPayloads(s, d)),
     // Queue-depth throttling: load levels + the keep-1-in-N skip gate
     "queue_throttle"     -> ((s, d) => QueueThrottle.queueThrottle(s, d)),
+    // Bounded-cardinality metric labels: top-cap allow-set + other
+    "metric_labels"      -> ((s, d) => MetricLabels.metricLabels(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -5879,6 +5881,9 @@ object SparkEntry {
         |    level = 'critical' AND throttled
         |  FROM vt)
         |ORDER BY section, level, n, key""".stripMargin,
+    // monitoring/labels/cardinality.rs — bounded labels generated from
+    // the shared allow-set + extension map.
+    "metric_labels" -> metricLabelsOracle,
     // tenants.rs:85 resolve_tenant_entries — first tier with any
     // matches decides; unique resolves, several is ambiguous.
     "tenant_resolve" ->
@@ -6292,6 +6297,51 @@ object SparkEntry {
     * token table as keywords with tf-saturation scores, per-doc top-5
     * concept tags + path tags, and the tf≥2 canonical axis. Ends in
     * CTEs `kw`, `tags`, `canon`. */
+  /** The metric_labels oracle, generated from the SAME bundled
+    * language list and extension map (cardinality.rs mirrors). */
+  private def metricLabelsOracle: String = {
+    import graft.operators.MetricLabels
+    val allow = MetricLabels.BundledLanguages.take(MetricLabels.DefaultCap)
+      .map(l => s"'$l'").mkString(", ")
+    val extVals = MetricLabels.ExtensionToLanguage
+      .map { case (k, v) => s"('$k', '$v')" }.mkString(",\n  ")
+    ("WITH ev AS (\n" +
+      "  SELECT event_id,\n" +
+      "    ['python','rust','c-sharp','zig','vala','cobol','']" +
+      "[(event_id % 7) + 1] AS raw_language,\n" +
+      "    ['a/b/main.PY','src/app.rs','x/y.Ts','pkg/mod.zig'," +
+      "'doc/readme.MD','data/file.xyz','Makefile','deep/path/q.sql']" +
+      "[(event_id % 8) + 1] AS path\n" +
+      "  FROM events),\n" +
+      "em(ext_key, ext_lang) AS (VALUES\n  " + extVals + "),\n" +
+      "b AS (\n" +
+      "  SELECT *,\n" +
+      "    CASE WHEN raw_language IN (" + allow + ")\n" +
+      "      THEN raw_language ELSE 'other' END AS bounded_language,\n" +
+      "    lower(CASE WHEN regexp_matches(coalesce(list_filter(\n" +
+      "        string_split(path, '/'), x -> x <> '')[-1], path),\n" +
+      "        '^.+\\.[^.]+$')\n" +
+      "      THEN regexp_extract(coalesce(list_filter(\n" +
+      "        string_split(path, '/'), x -> x <> '')[-1], path),\n" +
+      "        '\\.([^.]+)$', 1) END) AS ext_lc\n" +
+      "  FROM ev),\n" +
+      "b2 AS (\n" +
+      "  SELECT b.*,\n" +
+      "    CASE WHEN em.ext_lang IN (" + allow + ")\n" +
+      "      THEN em.ext_lang ELSE 'other' END AS bounded_file_type\n" +
+      "  FROM b LEFT JOIN em ON b.ext_lc = em.ext_key)\n" +
+      "SELECT * FROM (\n" +
+      "  SELECT 'event' AS section, event_id, raw_language, path,\n" +
+      "    bounded_language, bounded_file_type, CAST(NULL AS BIGINT) AS n\n" +
+      "  FROM b2\n" +
+      "  UNION ALL\n" +
+      "  SELECT 'series', NULL, label, v, NULL, NULL, count(*)\n" +
+      "  FROM (SELECT 'language' AS label, bounded_language AS v FROM b2\n" +
+      "    UNION ALL SELECT 'file_type', bounded_file_type FROM b2)\n" +
+      "  GROUP BY label, v)\n" +
+      "ORDER BY section, event_id, raw_language, path")
+  }
+
   /** The folder_scan oracle, generated from the same gates the Spark
     * plan composes: the compiled Gate-0 ignore regexes, the exclusion
     * engine's contains chain (via the shared pattern list), the
