@@ -266,6 +266,8 @@ object SparkEntry {
     "queue_throttle"     -> ((s, d) => QueueThrottle.queueThrottle(s, d)),
     // Bounded-cardinality metric labels: top-cap allow-set + other
     "metric_labels"      -> ((s, d) => MetricLabels.metricLabels(s, d)),
+    // Stable ids: normalized paths, branch-scoped point ids, content ids
+    "document_ids"       -> ((s, d) => DocumentIds.documentIds(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -5884,6 +5886,32 @@ object SparkEntry {
     // monitoring/labels/cardinality.rs — bounded labels generated from
     // the shared allow-set + extension map.
     "metric_labels" -> metricLabelsOracle,
+    // common/document_id.rs — path normalization + the sha256 ids;
+    // the UUIDv5 document_id is KAT-gated (DuckDB lacks sha1).
+    "document_ids" ->
+      """WITH ids AS (
+        |  SELECT source AS tenant_id, doc_id,
+        |    CASE WHEN (doc_id // 20) % 5 = 0
+        |        THEN 'C:\w\f' || (doc_id // 20) || '.rs'
+        |      WHEN (doc_id // 20) % 5 = 1
+        |        THEN '/a/b/f' || (doc_id // 20) || '.md/'
+        |      ELSE 'src/f' || (doc_id // 20) || '.py' END AS file_path,
+        |    substring(text, 1, 40) AS content
+        |  FROM documents),
+        |x AS (
+        |  SELECT tenant_id, branch, chunk_index, file_path, content,
+        |    regexp_replace(regexp_replace(file_path, '\\', '/', 'g'),
+        |      '/+$', '') AS normalized_path
+        |  FROM ids,
+        |    (SELECT 'b' || unnest([0, 1]) AS branch),
+        |    (SELECT CAST(unnest([0, 1]) AS BIGINT) AS chunk_index))
+        |SELECT tenant_id, branch, chunk_index, file_path, normalized_path,
+        |  substring(sha256(tenant_id || '|' || branch || '|'
+        |    || normalized_path || '|' || chunk_index), 1, 32) AS point_id,
+        |  substring(sha256(tenant_id || '|' || content), 1, 32)
+        |    AS content_doc_id
+        |FROM x
+        |ORDER BY tenant_id, file_path, branch, chunk_index""".stripMargin,
     // tenants.rs:85 resolve_tenant_entries — first tier with any
     // matches decides; unique resolves, several is ambiguous.
     "tenant_resolve" ->
