@@ -268,6 +268,8 @@ object SparkEntry {
     "metric_labels"      -> ((s, d) => MetricLabels.metricLabels(s, d)),
     // Stable ids: normalized paths, branch-scoped point ids, content ids
     "document_ids"       -> ((s, d) => DocumentIds.documentIds(s, d)),
+    // Transient-failure resurrection: count gate + exhausted promotion
+    "queue_resurrect"    -> ((s, d) => QueueResurrect.queueResurrect(s, d)),
   )
 
   /** Shared oracle CTE prefix: nlp.rs tokenizer + tf/df/N stats. */
@@ -5912,6 +5914,63 @@ object SparkEntry {
         |    AS content_doc_id
         |FROM x
         |ORDER BY tenant_id, file_path, branch, chunk_index""".stripMargin,
+    // queue_operations/update.rs:56 resurrect_failed_transient — the
+    // transient-prefix gate, count-vs-max verdicts, exhausted
+    // promotion, and counters.
+    "queue_resurrect" ->
+      s"""$tuiCtes,
+        |fr AS (
+        |  SELECT uq2.queue_id, uq2.tenant_id, uq2.status,
+        |    CAST(substring(uq2.queue_id, 3) AS BIGINT) AS eid
+        |  FROM uq2 WHERE uq2.status = 'failed'),
+        |fe AS (
+        |  SELECT queue_id, tenant_id,
+        |    CASE eid % 5
+        |      WHEN 0 THEN '[transient_network] conn reset'
+        |      WHEN 1 THEN '[transient_timeout] slow io'
+        |      WHEN 2 THEN '[permanent_data] parse error'
+        |      WHEN 3 THEN 'plain failure text'
+        |      ELSE '[transient_rate_limit] backoff' END AS error_message,
+        |    CASE WHEN eid % 9 < 6
+        |        THEN '{"resurrection_count":' || (eid % 8) || '}'
+        |      WHEN eid % 9 = 6 THEN '{"other":1}'
+        |      WHEN eid % 9 = 7 THEN 'not json' END AS metadata
+        |  FROM fr),
+        |el AS (
+        |  SELECT *,
+        |    coalesce(CASE WHEN json_valid(metadata) AND regexp_matches(
+        |        coalesce(json_extract_string(metadata,
+        |          '$$.resurrection_count'), ''), '^-?[0-9]+$$')
+        |      THEN CAST(json_extract_string(metadata,
+        |        '$$.resurrection_count') AS BIGINT) END, 0)
+        |      AS resurrection_count
+        |  FROM fe WHERE starts_with(error_message, '[transient_')),
+        |vr AS (
+        |  SELECT 'item' AS section, queue_id, tenant_id, error_message,
+        |    resurrection_count,
+        |    CASE WHEN resurrection_count >= 5 THEN 'exhausted'
+        |      ELSE 'resurrected' END AS verdict,
+        |    CASE WHEN resurrection_count >= 5
+        |      THEN '[permanent_exhausted] ' || error_message
+        |      ELSE error_message END AS new_error_message,
+        |    CASE WHEN resurrection_count >= 5 THEN 'failed'
+        |      ELSE 'pending' END AS new_status,
+        |    CASE WHEN resurrection_count < 5
+        |      THEN resurrection_count + 1 END AS new_resurrection_count
+        |  FROM el)
+        |SELECT * FROM (
+        |  SELECT * FROM vr
+        |  UNION ALL
+        |  SELECT 'count', 'resurrected', NULL, NULL,
+        |    CAST(sum(CASE WHEN verdict = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS BIGINT), NULL, NULL, NULL, NULL
+        |  FROM vr
+        |  UNION ALL
+        |  SELECT 'count', 'exhausted', NULL, NULL,
+        |    CAST(sum(CASE WHEN verdict = 'exhausted' THEN 1 ELSE 0 END)
+        |      AS BIGINT), NULL, NULL, NULL, NULL
+        |  FROM vr)
+        |ORDER BY section, queue_id""".stripMargin,
     // tenants.rs:85 resolve_tenant_entries — first tier with any
     // matches decides; unique resolves, several is ambiguous.
     "tenant_resolve" ->
