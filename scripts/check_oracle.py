@@ -19,6 +19,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def check_scalar_cells(df: pd.DataFrame, name: str, side: str):
+    """Driver-parity guard: the driver's canon crashes on non-scalar
+    cells (ndarray/list/dict) — r07 branch_switch precedent. Fail the
+    query here instead of silently stringifying."""
+    for c in df.columns:
+        if df[c].dtype == object:
+            bad = df[c].dropna().map(
+                lambda v: isinstance(v, (list, dict, set, tuple, np.ndarray)))
+            if bad.any():
+                raise ValueError(
+                    f"{name} [{side}] column '{c}' has non-scalar cells "
+                    f"(e.g. {type(df[c].dropna().iloc[0]).__name__}) — "
+                    "arrays/maps/structs must be stringified before the dump")
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -56,15 +71,30 @@ def main(sf_dir: str, out_dir: str) -> int:
         if not os.path.isdir(f"{out_dir}/{name}"):
             continue
         try:
-            expected = canon(con.execute(sql).df())
+            raw_expected = con.execute(sql).df()
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
-            actual = canon(pd.concat([pd.read_parquet(p) for p in files]))
+            raw_actual = pd.concat([pd.read_parquet(p) for p in files])
+            check_scalar_cells(raw_expected, name, "oracle")
+            check_scalar_cells(raw_actual, name, "spark")
+            expected = canon(raw_expected)
+            actual = canon(raw_actual)
             if list(expected.columns) != list(actual.columns):
                 print(f"FAIL {name}: columns {list(expected.columns)} vs {list(actual.columns)}")
                 n_fail += 1
                 continue
             if len(expected) != len(actual):
                 print(f"FAIL {name}: rows {len(expected)} vs {len(actual)}")
+                n_fail += 1
+                continue
+            # Driver parity: its hash is dtype-sensitive (r07 — DuckDB
+            # HUGEINT sums surface as float64 vs Spark int64 and fail the
+            # hash even when values match bitwise). Equal dtypes first.
+            dt_diffs = [
+                f"{c}: oracle {expected[c].dtype} vs spark {actual[c].dtype}"
+                for c in expected.columns
+                if str(expected[c].dtype) != str(actual[c].dtype)]
+            if dt_diffs:
+                print(f"FAIL {name}: dtype mismatch {dt_diffs}")
                 n_fail += 1
                 continue
             diffs = []

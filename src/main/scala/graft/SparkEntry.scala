@@ -196,7 +196,11 @@ object SparkEntry {
     // Per-project language file counts under the CLI walk-exclusion rules
     "language_projects"  -> ((s, d) => LanguageProjects.languageProjects(s, d)),
     // Branch-switch handling: branch-add membership + changed-file enqueue
-    "branch_switch"      -> ((s, d) => BranchSwitch.branchSwitch(s, d)),
+    // (membership array stringified at the dump boundary — registered
+    // frames carry scalars only, per the parent_units precedent)
+    "branch_switch"      -> ((s, d) => BranchSwitch.branchSwitch(s, d)
+      .withColumn("branches_after", org.apache.spark.sql.functions
+        .array_join(org.apache.spark.sql.functions.col("branches_after"), ","))),
     // TUI project browser rows: registry + per-tenant doc/queue/branch
     "tui_projects"       -> ((s, d) => TuiViews.tuiProjects(s, d)),
     // TUI library browser rows: nesting markers + name disambiguation
@@ -3120,12 +3124,19 @@ object SparkEntry {
         |         WHEN words > 2000 OR (code AND eq) OR tech > 0.3 THEN 3
         |         WHEN chars < 200 AND tech < 0.1 THEN 0
         |         ELSE 1 END AS ord
-        |  FROM f)
+        |  FROM f),
+        |nx AS (
+        |  SELECT concept_id, ord,
+        |    lead(ord) OVER (PARTITION BY concept_id ORDER BY ord) AS next_ord
+        |  FROM (SELECT DISTINCT concept_id, ord FROM covers))
         |SELECT '__global__' AS tenant_id, a.concept_id,
         |  a.source_node_id AS shallow_id, b.source_node_id AS deep_id,
         |  'elaborates' AS edge_type, 'elaborates_task' AS source_file
-        |FROM covers a JOIN covers b
-        |  ON a.concept_id = b.concept_id AND a.ord < b.ord
+        |FROM covers a
+        |JOIN nx ON a.concept_id = nx.concept_id AND a.ord = nx.ord
+        |  AND nx.next_ord IS NOT NULL
+        |JOIN covers b
+        |  ON b.concept_id = a.concept_id AND b.ord = nx.next_ord
         |ORDER BY a.concept_id, shallow_id, deep_id""".stripMargin,
     // CodeComment + comment-EXPLAINS twin (comments.rs): gaps-and-islands
     // comment runs, prefix stripping, the extract_symbol_name CASE chain
@@ -4567,7 +4578,8 @@ object SparkEntry {
     // stats/processing.rs:102 query_operations — op/item_type rollup.
     "processing_ops" ->
       s"""$perfTimingsCtes
-        |SELECT op, item_type, count(*) AS cnt, sum(duration_ms) AS total_ms
+        |SELECT op, item_type, count(*) AS cnt,
+        |  CAST(sum(duration_ms) AS BIGINT) AS total_ms
         |FROM t GROUP BY op, item_type ORDER BY cnt DESC, op, item_type""".stripMargin,
     // stats/processing.rs:131 query_phases + :168 percentiles (the
     // stats/mod.rs:173 nearest-rank round((n-1)p/100) formula).
@@ -4576,7 +4588,8 @@ object SparkEntry {
         |g AS (
         |  SELECT phase, list_sort(list(duration_ms)) AS ds, count(*) AS cnt,
         |    min(duration_ms) AS min_ms, round(avg(duration_ms), 0) AS avg_ms,
-        |    max(duration_ms) AS max_ms, sum(duration_ms) AS total_ms
+        |    max(duration_ms) AS max_ms,
+        |    CAST(sum(duration_ms) AS BIGINT) AS total_ms
         |  FROM t GROUP BY phase)
         |SELECT phase, cnt, min_ms, avg_ms, max_ms, total_ms,
         |  CAST(ds[least(CAST(round(0.25 * (cnt - 1)) AS INTEGER),
@@ -4672,10 +4685,14 @@ object SparkEntry {
         |  UNION ALL SELECT 'op', op, status FROM uq
         |  UNION ALL SELECT 'collection', collection, status FROM uq)
         |SELECT dim, key,
-        |  sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END) AS pending,
-        |  sum(CASE WHEN status = 'in_progress' THEN 1 ELSE 0 END) AS in_progress,
-        |  sum(CASE WHEN status = 'done' THEN 1 ELSE 0 END) AS done,
-        |  sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS failed
+        |  CAST(sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS pending,
+        |  CAST(sum(CASE WHEN status = 'in_progress' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS in_progress,
+        |  CAST(sum(CASE WHEN status = 'done' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS done,
+        |  CAST(sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS failed
         |FROM d GROUP BY dim, key ORDER BY dim, key""".stripMargin,
     // status/overview/entity_query.rs:13 — active-status pivot per
     // (collection, tenant) with conditional collection prefixes
@@ -4697,9 +4714,12 @@ object SparkEntry {
         |  WHERE status IN ('pending', 'in_progress', 'failed')),
         |p AS (
         |  SELECT collection, tenant_id,
-        |    sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END) AS pending,
-        |    sum(CASE WHEN status = 'in_progress' THEN 1 ELSE 0 END) AS in_progress,
-        |    sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS failed
+        |    CAST(sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pending,
+        |    CAST(sum(CASE WHEN status = 'in_progress' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS in_progress,
+        |    CAST(sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS failed
         |  FROM f GROUP BY collection, tenant_id),
         |nc AS (SELECT count(DISTINCT collection) AS n_coll FROM f)
         |SELECT CASE WHEN n_coll > 1 THEN
@@ -4860,7 +4880,8 @@ object SparkEntry {
         |cp AS (SELECT DISTINCT tenant_id, path FROM changes),
         |ba AS (
         |  SELECT t.tenant_id, t.path, 'branch_add' AS action,
-        |    list_append(t.branches, 'feature-x') AS branches_after
+        |    array_to_string(list_append(t.branches, 'feature-x'), ',')
+        |      AS branches_after
         |  FROM tracked t
         |  WHERE list_contains(branches, 'main')
         |    AND NOT list_contains(branches, 'feature-x')
@@ -4871,11 +4892,11 @@ object SparkEntry {
         |    CASE WHEN status IN ('modified','type_changed') THEN 'update'
         |         WHEN status IN ('added','copied','renamed') THEN 'add'
         |         WHEN status = 'deleted' THEN 'delete' END AS action,
-        |    CAST([] AS VARCHAR[]) AS branches_after
+        |    '' AS branches_after
         |  FROM changes),
         |ren AS (
         |  SELECT tenant_id, old_path AS path, 'delete' AS action,
-        |    CAST([] AS VARCHAR[]) AS branches_after
+        |    '' AS branches_after
         |  FROM changes WHERE status = 'renamed')
         |SELECT * FROM (
         |  SELECT * FROM ba UNION ALL SELECT * FROM enq

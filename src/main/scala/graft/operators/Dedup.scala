@@ -62,23 +62,48 @@ object Dedup {
     */
   def dedupMinhash(spark: SparkSession, dir: String,
                    bands: Int = 12, rowsPerBand: Int = 3,
-                   jaccardThreshold: Double = 0.6): DataFrame = {
+                   jaccardThreshold: Double = 0.6): DataFrame =
+    dedupMinhashOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      bands, rowsPerBand, jaccardThreshold)
+
+  /** §3 `*Of` form of dedup_minhash over a (doc_id, text) frame. */
+  def dedupMinhashOf(corpus: DataFrame,
+                     bands: Int = 12, rowsPerBand: Int = 3,
+                     jaccardThreshold: Double = 0.6): DataFrame = {
     val rng = new java.util.Random(7)
     val coeffs = Array.fill(bands * rowsPerBand)((math.abs(rng.nextLong()) % 999983L + 1L,
       math.abs(rng.nextLong()) % 999983L))
+    // Exact-dup pre-pass — the reference's ingest-time content-hash
+    // dedup (src/rust/common/src/hashing.rs) composed in front of the
+    // near-dup path: shingling, signatures, banding, and verification
+    // run on ONE canonical representative per distinct text; the pair
+    // set expands back through the hash groups afterwards (identical
+    // text ⇒ identical shingle set ⇒ identical signatures and Jaccard,
+    // so the expanded output is exactly the all-members pair set —
+    // DedupSpec locks the equivalence). At 100 TB exact-dup clusters
+    // are massive and this removes their k² share from every LSH
+    // stage; the slim (doc_id, rep) map is the only full-corpus frame.
+    val members = corpus
+      .select(col("doc_id"), md5(col("text")).as("ch"))
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("ch"))))
+      .select(col("doc_id"), col("rep"))
+      .localCheckpoint()
     // Shingles are hashed to longs up front: the minhash family and the
     // exact-Jaccard verification both run on int arrays (≈10× cheaper
     // than string sets; hash collisions are vanishingly rare and
-    // deterministic).
+    // deterministic). SORTED so the verify stage can use the
+    // allocation-free merge-count expression.
     // Checkpointed: the hashed shingle table feeds signature computation
     // AND both stage-2 join-backs — without this the xxhash64-over-3-grams
     // scan recomputes three times, and AQE sees estimated (not exact)
     // sizes for the join-backs, which let runtime join-strategy flips
     // inflate run-to-run variance up to 4× (round-6 fresh-JVM probes on
     // identical code/data: 21-130 s swings; exact sizes pin the plan).
-    val docs = Tables.documents(spark, dir)
+    val docs = corpus
+      .join(members.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        array_distinct(transform(shinglesExpr, s => xxhash64(s))).as("sh"))
+        array_sort(array_distinct(transform(shinglesExpr, s => xxhash64(s)))).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
 
@@ -86,13 +111,20 @@ object Dedup {
       val (a, b) = coeffs(i)
       minhashCol(col("sh"), a, b)
     }
+    // Signature values live in [0, 2^31-1) by construction (mod p), so
+    // they store and SHUFFLE as ints — the estimate stage ships two
+    // 36-value signatures per candidate pair, and halving their width
+    // halves that exchange. Band buckets hash the LONG view of each
+    // value (murmur3 folds ints and longs differently), keeping bucket
+    // values — and thus the candidate set — bit-identical to the
+    // original long-array formulation.
     val sig = docs
-      .withColumn("sig", array(sigCols: _*))
+      .withColumn("sig", array(sigCols: _*).cast("array<int>"))
       .withColumn("bandsig", array(
         (0 until bands).map { bIdx =>
           struct(lit(bIdx).as("band"),
             hash((0 until rowsPerBand).map(r =>
-              col("sig")(bIdx * rowsPerBand + r)): _*).as("bucket"))
+              col("sig")(bIdx * rowsPerBand + r).cast("long")): _*).as("bucket"))
         }: _*))
       .localCheckpoint() // signatures computed once, reused by 3 joins
 
@@ -139,16 +171,43 @@ object Dedup {
       .select(col("a"), col("b"))
 
     // Stage 2: exact Jaccard on the survivors.
-    // |A ∪ B| = |A| + |B| − |A ∩ B| — one intersect, no union pass.
-    estimated
+    // |A ∪ B| = |A| + |B| − |A ∩ B| — one merge-count (the sorted
+    // arrays let graft_sorted_intersect_count replace
+    // size(array_intersect(...)), which builds a per-row hash set AND
+    // materializes the intersection array just to read its length).
+    val repPairs = estimated
       .join(docs.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(docs.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter",
+        graft.GraftFunctions.sortedIntersectCount(col("sh_a"), col("sh_b"))
+          .cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("a"), col("b"))
+      .select(col("a").as("ra"), col("b").as("rb"),
+        round(col("jaccard"), 4).as("jaccard"))
+
+    // Expansion: pairs among canonical reps become pairs among all
+    // members of their hash groups. Intra-group pairs (identical text)
+    // are Jaccard 1.0 by definition; both joins are against the slim
+    // membership map (AQE broadcasts it), so the shuffle stays ∝ output
+    // pairs. Groups whose text yields no shingles are excluded on both
+    // arms — their members produced no pairs pre-refactor either.
+    val valid = members
+      .join(docs.select(col("doc_id").as("rep")), Seq("rep"), "left_semi")
+    val dupGroups = valid.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep")).distinct()
+    val grouped = valid.join(dupGroups, Seq("rep"), "left_semi")
+    val intra = grouped.select(col("rep"), col("doc_id").as("a"))
+      .join(grouped.select(col("rep"), col("doc_id").as("b")), Seq("rep"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(valid.select(col("rep").as("ra"), col("doc_id").as("ma")), Seq("ra"))
+      .join(valid.select(col("rep").as("rb"), col("doc_id").as("mb")), Seq("rb"))
+      .select(least(col("ma"), col("mb")).as("a"),
+        greatest(col("ma"), col("mb")).as("b"), col("jaccard"))
+    cross.unionByName(intra).orderBy(col("a"), col("b"))
   }
 
   /** 64-bit SimHash from token hashes (Charikar '02): per bit position,

@@ -255,11 +255,50 @@ object Elaborates {
         lit("elaborates_task").as("source_file"))
   }
 
+  /** Depth-ADJACENT materialization of the same relation — the 100×
+    * scale lever (SURVEY §4): instead of every shallower node × every
+    * deeper node per concept, link each node only to the nodes at the
+    * NEXT depth ordinal actually present in that concept. The
+    * transitive closure of this edge set regenerates the full
+    * `elaboratesOf` pair set exactly (every skipped level is bridged
+    * through the intermediate level that caused it to be skipped —
+    * "next present ordinal" guarantees the bridge is non-empty), so no
+    * information is lost; stored volume drops from Σ level-pair
+    * products to Σ ADJACENT level-pair products. Same single
+    * key-equality shuffle on concept_id, plus one tiny
+    * distinct-levels window (rows ∝ concepts × 5, broadcast-able).
+    */
+  def elaboratesAdjacentOf(covers: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withOrd = covers
+      .withColumn("ord", depthOrdinal(col("depth")))
+      .filter(col("ord").isNotNull)
+    val nextLevel = withOrd.select(col("concept_id"), col("ord")).distinct()
+      .withColumn("next_ord",
+        lead(col("ord"), 1).over(
+          Window.partitionBy("concept_id").orderBy("ord")))
+      .filter(col("next_ord").isNotNull)
+    val shallow = withOrd.select(col("concept_id"),
+      col("source_node_id").as("shallow_id"), col("ord"))
+    val deep = withOrd.select(col("concept_id"),
+      col("source_node_id").as("deep_id"), col("ord").as("next_ord"))
+    shallow.join(broadcast(nextLevel), Seq("concept_id", "ord"))
+      .join(deep, Seq("concept_id", "next_ord"))
+      .select(lit("__global__").as("tenant_id"), col("concept_id"),
+        col("shallow_id"), col("deep_id"),
+        lit("elaborates").as("edge_type"),
+        lit("elaborates_task").as("source_file"))
+  }
+
   /** doc_elaborates query: COVERS_TOPIC edges derived from the
     * doc_sections axis — each section covers a deterministic concept
     * (doc_id % 60) at ITS OWN estimated depth, so the depth mix
     * (reference overviews, introductory bodies, rigorous appendixes)
     * produces real shallow→deep structure per concept.
+    *
+    * Materializes the depth-ADJACENT edge set (the closure-equivalent
+    * storage form, ElaboratesSpec-locked against the full set); the
+    * reference's full enumeration stays available as `elaboratesOf`.
     */
   def docElaborates(spark: SparkSession, dir: String): DataFrame = {
     val covers = Narrative.docSections(spark, dir).select(
@@ -267,7 +306,7 @@ object Elaborates {
         .as("source_node_id"),
       concat(lit("concept-"), (col("doc_id") % 60).cast("string")).as("concept_id"),
       col("depth"))
-    elaboratesOf(covers)
+    elaboratesAdjacentOf(covers)
       .orderBy(col("concept_id"), col("shallow_id"), col("deep_id"))
   }
 }

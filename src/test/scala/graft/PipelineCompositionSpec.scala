@@ -55,14 +55,15 @@ class PipelineCompositionSpec extends SparkSpec {
 
       // doc_elaborates' standalone entry derives sections through
       // docSections (markdown-only, with depth); the composed form here
-      // covers the elaboratesOf contract over an externally-supplied
+      // covers the elaboratesAdjacentOf contract (the registered
+      // materialization since round 8) over an externally-supplied
       // COVERS_TOPIC frame instead
       val covers = Narrative.docSections(spark, sfDir).select(
         concat(lit("sec:"), col("doc_id"), lit(":"), col("section_index"))
           .as("source_node_id"),
         concat(lit("concept-"), (col("doc_id") % 60).cast("string")).as("concept_id"),
         col("depth"))
-      val composedElab = Elaborates.elaboratesOf(covers)
+      val composedElab = Elaborates.elaboratesAdjacentOf(covers)
         .orderBy(col("concept_id"), col("shallow_id"), col("deep_id")).collect()
       val standaloneElab = Elaborates.docElaborates(spark, sfDir).collect()
       assert(composedElab.map(_.toString).toSeq ==

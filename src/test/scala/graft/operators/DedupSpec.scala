@@ -41,6 +41,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  // The exact-dup pre-pass (LSH on canonical reps + group expansion)
+  // must be invisible in the output: duplicating documents adds exactly
+  // the implied pairs (dup<->original at jaccard 1.0, dup<->every
+  // partner of the original at the original's jaccard) and changes
+  // nothing else.
+  test("dedup_minhash: exact-dup pre-pass expansion matches all-members semantics") {
+    val base = Tables.documents(spark, sfDir).filter(col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+    val withoutDups = Dedup.dedupMinhashOf(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // duplicate docs 0..9 under ids 10000..10009
+    val dups = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val got = Dedup.dedupMinhashOf(base.unionByName(dups)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = scala.collection.mutable.Map[(Long, Long), Double]()
+    expected ++= withoutDups
+    for (d <- 0L until 10L) {
+      expected((d, d + 10000L)) = 1.0 // dup of original
+      // dup inherits every partnership of its original
+      for (((a, b), j) <- withoutDups) {
+        if (a == d) expected((math.min(b, d + 10000L), math.max(b, d + 10000L))) = j
+        if (b == d) expected((math.min(a, d + 10000L), math.max(a, d + 10000L))) = j
+      }
+      // dups of two paired originals pair with each other too
+      for (e <- 0L until 10L if d < e && withoutDups.contains((d, e)))
+        expected((d + 10000L, e + 10000L)) = withoutDups((d, e))
+    }
+    assert(got == expected.toMap,
+      s"extra=${(got.keySet -- expected.keySet).take(5)} " +
+        s"missing=${(expected.keySet -- got.keySet).take(5)}")
+  }
+
   test("dedup_minhash recall vs exact ngram pairs is reasonable") {
     val exact = Dedup.ngramJaccard(spark, sfDir, probeMax = 50L, threshold = 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

