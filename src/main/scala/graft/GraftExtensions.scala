@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import org.apache.spark.sql.graft.{CosineSimilarity, SortedIntersectCount}
+import org.apache.spark.sql.graft.{CosineSimilarity, ShingleHashes, SimHash64, SortedIntersectCount}
 
 /** Session extension entry point: register graft's native expressions.
   *
@@ -24,6 +24,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedIntersectCount.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      SimHash64.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      ShingleHashes.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleHashes(children(0))))
   }
 }
 
@@ -39,6 +49,16 @@ object GraftFunctions {
       "graft_sorted_intersect_count",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedIntersectCount(children(0), children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(children(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_hashes",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleHashes(children(0)),
       "built-in")
   }
 
@@ -64,4 +84,33 @@ object GraftFunctions {
       SortedIntersectCount(
         org.apache.spark.sql.graft.Bridge.expression(a),
         org.apache.spark.sql.graft.Bridge.expression(b)))
+
+  /** 64-bit SimHash of a token array in one map-side pass — equals the
+    * explode → per-bit-sum aggregation with `xxhash64` token hashes
+    * (seed 42), with zero shuffle (see SimHash64's scaladoc).
+    */
+  def simhash64(toks: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      SimHash64(org.apache.spark.sql.graft.Bridge.expression(toks)))
+
+  /** Full MinHash signature over hashed shingles in one traversal —
+    * position i equals `array_min(transform(sh, h => pmod(pmod(h, p) *
+    * a(i) + b(i), p)))` as int (see MinHashSignature's scaladoc and
+    * precondition). Column-API only: the coefficient vectors are plain
+    * constructor parameters.
+    */
+  def minhashSignature(sh: Column, a: Array[Long], b: Array[Long]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.MinHashSignature(
+        org.apache.spark.sql.graft.Bridge.expression(sh), a, b))
+
+  /** Sorted distinct xxhash64 values of all character 3-grams in one
+    * byte-level pass — equals `array_sort(array_distinct(transform(
+    * sequence(1, greatest(length(t) - 2, 1)), i -> xxhash64(substr(t,
+    * i, 3)))))` including the short-string corner (see ShingleHashes'
+    * scaladoc).
+    */
+  def shingleHashes(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      ShingleHashes(org.apache.spark.sql.graft.Bridge.expression(text)))
 }

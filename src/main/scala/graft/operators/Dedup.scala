@@ -41,16 +41,13 @@ object Dedup {
   private val shinglesExpr: Column =
     expr("array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substr(text, i, 3)))")
 
-  /** One MinHash value over PRE-HASHED shingles: min of
-    * (a*h + b) mod p — the classic universal-hash family, seeded
-    * deterministically per signature position. Hashes are reduced mod p
-    * BEFORE the multiply so a ≤ 10^6 keeps the product < 2^62
-    * (Spark 4 runs ANSI mode: long overflow throws).
-    */
-  private def minhashCol(hashes: Column, a: Long, b: Long): Column = {
-    val p = 2147483647L // 2^31 - 1
-    array_min(transform(hashes, h => pmod(pmod(h, lit(p)) * a + b, lit(p))))
-  }
+  // MinHash family: min of (a*h + b) mod p per position over pre-hashed
+  // shingles (classic universal hash, p = 2^31-1; hashes reduced mod p
+  // BEFORE the multiply so a ≤ 10^6 keeps the product < 2^62 — Spark 4
+  // runs ANSI mode and a long overflow would throw). All positions are
+  // computed by the one-traversal MinHashSignature expression;
+  // DedupSpec keeps the composed array_min(transform(...)) twin as the
+  // equality oracle.
 
   /** MinHash + LSH near-dup pairs: `bands` bands of `rows` signature
     * positions each; docs sharing any band bucket are candidates;
@@ -103,23 +100,24 @@ object Dedup {
       .join(members.filter(col("doc_id") === col("rep")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        array_sort(array_distinct(transform(shinglesExpr, s => xxhash64(s)))).as("sh"))
+        graft.GraftFunctions.shingleHashes(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
 
-    val sigCols = (0 until bands * rowsPerBand).map { i =>
-      val (a, b) = coeffs(i)
-      minhashCol(col("sh"), a, b)
-    }
     // Signature values live in [0, 2^31-1) by construction (mod p), so
     // they store and SHUFFLE as ints — the estimate stage ships two
     // 36-value signatures per candidate pair, and halving their width
-    // halves that exchange. Band buckets hash the LONG view of each
-    // value (murmur3 folds ints and longs differently), keeping bucket
-    // values — and thus the candidate set — bit-identical to the
-    // original long-array formulation.
+    // halves that exchange. The graft minhash expression computes all
+    // 36 positions in ONE traversal of the shingle array (the composed
+    // array_min(transform(...)) per position walks and copies the array
+    // 36 times per row — DedupSpec pins positionwise equality). Band
+    // buckets hash the LONG view of each value (murmur3 folds ints and
+    // longs differently), keeping bucket values — and thus the
+    // candidate set — bit-identical to the original long-array
+    // formulation.
     val sig = docs
-      .withColumn("sig", array(sigCols: _*).cast("array<int>"))
+      .withColumn("sig", graft.GraftFunctions.minhashSignature(
+        col("sh"), coeffs.map(_._1), coeffs.map(_._2)))
       .withColumn("bandsig", array(
         (0 until bands).map { bIdx =>
           struct(lit(bIdx).as("band"),
@@ -223,17 +221,13 @@ object Dedup {
       .filter(size(col("toks")) > 0)
 
     // simhash bit j = sign of sum over tokens of (bit j of hash ? 1 : -1)
-    val bitCols = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-    }
-    val hashed = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val sims = hashed.groupBy(col("doc_id"))
-      .agg(bitCols.head.as("b0"), bitCols.tail.zipWithIndex.map { case (c, i) => c.as(s"b${i + 1}") }: _*)
-      .select(col("doc_id") +: (0 until 64).map(j =>
-        (when(col(s"b$j") > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)).as(s"w$j")): _*)
-      .select(col("doc_id"),
-        (0 until 64).map(j => col(s"w$j")).reduce(_ + _).as("simhash"))
+    // — computed by the graft_simhash64 expression in ONE pass inside
+    // the scan projection. The previous explode → 64-conditional-sum
+    // groupBy shuffled every token of the corpus (DedupSpec pins output
+    // equality of the two formulations); this plan's only shuffle is
+    // the chunk-bucket pair join below.
+    val sims = docs.select(col("doc_id"),
+      graft.GraftFunctions.simhash64(col("toks")).as("simhash"))
 
     // Block on 8-bit chunks; hamming ≤ 7 < 8 chunks ⇒ at least one chunk equal.
     val chunks = sims.select(col("doc_id"), col("simhash"),
@@ -244,11 +238,17 @@ object Dedup {
 
     val l = chunks.select(col("chunk"), col("ck"), col("doc_id").as("a"), col("simhash").as("sh_a"))
     val r = chunks.select(col("chunk"), col("ck"), col("doc_id").as("b"), col("simhash").as("sh_b"))
+    // Hamming filter BEFORE the pair dedup: a pair's hamming distance is
+    // fixed, so filter-then-distinct equals distinct-then-filter — but
+    // the filter is map-side inside the join's codegen stage and kills
+    // ~99% of collision rows, while distinct is a shuffle whose cost
+    // scales with what reaches it (measured at sf0.1: 6.5M collision
+    // rows → 4.9 s distinct before, ~250k rows → negligible after).
     l.join(r, Seq("chunk", "ck"))
       .filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a", "b")
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("a"), col("b"))
   }

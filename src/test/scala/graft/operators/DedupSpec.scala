@@ -85,6 +85,77 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  // graft_shingle_hashes (one-pass byte-level expression) must equal
+  // the composed sequence→substr→xxhash64→distinct→sort column on the
+  // real corpus, plus its short-string corners.
+  test("dedup_minhash: shingle-hash expression equals the composed form") {
+    import spark.implicits._
+    val composed = org.apache.spark.sql.functions.expr(
+      "array_sort(array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> xxhash64(substr(text, i, 3)))))")
+    val corpus = Tables.documents(spark, sfDir).select(col("text"))
+      .unionByName(Seq("", "a", "ab", "abc", "ααβγδ", "aaaa").toDF("text"))
+    val rows = corpus
+      .select(graft.GraftFunctions.shingleHashes(col("text")).as("e"),
+        composed.as("c"))
+      .filter(not(col("e") <=> col("c")))
+      .count()
+    assert(rows == 0L)
+  }
+
+  // graft minhash signature (one-traversal expression) must equal the
+  // composed array_min(transform(...)) per position, on the real
+  // corpus's hashed shingle arrays.
+  test("dedup_minhash: signature expression equals per-position array_min") {
+    val shingles = org.apache.spark.sql.functions.expr(
+      "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substr(text, i, 3)))")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(shingles, s => xxhash64(s)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val rng = new java.util.Random(7)
+    val coeffs = Array.fill(36)((math.abs(rng.nextLong()) % 999983L + 1L,
+      math.abs(rng.nextLong()) % 999983L))
+    val p = 2147483647L
+    val composedCols = coeffs.toSeq.map { case (a, b) =>
+      array_min(transform(col("sh"), h => pmod(pmod(h, lit(p)) * a + b, lit(p))))
+    }
+    val viaExpr = docs.select(col("doc_id"),
+      graft.GraftFunctions.minhashSignature(col("sh"),
+        coeffs.map(_._1), coeffs.map(_._2)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val viaComposed = docs.select(col("doc_id"),
+      array(composedCols: _*).cast("array<int>").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(viaExpr == viaComposed)
+  }
+
+  // graft_simhash64 (one-pass map-side expression) must equal the
+  // explode → per-bit ±1 sum → sign aggregation it replaced,
+  // bit-for-bit, on the real corpus.
+  test("dedup_simhash: expression signature equals the aggregation formulation") {
+    import graft.functions.TextFunctions.tokenizeSimple
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokenizeSimple(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val viaExpr = docs.select(col("doc_id"),
+      graft.GraftFunctions.simhash64(col("toks")).as("simhash"))
+    val bitCols = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+    }
+    val viaAgg = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg(bitCols.head.as("b0"),
+        bitCols.tail.zipWithIndex.map { case (c, i) => c.as(s"b${i + 1}") }: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j))
+          .reduce(_ + _).as("simhash"))
+    val e = viaExpr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = viaAgg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e == a, s"first diff: ${e.find { case (k, v) => a.get(k) != Some(v) }}")
+  }
+
   test("dedup_simhash pairs are within the hamming budget and symmetric-free") {
     val rows = Dedup.dedupSimhash(spark, sfDir).collect()
     rows.foreach { r =>
