@@ -204,21 +204,55 @@ object Leiden {
       // Self-loops (intra-sub internal weight) are RETAINED (aggregate.rs:73)
       // — they feed w_to_cur in the aggregate local-move and are what
       // prevents re-merging split communities at higher resolution.
-      val aggAdjM = Array.fill(aggN)(mutable.TreeMap.empty[Int, Double])
+      // Built by a counting-sort + per-group scatter pass instead of two
+      // TreeMap updates per directed edge: each direction ai→aj
+      // accumulates the full w from group ai's pass over its
+      // constituents (the TreeMap form summed w/2 from each endpoint's
+      // encounter — same total), and intra-group encounters contribute
+      // w/2 each, seen twice. Weights are exact multiples of 0.5, so
+      // floating sums agree bit-for-bit regardless of order; neighbor
+      // arrays are sorted to match the TreeMap's ordering.
+      val groupStart = new Array[Int](aggN + 1)
       var i = 0
-      while (i < n) {
-        val ai = nodeToAgg(i)
-        adj(i).foreach { case (j, w) =>
-          val aj = nodeToAgg(j)
-          if (ai == aj) aggAdjM(ai).updateWith(ai)(o => Some(o.getOrElse(0.0) + w / 2.0))
-          else {
-            aggAdjM(ai).updateWith(aj)(o => Some(o.getOrElse(0.0) + w / 2.0))
-            aggAdjM(aj).updateWith(ai)(o => Some(o.getOrElse(0.0) + w / 2.0))
+      while (i < n) { groupStart(nodeToAgg(i) + 1) += 1; i += 1 }
+      i = 1
+      while (i <= aggN) { groupStart(i) += groupStart(i - 1); i += 1 }
+      val order = new Array[Int](n)
+      val fillPos = java.util.Arrays.copyOf(groupStart, aggN)
+      i = 0
+      while (i < n) { val a = nodeToAgg(i); order(fillPos(a)) = i; fillPos(a) += 1; i += 1 }
+      val aggW = new Array[Double](aggN)
+      val aggSeen = new Array[Int](aggN)
+      val aggTouched = new Array[Int](aggN)
+      var aggStamp = 0
+      val aggAdj = new Array[Array[(Int, Double)]](aggN)
+      var a = 0
+      while (a < aggN) {
+        aggStamp += 1
+        var nt = 0
+        var p = groupStart(a)
+        while (p < groupStart(a + 1)) {
+          val node = order(p)
+          val nbrs = adj(node)
+          var k = 0
+          while (k < nbrs.length) {
+            val e = nbrs(k)
+            val aj = nodeToAgg(e._1)
+            val inc = if (aj == a) e._2 / 2.0 else e._2
+            if (aggSeen(aj) != aggStamp) {
+              aggSeen(aj) = aggStamp; aggW(aj) = inc; aggTouched(nt) = aj; nt += 1
+            } else aggW(aj) += inc
+            k += 1
           }
+          p += 1
         }
-        i += 1
+        val row = new Array[(Int, Double)](nt)
+        var t = 0
+        while (t < nt) { row(t) = (aggTouched(t), aggW(aggTouched(t))); t += 1 }
+        java.util.Arrays.sort(row, Ordering.by((x: (Int, Double)) => x._1))
+        aggAdj(a) = row
+        a += 1
       }
-      val aggAdj = aggAdjM.map(_.toArray)
       // initial aggregate assignment = phase-1 community of constituents
       val aggPart = new Array[Int](aggN)
       java.util.Arrays.fill(aggPart, -1)
@@ -256,8 +290,24 @@ object Leiden {
   def localMove(adj: Array[Array[(Int, Double)]], partition: Array[Int],
                 resolution: Double): Boolean = {
     val n = adj.length
-    val commSize = mutable.HashMap.empty[Int, Int]
-    partition.foreach(c => commSize.updateWith(c)(o => Some(o.getOrElse(0) + 1)))
+    if (n == 0) return false
+    // Scatter buffers over the community-id space (ids are node indices
+    // of this or an ancestor level, so bounded by max(partition) — the
+    // per-node HashMap this replaces boxed every key and value on a
+    // 16k-node/600k-edge graph × 12 sweeps × outer loops). Stamps make
+    // per-node resets O(touched), and the argmax rule (strictly-better
+    // gain, or equal gain and lower community id) is iteration-order
+    // independent, so the touch-order traversal is outcome-identical.
+    var maxId = n - 1
+    var i = 0
+    while (i < n) { if (partition(i) > maxId) maxId = partition(i); i += 1 }
+    val commSize = new Array[Int](maxId + 1)
+    i = 0
+    while (i < n) { commSize(partition(i)) += 1; i += 1 }
+    val wTo = new Array[Double](maxId + 1)
+    val seen = new Array[Int](maxId + 1)
+    val touched = new Array[Int](maxId + 1)
+    var stamp = 0
     var anyMoved = false
     var changed = true
     var sweeps = 0
@@ -267,29 +317,36 @@ object Leiden {
       while (node < n) {
         val cCur = partition(node)
         val sizeCur = commSize(cCur)
-        // HashMap, not TreeMap: the argmax rule (strictly-better gain,
-        // or equal gain and lower community id) is iteration-order
-        // independent, so sorted traversal buys nothing but log factors.
-        val wToComm = mutable.HashMap.empty[Int, Double]
-        adj(node).foreach { case (nb, w) =>
-          wToComm.updateWith(partition(nb))(o => Some(o.getOrElse(0.0) + w))
+        stamp += 1
+        val nbrs = adj(node)
+        var nt = 0
+        var k = 0
+        while (k < nbrs.length) {
+          val e = nbrs(k)
+          val c = partition(e._1)
+          if (seen(c) != stamp) {
+            seen(c) = stamp; wTo(c) = e._2; touched(nt) = c; nt += 1
+          } else wTo(c) += e._2
+          k += 1
         }
-        val wToCur = wToComm.getOrElse(cCur, 0.0)
+        val wToCur = if (seen(cCur) == stamp) wTo(cCur) else 0.0
         val deltaRemove = -wToCur + resolution * (sizeCur - 1.0)
         var bestComm = cCur
         var bestGain = 0.0
-        wToComm.foreach { case (cCand, wCand) =>
+        var t = 0
+        while (t < nt) {
+          val cCand = touched(t)
           if (cCand != cCur) {
-            val sizeCand = commSize.getOrElse(cCand, 0)
-            val gain = deltaRemove + (wCand - resolution * sizeCand)
+            val gain = deltaRemove + (wTo(cCand) - resolution * commSize(cCand))
             if (gain > bestGain || (gain == bestGain && cCand < bestComm)) {
               bestGain = gain; bestComm = cCand
             }
           }
+          t += 1
         }
         if (bestComm != cCur) {
-          commSize.update(cCur, commSize(cCur) - 1)
-          commSize.updateWith(bestComm)(o => Some(o.getOrElse(0) + 1))
+          commSize(cCur) -= 1
+          commSize(bestComm) += 1
           partition(node) = bestComm
           changed = true; anyMoved = true
         }
@@ -314,66 +371,104 @@ object Leiden {
              resolution: Double): Array[Int] = {
     val n = adj.length
     val refined = Array.tabulate(n)(i => i)
+    // Scatter buffers over the node-id space (sub-community ids are node
+    // indices), allocated once and re-stamped per community/visit — the
+    // per-node HashMaps and per-community Set this replaces boxed every
+    // key on the hot path; outcome is identical (the tie rule is
+    // iteration-order independent, and each buffer is only read for the
+    // current community's members).
+    val memberMark = new Array[Int](n)
+    val degC = new Array[Double](n)
+    val subSize = new Array[Int](n)
+    val subDeg = new Array[Double](n)
+    val subInt = new Array[Double](n)
+    val wToSub = new Array[Double](n)
+    val seen = new Array[Int](n)
+    val touched = new Array[Int](n)
+    var commStamp = 0
+    var visitStamp = 0
     partition.indices.groupBy(partition).toSeq.sortBy(_._1).foreach { case (_, membersSeq) =>
       val members = membersSeq.toArray.sorted
       val cSize = members.length
       if (cSize > 1) {
-        val memberSet = members.toSet
+        commStamp += 1
+        var mi = 0
+        while (mi < cSize) { memberMark(members(mi)) = commStamp; mi += 1 }
         // degC(x): weight from x to the rest of C — fixed per phase-1
         // community, so the γ-well-connectedness cut of a sub T is
         // w(T, C\T) = Σ_{m∈T} degC(m) − 2·W_int(T), maintained
         // incrementally instead of rescanning members per candidate
         // (the reference rescans, refine.rs:118 — O(|C|²·deg); this is
         // the same quantity in O(deg) per visit).
-        val degC = mutable.HashMap.empty[Int, Double]
-        members.foreach { m =>
-          degC(m) = adj(m).iterator.collect {
-            case (nb, w) if nb != m && memberSet.contains(nb) => w
-          }.sum
+        mi = 0
+        while (mi < cSize) {
+          val m = members(mi)
+          val nbrs = adj(m)
+          var s = 0.0
+          var k = 0
+          while (k < nbrs.length) {
+            val e = nbrs(k)
+            if (e._1 != m && memberMark(e._1) == commStamp) s += e._2
+            k += 1
+          }
+          degC(m) = s
+          subSize(m) = 1; subDeg(m) = s; subInt(m) = 0.0
+          mi += 1
         }
-        val subSize = mutable.HashMap.empty[Int, Int]
-        val subDeg = mutable.HashMap.empty[Int, Double]
-        val subInt = mutable.HashMap.empty[Int, Double]
-        members.foreach { m => subSize(m) = 1; subDeg(m) = degC(m); subInt(m) = 0.0 }
         var changed = true
         var sweeps = 0
         while (changed && sweeps < MaxRefineSweeps) {
           changed = false; sweeps += 1
-          members.foreach { node =>
+          mi = 0
+          while (mi < cSize) {
+            val node = members(mi)
             val curSub = refined(node)
-            val wToSub = mutable.HashMap.empty[Int, Double]
-            adj(node).foreach { case (nb, w) =>
-              if (nb != node && memberSet.contains(nb))
-                wToSub.updateWith(refined(nb))(o => Some(o.getOrElse(0.0) + w))
+            visitStamp += 1
+            val nbrs = adj(node)
+            var nt = 0
+            var k = 0
+            while (k < nbrs.length) {
+              val e = nbrs(k)
+              if (e._1 != node && memberMark(e._1) == commStamp) {
+                val s = refined(e._1)
+                if (seen(s) != visitStamp) {
+                  seen(s) = visitStamp; wToSub(s) = e._2; touched(nt) = s; nt += 1
+                } else wToSub(s) += e._2
+              }
+              k += 1
             }
-            val wToCurSub = wToSub.getOrElse(curSub, 0.0)
+            val wToCurSub = if (seen(curSub) == visitStamp) wToSub(curSub) else 0.0
             val deltaRemove = -wToCurSub + resolution * (subSize(curSub) - 1.0)
             var bestSub = curSub
             var bestGain = 0.0
             var bestW = 0.0
-            wToSub.foreach { case (candSub, wCand) =>
+            var t = 0
+            while (t < nt) {
+              val candSub = touched(t)
               if (candSub != curSub) {
                 val csz = subSize(candSub)
                 val cut = subDeg(candSub) - 2.0 * subInt(candSub)
                 val threshold = resolution * csz.toDouble * (cSize - csz).toDouble
                 if (cut > threshold) {
-                  val gain = deltaRemove + (wCand - resolution * csz)
+                  val gain = deltaRemove + (wToSub(candSub) - resolution * csz)
                   if (gain > bestGain || (gain == bestGain && candSub < bestSub)) {
-                    bestGain = gain; bestSub = candSub; bestW = wCand
+                    bestGain = gain; bestSub = candSub; bestW = wToSub(candSub)
                   }
                 }
               }
+              t += 1
             }
             if (bestSub != curSub) {
-              subSize.update(curSub, subSize(curSub) - 1)
-              subSize.update(bestSub, subSize(bestSub) + 1)
-              subDeg.update(curSub, subDeg(curSub) - degC(node))
-              subDeg.update(bestSub, subDeg(bestSub) + degC(node))
-              subInt.update(curSub, subInt(curSub) - wToCurSub)
-              subInt.update(bestSub, subInt(bestSub) + bestW)
+              subSize(curSub) -= 1
+              subSize(bestSub) += 1
+              subDeg(curSub) -= degC(node)
+              subDeg(bestSub) += degC(node)
+              subInt(curSub) -= wToCurSub
+              subInt(bestSub) += bestW
               refined(node) = bestSub
               changed = true
             }
+            mi += 1
           }
         }
       }
