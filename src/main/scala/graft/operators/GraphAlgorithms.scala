@@ -91,15 +91,83 @@ object GraphAlgorithms {
     * also fed the reference's own test graphs by the parity specs.
     */
   def pageRankEdges(edgeDf: DataFrame,
-                    iterations: Int, damping: Double): DataFrame = {
+                    iterations: Int, damping: Double,
+                    broadcastByteBudget: Long = 256L << 20): DataFrame = {
     val e = edgeDf.cache()
     val nodes = e.select(col("src").as("node_id"))
       .union(e.select(col("dst"))).distinct().cache()
     val n = nodes.count().toDouble
-    // contributions shuffle one row per edge each iteration
-    withGraphSizedShuffle(edgeDf.sparkSession, e.count()) {
-      pageRankEdgesImpl(e, nodes, n, iterations, damping)
+    // Same two-path shape as communities/betweenness/leiden: under the
+    // adjacency byte budget the power iteration runs on collected
+    // compact arrays. Ranks are doubles, so summation ORDER differs
+    // from the DataFrame path's partial aggregates — but the contract
+    // output rounds to 6 decimals, the same tolerance that already
+    // absorbs the DuckDB oracle's different association (drift is
+    // ~1e-12 relative; both-SF dump diffs verified bit-identical
+    // post-rounding when this path landed).
+    val adjDf = e.groupBy(col("src").as("u"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val (_, estBytes) = estimatedAdjacencyBytes(adjDf)
+    if (estBytes <= broadcastByteBudget)
+      pageRankCompact(nodes, adjDf, n, iterations, damping)
+    else
+      // contributions shuffle one row per edge each iteration
+      withGraphSizedShuffle(edgeDf.sparkSession, e.count()) {
+        pageRankEdgesImpl(e, nodes, n, iterations, damping)
+      }
+  }
+
+  /** Under-budget twin of [[pageRankEdgesImpl]] on collected compact
+    * arrays: identical per-iteration update — dangling mass spread
+    * uniformly, damped in-contributions rank/out_deg per edge
+    * OCCURRENCE (multi-edges count, matching the DataFrame path's
+    * count-based out-degrees) — and the same HALF_UP 6-decimal
+    * rounding at the end.
+    */
+  private def pageRankCompact(nodesDf: DataFrame, adjDf: DataFrame, n: Double,
+                              iterations: Int, damping: Double): DataFrame = {
+    val spark = adjDf.sparkSession
+    import spark.implicits._
+    val ids = nodesDf.as[String].collect().sorted
+    val idx = ids.zipWithIndex.toMap
+    val nn = ids.length
+    val adj = new Array[Array[Int]](nn)
+    adjDf.as[(String, Seq[String])].collect().foreach { case (u, nbrs) =>
+      adj(idx(u)) = nbrs.iterator.map(idx).toArray
     }
+    var ranks = Array.fill(nn)(1.0 / n)
+    var it = 0
+    while (it < iterations) {
+      var dangling = 0.0
+      var i = 0
+      while (i < nn) {
+        if (adj(i) == null || adj(i).isEmpty) dangling += ranks(i)
+        i += 1
+      }
+      val contrib = new Array[Double](nn)
+      i = 0
+      while (i < nn) {
+        val out = adj(i)
+        if (out != null && out.nonEmpty) {
+          val c = ranks(i) / out.length
+          var k = 0
+          while (k < out.length) { contrib(out(k)) += c; k += 1 }
+        }
+        i += 1
+      }
+      val base = (1 - damping) / n
+      val dm = dangling / n
+      val next = new Array[Double](nn)
+      i = 0
+      while (i < nn) { next(i) = base + damping * (contrib(i) + dm); i += 1 }
+      ranks = next
+      it += 1
+    }
+    val out = ids.indices.map { i =>
+      (ids(i), BigDecimal(ranks(i))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    out.toDF("node_id", "score").orderBy(col("node_id"))
   }
 
   /** Node count under which the n-sized per-iteration frames (ranks /
@@ -162,17 +230,95 @@ object GraphAlgorithms {
                   iterations: Int = 10, minSize: Int = 2): DataFrame =
     communitiesEdges(edges(spark, dir), iterations, minSize)
 
-  /** Label propagation over any (src, dst) edge DataFrame. */
+  /** Label propagation over any (src, dst) edge DataFrame.
+    *
+    * Same two-path shape as [[betweennessEdges]] / [[Leiden.leidenEdges]]:
+    * the vote rounds are exact integer arithmetic with deterministic
+    * ties, so while the aggregated adjacency fits the byte budget the
+    * ten synchronized rounds run on the collected compact arrays
+    * (bit-identical output, no per-iteration exchange); past the budget
+    * the DataFrame-iterative path scales to graphs that can't sit on
+    * one node.
+    */
   def communitiesEdges(edgeDf: DataFrame,
-                       iterations: Int, minSize: Int): DataFrame = {
+                       iterations: Int, minSize: Int,
+                       broadcastByteBudget: Long = 256L << 20): DataFrame = {
     val e = edgeDf
     val undirected = e.select(col("src").as("a"), col("dst").as("b"))
       .union(e.select(col("dst"), col("src")))
       .distinct().cache()
-    // votes shuffle one row per undirected edge entry each iteration
-    withGraphSizedShuffle(edgeDf.sparkSession, undirected.count()) {
-      communitiesEdgesImpl(undirected, iterations, minSize)
+    val adjDf = undirected.groupBy(col("a").as("u"))
+      .agg(sort_array(collect_set(col("b"))).as("nbrs"))
+    val (_, estBytes) = estimatedAdjacencyBytes(adjDf)
+    if (estBytes <= broadcastByteBudget) communitiesCompact(adjDf, iterations, minSize)
+    else
+      // votes shuffle one row per undirected edge entry each iteration
+      withGraphSizedShuffle(edgeDf.sparkSession, undirected.count()) {
+        communitiesEdgesImpl(undirected, iterations, minSize)
+      }
+  }
+
+  /** Under-budget twin of [[communitiesEdgesImpl]] on collected compact
+    * arrays: identical md5-nibble initial labels (computed by the same
+    * Spark expressions before the collect), identical synchronized
+    * vote rounds (each distinct neighbour's label + the self vote;
+    * winner = highest count, smallest label on ties — sorted-run scan,
+    * first run of the best count wins ⇒ smallest label), identical
+    * min-member community naming and min-size filter. Labels are exact
+    * longs throughout, so the fixpoint trajectory matches the
+    * DataFrame path bit-for-bit.
+    */
+  private def communitiesCompact(adjDf: DataFrame,
+                                 iterations: Int, minSize: Int): DataFrame = {
+    val spark = adjDf.sparkSession
+    import spark.implicits._
+    val rows = adjDf
+      .withColumn("label0",
+        conv(substring(md5(col("u")), 1, 15), 16, 10).cast("long"))
+      .select(col("u"), col("label0"), col("nbrs"))
+      .as[(String, Long, Seq[String])].collect().sortBy(_._1)
+    val n = rows.length
+    val ids = rows.map(_._1)
+    val idx = ids.zipWithIndex.toMap
+    val adj = rows.map(_._3.iterator.map(idx).toArray)
+    var cur = rows.map(_._2)
+    var maxDeg = 0
+    adj.foreach(a => if (a.length > maxDeg) maxDeg = a.length)
+    val buf = new Array[Long](maxDeg + 1)
+    var it = 0
+    while (it < iterations) {
+      val next = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val nbrs = adj(i)
+        var m = 0
+        while (m < nbrs.length) { buf(m) = cur(nbrs(m)); m += 1 }
+        buf(m) = cur(i); m += 1
+        java.util.Arrays.sort(buf, 0, m)
+        var bestLabel = buf(0)
+        var bestCnt = 1
+        var runLabel = buf(0)
+        var runCnt = 1
+        var k = 1
+        while (k < m) {
+          if (buf(k) == runLabel) runCnt += 1
+          else { runLabel = buf(k); runCnt = 1 }
+          if (runCnt > bestCnt) { bestCnt = runCnt; bestLabel = runLabel }
+          k += 1
+        }
+        next(i) = bestLabel
+        i += 1
+      }
+      cur = next
+      it += 1
     }
+    val out = (0 until n).groupBy(cur(_)).iterator.flatMap { case (_, members) =>
+      if (members.size >= minSize) {
+        val comm = members.iterator.map(ids).min
+        members.iterator.map(m => (ids(m), comm))
+      } else Iterator.empty
+    }.toSeq
+    out.toDF("node_id", "community").orderBy(col("node_id"))
   }
 
   private def communitiesEdgesImpl(undirected: DataFrame,
