@@ -113,4 +113,17 @@ object GraftFunctions {
   def shingleHashes(text: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       ShingleHashes(org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** Greedy MMR tag selection over (cands, sims) arrays in plain loops
+    * — exactly KeywordTags.mmrSelection's fold (see MmrSelect's
+    * scaladoc for the positional struct contract). Column-API only:
+    * the scalar parameters are constructor values.
+    */
+  def mmrSelect(cands: Column, sims: Column,
+                maxTags: Int, lambda: Double, maxSimSq: Double): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.MmrSelect(
+        org.apache.spark.sql.graft.Bridge.expression(cands),
+        org.apache.spark.sql.graft.Bridge.expression(sims),
+        maxTags, lambda, maxSimSq))
 }

@@ -122,13 +122,16 @@ object KeywordTags {
         concat(sel, transform(slice(reverse(array_sort(ranked)), 1, 1), b => b("term")))
       })
 
-  /** Run the fold over any (doc_id, cands, sims) frame — also fed the
-    * reference's own select_tags test vectors by the parity specs.
+  /** Run the selection over any (doc_id, cands, sims) frame — also fed
+    * the reference's own select_tags test vectors by the parity specs.
+    * Uses the native MmrSelect expression (plain loops); the column
+    * fold above stays as its equality twin, KeywordTagsSpec-pinned.
     */
   def selectTagsDf(perDoc: DataFrame, maxTags: Int = 5,
                    lambda: Double = 0.7, maxSimSq: Double = 0.64): DataFrame =
     perDoc
-      .select(col("doc_id"), posexplode(mmrSelection(maxTags, lambda, maxSimSq)).as(Seq("ti", "tag")))
+      .select(col("doc_id"), posexplode(graft.GraftFunctions.mmrSelect(
+        col("cands"), col("sims"), maxTags, lambda, maxSimSq)).as(Seq("ti", "tag")))
       .select(col("doc_id"), (col("ti") + 1).cast("int").as("tag_rank"), col("tag"))
       .orderBy(col("doc_id"), col("tag_rank"))
 

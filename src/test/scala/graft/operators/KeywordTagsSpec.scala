@@ -161,4 +161,19 @@ class KeywordTagsSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.values.exists(_.size > 1),
       "corpus must produce multi-tag docs (non-vacuous)")
   }
+
+  // The native MmrSelect expression must equal the higher-order column
+  // fold it replaced, per doc per rank, on the real corpus inputs.
+  test("MMR: native expression equals the column fold on the corpus") {
+    import org.apache.spark.sql.functions._
+    val inputs = KeywordTags.keywordTagInputs(spark, sfDir).localCheckpoint()
+    val viaExpr = inputs.select(col("doc_id"),
+      graft.GraftFunctions.mmrSelect(col("cands"), col("sims"), 5, 0.7, 0.64).as("tags"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaFold = inputs.select(col("doc_id"),
+      KeywordTags.mmrSelection(5, 0.7, 0.64).as("tags"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaExpr == viaFold,
+      s"first diff: ${viaExpr.find { case (k, v) => viaFold.get(k) != Some(v) }}")
+  }
 }
