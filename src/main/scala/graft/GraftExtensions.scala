@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import org.apache.spark.sql.graft.{CosineSimilarity, ShingleHashes, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.graft.{CosineSimilarity, GramCounts, ShingleHashes, SimHash64, SortedIntersectCount}
 
 /** Session extension entry point: register graft's native expressions.
   *
@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ShingleHashes.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleHashes(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_counts"),
+      GramCounts.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GramCounts(children(0))))
   }
 }
 
@@ -59,6 +64,11 @@ object GraftFunctions {
       "graft_shingle_hashes",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleHashes(children(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_counts",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GramCounts(children(0)),
       "built-in")
   }
 
@@ -119,6 +129,15 @@ object GraftFunctions {
     * scaladoc for the positional struct contract). Column-API only:
     * the scalar parameters are constructor values.
     */
+  /** Per-document character 3-gram counts as sorted (g, cnt) structs —
+    * exploding it equals the explode-every-occurrence + groupBy-count
+    * formulation, with the aggregation inside the scan (see
+    * GramCounts' scaladoc).
+    */
+  def gramCounts(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      GramCounts(org.apache.spark.sql.graft.Bridge.expression(text)))
+
   def mmrSelect(cands: Column, sims: Column,
                 maxTags: Int, lambda: Double, maxSimSq: Double): Column =
     org.apache.spark.sql.graft.Bridge.column(

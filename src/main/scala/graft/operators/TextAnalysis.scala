@@ -76,15 +76,16 @@ object TextAnalysis {
     */
   def langId(spark: SparkSession, dir: String, topGrams: Int = 40): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // One explode + ONE aggregation to per-doc gram counts — the
-    // profile (per-language rollup) and the per-doc distinct gram set
-    // both derive from this far smaller frame, so the text is scanned
-    // and exploded once instead of twice and the doc-gram `distinct`
-    // shuffle disappears (its keys are this groupBy's keys).
+    // Per-doc gram counts from the graft_gram_counts expression — the
+    // aggregation happens inside the scan projection, so only DISTINCT
+    // grams per document leave the scan (the previous explode + groupBy
+    // shuffled one row per character of the corpus; TextAnalysisSpec
+    // pins equality of the two formulations). The profile and the
+    // per-doc gram set both derive from this frame.
     val docGrams = docs.select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substr(text, i, 3))")).as("g"))
-      .groupBy(col("doc_id"), col("lang"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
+        explode(graft.GraftFunctions.gramCounts(col("text"))).as("gc"))
+      .select(col("doc_id"), col("lang"),
+        col("gc.g").as("g"), col("gc.cnt").as("cnt"))
       .localCheckpoint()
 
     // Per-language profile: top trigrams by frequency (deterministic tiebreak).

@@ -50,4 +50,27 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     a.foreach(r => assert(langs.contains(r.getString(1))))
   }
+
+  // graft_gram_counts (in-scan aggregation) must equal the
+  // explode-every-occurrence + groupBy-count formulation it replaced,
+  // on the corpus plus short/multibyte corner strings.
+  test("lang_id: gram-count expression equals the explode+groupBy form") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .unionByName(Seq((90001L, ""), (90002L, "a"), (90003L, "ab"),
+        (90004L, "abc"), (90005L, "ααβγ"), (90006L, "aaaa"), (90007L, "a🙂b🙂c"))
+        .toDF("doc_id", "text"))
+    val viaExpr = corpus
+      .select(col("doc_id"),
+        explode(graft.GraftFunctions.gramCounts(col("text"))).as("gc"))
+      .select(col("doc_id"), col("gc.g").as("g"), col("gc.cnt").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaAgg = corpus
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substr(text, i, 3))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaExpr == viaAgg,
+      s"first diff: ${viaExpr.find { case (k, v) => viaAgg.get(k) != Some(v) }}")
+  }
 }
