@@ -4,6 +4,31 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Registered-dump lint: the driver's pandas canon crashes on
+    * array/map/struct/binary cells (r07 branch_switch — ndarray cells
+    * zeroed the whole entry), so complex types fail the dump fast with
+    * the operator name. Integral WIDTH is deliberately not linted: the
+    * driver canon upcasts int32→int64 (dozens of int-dumping frames
+    * pass its hash every round); the dtype hazard that actually bites
+    * is int-vs-float on the ORACLE side (DuckDB HUGEINT sums), policed
+    * by scripts/check_oracle.py's dtype-parity assertion.
+    */
+  private[graft] def lintSchema(name: String,
+                                df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    val bad = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] ||
+        f.dataType == BinaryType =>
+        s"${f.name}: ${f.dataType.simpleString} (stringify before dump)"
+    }
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"registered dump '$name' violates the dump contract — ${bad.mkString("; ")}")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,27 +44,6 @@ object Verify {
     // (the driver gate always runs unfiltered).
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // Registered-dump lint: the driver's pandas canon crashes on
-    // array/map/struct/binary cells (r07 branch_switch — ndarray cells
-    // zeroed the whole entry), so complex types fail the dump fast with
-    // the operator name. Integral WIDTH is deliberately not linted: the
-    // driver canon upcasts int32→int64 (dozens of int-dumping frames
-    // pass its hash every round); the dtype hazard that actually bites
-    // is int-vs-float on the ORACLE side (DuckDB HUGEINT sums), policed
-    // by scripts/check_oracle.py's dtype-parity assertion.
-    def lintSchema(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      import org.apache.spark.sql.types._
-      val bad = df.schema.fields.collect {
-        case f if f.dataType.isInstanceOf[ArrayType] ||
-          f.dataType.isInstanceOf[MapType] ||
-          f.dataType.isInstanceOf[StructType] ||
-          f.dataType == BinaryType =>
-          s"${f.name}: ${f.dataType.simpleString} (stringify before dump)"
-      }
-      if (bad.nonEmpty)
-        throw new IllegalStateException(
-          s"registered dump '$name' violates the dump contract — ${bad.mkString("; ")}")
-    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
