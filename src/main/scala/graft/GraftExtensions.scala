@@ -145,4 +145,17 @@ object GraftFunctions {
         org.apache.spark.sql.graft.Bridge.expression(cands),
         org.apache.spark.sql.graft.Bridge.expression(sims),
         maxTags, lambda, maxSimSq))
+
+  /** Keyword→basket assignment over (cands, sims, tags) arrays in one
+    * pass — exactly the three-join + rank-window relational form (see
+    * BasketAssign's scaladoc). Column-API only.
+    */
+  def basketAssign(cands: Column, sims: Column, tags: Column,
+                   minSimSq: Double): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.BasketAssign(
+        org.apache.spark.sql.graft.Bridge.expression(cands),
+        org.apache.spark.sql.graft.Bridge.expression(sims),
+        org.apache.spark.sql.graft.Bridge.expression(tags),
+        minSimSq))
 }

@@ -157,37 +157,18 @@ object KeywordTags {
                      maxCandidates: Int = 12, maxTags: Int = 5,
                      lambda: Double = 0.7, maxSimSq: Double = 0.64,
                      minSimSq: Double = 0.16): DataFrame = {
-    val perDoc = keywordTagInputs(spark, dir, maxCandidates).localCheckpoint()
-    val tags = selectTagsDf(perDoc, maxTags, lambda, maxSimSq)
-    val cands = perDoc
-      .select(col("doc_id"), explode(col("cands")).as("c"))
-      .select(col("doc_id"), col("c.term").as("keyword"))
-    val sims = perDoc
-      .select(col("doc_id"), explode(col("sims")).as("p"))
-      .select(col("doc_id"), col("p.ta").as("ta"), col("p.tb").as("tb"), col("p.s").as("s"))
-    val kws = cands.join(tags.select(col("doc_id"), col("tag").as("keyword")),
-      Seq("doc_id", "keyword"), "left_anti")
-    // least/greatest normalizes the lookup to the ta < tb convention of
-    // the stored doc-local pairs; explicit aliases keep the shared
-    // perDoc lineage unambiguous
-    val scored = kws.as("k")
-      .join(tags.as("t"), col("k.doc_id") === col("t.doc_id"), "left")
-      .join(sims.as("sm"),
-        col("k.doc_id") === col("sm.doc_id") &&
-          least(col("k.keyword"), col("t.tag")) === col("sm.ta") &&
-          greatest(col("k.keyword"), col("t.tag")) === col("sm.tb"),
-        "left")
-      .select(col("k.doc_id").as("doc_id"), col("k.keyword").as("keyword"),
-        col("t.tag").as("tag"), col("t.tag_rank").as("tag_rank"),
-        coalesce(col("sm.s"), lit(0.0)).as("s"))
-    val w = Window.partitionBy(col("doc_id"), col("keyword"))
-      .orderBy(col("s").desc, col("tag_rank"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("keyword"),
-        when(col("tag").isNull || col("s") < minSimSq, lit("misc"))
-          .otherwise(col("tag")).as("basket"))
+    // Selection and assignment both run as native expressions over the
+    // SAME per-doc row — no explode/join/window round trips (the
+    // previous three-join + rank-window form is BasketAssign's
+    // documented equality twin; KeywordTagsSpec's driver model and the
+    // keyword_baskets oracle pin the output).
+    keywordTagInputs(spark, dir, maxCandidates)
+      .withColumn("tags", graft.GraftFunctions.mmrSelect(
+        col("cands"), col("sims"), maxTags, lambda, maxSimSq))
+      .select(col("doc_id"), explode(graft.GraftFunctions.basketAssign(
+        col("cands"), col("sims"), col("tags"), minSimSq)).as("kb"))
+      .select(col("doc_id"), col("kb.keyword").as("keyword"),
+        col("kb.basket").as("basket"))
       .orderBy(col("doc_id"), col("keyword"))
   }
 }
