@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import org.apache.spark.sql.graft.{CosineSimilarity, GramCounts, ShingleHashes, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.graft.{CosineSimilarity, GramCounts, IntArrayMatchCount, ShingleHashes, SimHash64, SortedIntersectCount}
 
 /** Session extension entry point: register graft's native expressions.
   *
@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GramCounts.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GramCounts(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_int_array_match_count"),
+      IntArrayMatchCount.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        IntArrayMatchCount(children(0), children(1))))
   }
 }
 
@@ -69,6 +74,11 @@ object GraftFunctions {
       "graft_gram_counts",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GramCounts(children(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_int_array_match_count",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        IntArrayMatchCount(children(0), children(1)),
       "built-in")
   }
 
@@ -137,6 +147,16 @@ object GraftFunctions {
   def gramCounts(text: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       GramCounts(org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** Positions where two int arrays agree (over the shorter length) —
+    * equals `size(filter(zip_with(a, b, _ === _), m => m))` on
+    * equal-length null-free arrays, allocation-free.
+    */
+  def intArrayMatchCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      IntArrayMatchCount(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
 
   def mmrSelect(cands: Column, sims: Column,
                 maxTags: Int, lambda: Double, maxSimSq: Double): Column =

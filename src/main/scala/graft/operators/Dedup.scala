@@ -159,11 +159,16 @@ object Dedup {
     // exact set intersection.
     val nSig = bands * rowsPerBand
     val estThreshold = jaccardThreshold - 0.15
+    // Agreement count via the allocation-free match-count expression —
+    // the composed size(filter(zip_with(...))) materializes two arrays
+    // per candidate pair under interpreted lambda evaluation, and this
+    // runs once per pair (millions at sf0.1; NativeExpressionPropSpec
+    // pins equality).
     val estimated = candidates
       .join(sig.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
       .withColumn("est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+        graft.GraftFunctions.intArrayMatchCount(col("sig_a"), col("sig_b"))
           .cast("double") / nSig)
       .filter(col("est") >= estThreshold)
       .select(col("a"), col("b"))

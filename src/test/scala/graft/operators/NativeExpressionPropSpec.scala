@@ -104,6 +104,24 @@ class NativeExpressionPropSpec extends SparkSpec {
     assert(bad.isEmpty, s"first: ${bad.headOption}")
   }
 
+  test("int array match count equals size(filter(zip_with)) on random int arrays") {
+    val arrGen = for {
+      n <- Gen.chooseNum(0, 40)
+      vs <- Gen.listOfN(n, Gen.chooseNum(0, 5))
+    } yield vs
+    // same-length pairs (the operator contract) plus shared prefixes
+    val rows = sample(arrGen, 200).zipWithIndex.map { case (a, i) =>
+      val b = a.map(v => if (rng.nextBoolean()) v else rng.nextInt(6))
+      (i.toLong, a, b)
+    }
+    val bad = rows.toDF("id", "a", "b")
+      .withColumn("e", GraftFunctions.intArrayMatchCount(col("a"), col("b")))
+      .withColumn("c", size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), m => m)))
+      .filter(col("e") =!= col("c"))
+      .collect()
+    assert(bad.isEmpty, s"first: ${bad.headOption}")
+  }
+
   test("MmrSelect equals the column fold on random candidate/sim inputs") {
     val termGen = Gen.oneOf("t1", "t2", "t3", "t4", "t5", "t6", "t7", "t8")
     val candsGen = for {
