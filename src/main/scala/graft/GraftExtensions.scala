@@ -134,11 +134,6 @@ object GraftFunctions {
     org.apache.spark.sql.graft.Bridge.column(
       ShingleHashes(org.apache.spark.sql.graft.Bridge.expression(text)))
 
-  /** Greedy MMR tag selection over (cands, sims) arrays in plain loops
-    * — exactly KeywordTags.mmrSelection's fold (see MmrSelect's
-    * scaladoc for the positional struct contract). Column-API only:
-    * the scalar parameters are constructor values.
-    */
   /** Per-document character 3-gram counts as sorted (g, cnt) structs —
     * exploding it equals the explode-every-occurrence + groupBy-count
     * formulation, with the aggregation inside the scan (see
@@ -158,6 +153,11 @@ object GraftFunctions {
         org.apache.spark.sql.graft.Bridge.expression(a),
         org.apache.spark.sql.graft.Bridge.expression(b)))
 
+  /** Greedy MMR tag selection over (cands, sims) arrays in plain loops
+    * — exactly KeywordTags.mmrSelection's fold (see MmrSelect's
+    * scaladoc for the positional struct contract). Column-API only:
+    * the scalar parameters are constructor values.
+    */
   def mmrSelect(cands: Column, sims: Column,
                 maxTags: Int, lambda: Double, maxSimSq: Double): Column =
     org.apache.spark.sql.graft.Bridge.column(

@@ -79,6 +79,7 @@ object SparkEntry {
     "doc_references"   -> ((s, d) => DocReferences.docReferences(s, d)),
     "code_comments"    -> ((s, d) => Comments.codeComments(s, d)),
     "doc_elaborates"   -> ((s, d) => Elaborates.docElaborates(s, d)),
+    "doc_elaborates_adjacent" -> ((s, d) => Elaborates.docElaboratesAdjacent(s, d)),
     "project_groups"   -> ((s, d) => Grouping.projectGroups(s, d)),
     "workspace_detect" -> ((s, d) => WorkspaceDetection.workspaceDetect(s, d)),
     "affinity_groups"  -> ((s, d) => Grouping.affinityGroups(s, d)),
@@ -999,6 +1000,63 @@ object SparkEntry {
       |    CASE WHEN op = 'deleted' THEN CAST(NULL AS VARCHAR) ELSE new_content END,
       |    old_content
       |  FROM pairs)""".stripMargin
+
+  /** Shared COVERS_TOPIC CTE chain for the two elaborates oracles: the
+    * doc_sections depth pipeline down to `covers(source_node_id,
+    * concept_id, ord)`. Kept as ONE val so the full and adjacent
+    * oracle shapes can never drift from each other's depth axis.
+    */
+  private val elaboratesCoversCte: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    '# Overview' || chr(10) || substr(text, 1, 80) ||
+      |    chr(10) || '## Usage' || chr(10) || substr(text, 81, 400) ||
+      |    chr(10) || '## Math Appendix' || chr(10) || '```' || chr(10) ||
+      |    'code sample $x$' || chr(10) || '```' || chr(10) ||
+      |    'The value $y$ is defined above. ' || repeat(substr(text, 1, 150), 5) AS content
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, ls, unnest(ls) AS line,
+      |    generate_subscripts(ls, 1) AS lineno
+      |  FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM c)),
+      |h AS (
+      |  SELECT doc_id, ls, lineno
+      |  FROM l
+      |  WHERE regexp_matches(line, '^#{1,6}\s+.+$')
+      |    AND trim(regexp_extract(line, '^#{1,6}\s+(.+)$', 1)) <> ''),
+      |s AS (
+      |  SELECT doc_id, ls,
+      |    CAST(row_number() OVER w - 1 AS INTEGER) AS section_index,
+      |    lineno AS start_line,
+      |    coalesce(lead(lineno) OVER w - 1, len(ls)) AS end_line
+      |  FROM h
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY lineno)),
+      |t AS (
+      |  SELECT doc_id, section_index,
+      |    array_to_string(ls[start_line:end_line], chr(10)) AS st
+      |  FROM s),
+      |f AS (
+      |  SELECT doc_id, section_index,
+      |    len(list_filter(regexp_split_to_array(st, '\s+'), x -> x <> '')) AS words,
+      |    length(st) AS chars,
+      |    contains(st, '```') AS code,
+      |    (contains(st, '$') OR contains(st, '\(')) AS eq,
+      |    CASE WHEN len(list_filter(regexp_split_to_array(st, '\s+'), x -> x <> '')) > 0
+      |      THEN len(list_filter(regexp_split_to_array(st, '\s+'),
+      |        x -> x <> '' AND (contains(x, '_') OR contains(x, '::') OR
+      |          contains(x, '->') OR contains(x, '.') OR
+      |          regexp_matches(x, '^[A-Z]{3,}$') OR regexp_matches(x, '[a-z][A-Z]'))))::DOUBLE
+      |        / len(list_filter(regexp_split_to_array(st, '\s+'), x -> x <> ''))
+      |      ELSE 0.0 END AS tech
+      |  FROM t),
+      |covers AS (
+      |  SELECT 'sec:' || doc_id || ':' || section_index AS source_node_id,
+      |    'concept-' || (doc_id % 60) AS concept_id,
+      |    CASE WHEN words < 50 THEN 4
+      |         WHEN words > 2000 OR (code AND eq) OR tech > 0.3 THEN 3
+      |         WHEN chars < 200 AND tech < 0.1 THEN 0
+      |         ELSE 1 END AS ord
+      |  FROM f)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "line_diff" ->
@@ -3073,71 +3131,36 @@ object SparkEntry {
     // ELABORATES twin (elaborates_maintenance.rs): the doc_sections
     // depth CTEs feed COVERS_TOPIC records; per concept, every
     // shallower node links to every deeper node by the DepthLevel
-    // ordinal (qualitative 0 ... reference 4).
+    // ordinal (qualitative 0 ... reference 4) — the reference's FULL
+    // pair enumeration, pinned edge-for-edge.
     "doc_elaborates" ->
-      """WITH c AS (
-        |  SELECT doc_id,
-        |    '# Overview' || chr(10) || substr(text, 1, 80) ||
-        |    chr(10) || '## Usage' || chr(10) || substr(text, 81, 400) ||
-        |    chr(10) || '## Math Appendix' || chr(10) || '```' || chr(10) ||
-        |    'code sample $x$' || chr(10) || '```' || chr(10) ||
-        |    'The value $y$ is defined above. ' || repeat(substr(text, 1, 150), 5) AS content
-        |  FROM documents),
-        |l AS (
-        |  SELECT doc_id, ls, unnest(ls) AS line,
-        |    generate_subscripts(ls, 1) AS lineno
-        |  FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM c)),
-        |h AS (
-        |  SELECT doc_id, ls, lineno
-        |  FROM l
-        |  WHERE regexp_matches(line, '^#{1,6}\s+.+$')
-        |    AND trim(regexp_extract(line, '^#{1,6}\s+(.+)$', 1)) <> ''),
-        |s AS (
-        |  SELECT doc_id, ls,
-        |    CAST(row_number() OVER w - 1 AS INTEGER) AS section_index,
-        |    lineno AS start_line,
-        |    coalesce(lead(lineno) OVER w - 1, len(ls)) AS end_line
-        |  FROM h
-        |  WINDOW w AS (PARTITION BY doc_id ORDER BY lineno)),
-        |t AS (
-        |  SELECT doc_id, section_index,
-        |    array_to_string(ls[start_line:end_line], chr(10)) AS st
-        |  FROM s),
-        |f AS (
-        |  SELECT doc_id, section_index,
-        |    len(list_filter(regexp_split_to_array(st, '\s+'), x -> x <> '')) AS words,
-        |    length(st) AS chars,
-        |    contains(st, '```') AS code,
-        |    (contains(st, '$') OR contains(st, '\(')) AS eq,
-        |    CASE WHEN len(list_filter(regexp_split_to_array(st, '\s+'), x -> x <> '')) > 0
-        |      THEN len(list_filter(regexp_split_to_array(st, '\s+'),
-        |        x -> x <> '' AND (contains(x, '_') OR contains(x, '::') OR
-        |          contains(x, '->') OR contains(x, '.') OR
-        |          regexp_matches(x, '^[A-Z]{3,}$') OR regexp_matches(x, '[a-z][A-Z]'))))::DOUBLE
-        |        / len(list_filter(regexp_split_to_array(st, '\s+'), x -> x <> ''))
-        |      ELSE 0.0 END AS tech
-        |  FROM t),
-        |covers AS (
-        |  SELECT 'sec:' || doc_id || ':' || section_index AS source_node_id,
-        |    'concept-' || (doc_id % 60) AS concept_id,
-        |    CASE WHEN words < 50 THEN 4
-        |         WHEN words > 2000 OR (code AND eq) OR tech > 0.3 THEN 3
-        |         WHEN chars < 200 AND tech < 0.1 THEN 0
-        |         ELSE 1 END AS ord
-        |  FROM f),
-        |nx AS (
-        |  SELECT concept_id, ord,
-        |    lead(ord) OVER (PARTITION BY concept_id ORDER BY ord) AS next_ord
-        |  FROM (SELECT DISTINCT concept_id, ord FROM covers))
-        |SELECT '__global__' AS tenant_id, a.concept_id,
-        |  a.source_node_id AS shallow_id, b.source_node_id AS deep_id,
-        |  'elaborates' AS edge_type, 'elaborates_task' AS source_file
-        |FROM covers a
-        |JOIN nx ON a.concept_id = nx.concept_id AND a.ord = nx.ord
-        |  AND nx.next_ord IS NOT NULL
-        |JOIN covers b
-        |  ON b.concept_id = a.concept_id AND b.ord = nx.next_ord
-        |ORDER BY a.concept_id, shallow_id, deep_id""".stripMargin,
+      (elaboratesCoversCte + "\n" +
+        """SELECT '__global__' AS tenant_id, a.concept_id,
+          |  a.source_node_id AS shallow_id, b.source_node_id AS deep_id,
+          |  'elaborates' AS edge_type, 'elaborates_task' AS source_file
+          |FROM covers a
+          |JOIN covers b
+          |  ON b.concept_id = a.concept_id AND a.ord < b.ord
+          |ORDER BY a.concept_id, shallow_id, deep_id""".stripMargin),
+    // Depth-ADJACENT storage form of the same relation (the 100× scale
+    // lever): each node links only to the next depth ordinal actually
+    // present in its concept; the transitive closure regenerates the
+    // full doc_elaborates set exactly (ElaboratesSpec).
+    "doc_elaborates_adjacent" ->
+      (elaboratesCoversCte + ",\n" +
+        """nx AS (
+          |  SELECT concept_id, ord,
+          |    lead(ord) OVER (PARTITION BY concept_id ORDER BY ord) AS next_ord
+          |  FROM (SELECT DISTINCT concept_id, ord FROM covers))
+          |SELECT '__global__' AS tenant_id, a.concept_id,
+          |  a.source_node_id AS shallow_id, b.source_node_id AS deep_id,
+          |  'elaborates' AS edge_type, 'elaborates_task' AS source_file
+          |FROM covers a
+          |JOIN nx ON a.concept_id = nx.concept_id AND a.ord = nx.ord
+          |  AND nx.next_ord IS NOT NULL
+          |JOIN covers b
+          |  ON b.concept_id = a.concept_id AND b.ord = nx.next_ord
+          |ORDER BY a.concept_id, shallow_id, deep_id""".stripMargin),
     // CodeComment + comment-EXPLAINS twin (comments.rs): gaps-and-islands
     // comment runs, prefix stripping, the extract_symbol_name CASE chain
     // (including its return-early keyword arms), the 5-candidate-line

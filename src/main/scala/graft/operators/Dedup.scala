@@ -23,12 +23,20 @@ import graft.functions.VectorFunctions._
 object Dedup {
 
   /** Exact dedup via content hash: every doc maps to the min doc_id of
-    * its md5 group. One groupBy shuffle on a 16-byte key.
+    * its md5 group. One groupBy shuffle on a 16-byte key. The grouping
+    * key pairs the digest with the text LENGTH: chosen-prefix md5
+    * collisions are practically constructible, and a 100 TB web corpus
+    * can contain adversarial content — two colliding docs of different
+    * length stay distinct (the dumped `content_hash` column is still
+    * the bare digest; only the canonical grouping is hardened, so the
+    * output changes only in the presence of an actual collision).
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("content_hash"))
-      .withColumn("canonical_id", min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+      .select(col("doc_id"), md5(col("text")).as("content_hash"),
+        length(col("text")).as("clen"))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy(col("content_hash"), col("clen"))))
       .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
       .select(col("doc_id"), col("content_hash"), col("canonical_id"), col("is_dup"))
       .orderBy(col("doc_id"))
@@ -80,9 +88,18 @@ object Dedup {
     // DedupSpec locks the equivalence). At 100 TB exact-dup clusters
     // are massive and this removes their k² share from every LSH
     // stage; the slim (doc_id, rep) map is the only full-corpus frame.
+    // Group key = (md5, length): an adversarial chosen-prefix md5
+    // collision between two distinct documents would otherwise merge
+    // them into one hash group, suppress their real LSH comparison, and
+    // fabricate jaccard=1.0 pairs for every group member. md5
+    // collisions preserve length only when constructed to, so the
+    // length pairing closes the practical attack at zero extra cost
+    // (both values are computed in the same scan projection).
     val members = corpus
-      .select(col("doc_id"), md5(col("text")).as("ch"))
-      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("ch"))))
+      .select(col("doc_id"), md5(col("text")).as("ch"),
+        length(col("text")).as("clen"))
+      .withColumn("rep",
+        min(col("doc_id")).over(Window.partitionBy(col("ch"), col("clen"))))
       .select(col("doc_id"), col("rep"))
       .localCheckpoint()
     // Shingles are hashed to longs up front: the minhash family and the

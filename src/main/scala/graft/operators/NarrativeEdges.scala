@@ -290,25 +290,43 @@ object Elaborates {
         lit("elaborates_task").as("source_file"))
   }
 
-  /** doc_elaborates query: COVERS_TOPIC edges derived from the
-    * doc_sections axis — each section covers a deterministic concept
-    * (doc_id % 60) at ITS OWN estimated depth, so the depth mix
-    * (reference overviews, introductory bodies, rigorous appendixes)
-    * produces real shallow→deep structure per concept.
-    *
-    * Materializes the depth-ADJACENT edge set (the closure-equivalent
-    * storage form, ElaboratesSpec-locked against the full set); the
-    * reference's full enumeration stays available as `elaboratesOf`.
+  /** The COVERS_TOPIC frame both elaborates queries derive from: each
+    * doc_sections row covers a deterministic concept (doc_id % 60) at
+    * ITS OWN estimated depth, so the depth mix (reference overviews,
+    * introductory bodies, rigorous appendixes) produces real
+    * shallow→deep structure per concept.
     */
-  def docElaborates(spark: SparkSession, dir: String): DataFrame = {
-    val covers = Narrative.docSections(spark, dir).select(
+  private def coversFrame(spark: SparkSession, dir: String): DataFrame =
+    Narrative.docSections(spark, dir).select(
       concat(lit("sec:"), col("doc_id"), lit(":"), col("section_index"))
         .as("source_node_id"),
       concat(lit("concept-"), (col("doc_id") % 60).cast("string")).as("concept_id"),
       col("depth"))
-    elaboratesAdjacentOf(covers)
+
+  /** doc_elaborates query: the reference's FULL enumeration — per
+    * concept, every shallower node × every deeper node
+    * (elaborates_maintenance.rs:150 generate_elaborates_edges inserts
+    * all ordinal pairs). This is the registered/oracle shape so the
+    * harness pins reference parity edge-for-edge; the depth-ADJACENT
+    * storage optimization is the SEPARATE `doc_elaborates_adjacent`
+    * query below.
+    */
+  def docElaborates(spark: SparkSession, dir: String): DataFrame =
+    elaboratesOf(coversFrame(spark, dir))
       .orderBy(col("concept_id"), col("shallow_id"), col("deep_id"))
-  }
+
+  /** doc_elaborates_adjacent query: the depth-ADJACENT materialization
+    * of the same relation — the 100× scale lever (SURVEY §4). The
+    * transitive closure of this edge set regenerates the full
+    * `docElaborates` pair set exactly (ElaboratesSpec locks the
+    * closure equivalence, including ordinal-gap bridging), so a 100 TB
+    * deployment stores this form and closes on demand; stored volume
+    * drops from Σ level-pair products to Σ adjacent level-pair
+    * products (1.106M → 833k edges at sf0.1).
+    */
+  def docElaboratesAdjacent(spark: SparkSession, dir: String): DataFrame =
+    elaboratesAdjacentOf(coversFrame(spark, dir))
+      .orderBy(col("concept_id"), col("shallow_id"), col("deep_id"))
 }
 
 /** REFERENCES_DOC edges from markdown cross-references

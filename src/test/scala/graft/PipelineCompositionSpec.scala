@@ -53,11 +53,10 @@ class PipelineCompositionSpec extends SparkSpec {
         standaloneExplains.map(_.toString).toSeq,
         "composed doc_explains must equal the standalone query")
 
-      // doc_elaborates' standalone entry derives sections through
-      // docSections (markdown-only, with depth); the composed form here
-      // covers the elaboratesAdjacentOf contract (the registered
-      // materialization since round 8) over an externally-supplied
-      // COVERS_TOPIC frame instead
+      // doc_elaborates_adjacent's standalone entry derives sections
+      // through docSections (markdown-only, with depth); the composed
+      // form here covers the elaboratesAdjacentOf contract over an
+      // externally-supplied COVERS_TOPIC frame instead
       val covers = Narrative.docSections(spark, sfDir).select(
         concat(lit("sec:"), col("doc_id"), lit(":"), col("section_index"))
           .as("source_node_id"),
@@ -65,7 +64,7 @@ class PipelineCompositionSpec extends SparkSpec {
         col("depth"))
       val composedElab = Elaborates.elaboratesAdjacentOf(covers)
         .orderBy(col("concept_id"), col("shallow_id"), col("deep_id")).collect()
-      val standaloneElab = Elaborates.docElaborates(spark, sfDir).collect()
+      val standaloneElab = Elaborates.docElaboratesAdjacent(spark, sfDir).collect()
       assert(composedElab.map(_.toString).toSeq ==
         standaloneElab.map(_.toString).toSeq,
         "composed doc_elaborates must equal the standalone query")
