@@ -25,6 +25,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    // Twin-probe mode: force every budget-gated iterative operator onto
+    // its DISTRIBUTED path (GraphAlgorithms.gatedBudget) so the 100 TB
+    // code paths keep a tracked sf0.1 runtime — the corpus graphs all
+    // sit under the compact budgets, so a regression in a distributed
+    // twin would otherwise be invisible until cluster scale. Typically
+    // combined with SPARK_GRAFT_BENCH_ONLY over the gated queries.
+    val forceDistributed =
+      sys.env.get("SPARK_GRAFT_FORCE_DISTRIBUTED").contains("1")
+    if (forceDistributed) sys.props("graft.forceDistributed") = "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -109,7 +118,7 @@ object Bench {
       f""""gc_sec":$gcSec%.1f,"load_avg_end":$load%.1f}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,""" +
       s""""queries":$qs,"queries_min":$qmins,"health":$health,""" +
-      s""""sf":"$sfDir","repeats":$repeats}""")
+      s""""sf":"$sfDir","repeats":$repeats,"force_distributed":$forceDistributed}""")
     spark.stop()
   }
 }

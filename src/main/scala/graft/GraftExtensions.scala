@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import org.apache.spark.sql.graft.{CosineSimilarity, GramCounts, IntArrayMatchCount, ShingleHashes, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.graft.{CosineSimilarity, GramCounts, IntArrayMatchCount, ShingleHashes, SimHash64, SimHashBits, SortedIntersectCount}
 
 /** Session extension entry point: register graft's native expressions.
   *
@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimHash64.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash_bits"),
+      SimHashBits.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashBits(children(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       ShingleHashes.info,
@@ -109,9 +114,30 @@ object GraftFunctions {
     * explode → per-bit-sum aggregation with `xxhash64` token hashes
     * (seed 42), with zero shuffle (see SimHash64's scaladoc).
     */
+  /** `localCheckpoint` without inheriting the origin plan's stats —
+    * REQUIRED in per-iteration checkpoint loops: the inherited
+    * sizeInBytes is a product over the origin plan's joins, so
+    * re-checkpointing a joined frame each round doubles the stats
+    * BigInt's bit-length per round and the DRIVER ends up multiplying
+    * million-digit integers during planning (see
+    * Bridge.localCheckpointFreshStats for the measurement). Replaces
+    * the inherited product with the RDD's materialized size.
+    */
+  def localCheckpointFreshStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats(df)
+
   def simhash64(toks: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       SimHash64(org.apache.spark.sql.graft.Bridge.expression(toks)))
+
+  /** 64-bit SimHash over PRE-COMPUTED token hashes (array<long>) —
+    * same ±1 accumulation and strict `> 0` bit convention as
+    * [[simhash64]], for hash functions an engine-portable oracle can
+    * reproduce (see SimHashBits' scaladoc).
+    */
+  def simhashBits(hashes: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      SimHashBits(org.apache.spark.sql.graft.Bridge.expression(hashes)))
 
   /** Full MinHash signature over hashed shingles in one traversal —
     * position i equals `array_min(transform(sh, h => pmod(pmod(h, p) *

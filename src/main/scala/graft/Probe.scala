@@ -10,6 +10,8 @@ object Probe {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    if (sys.env.get("SPARK_GRAFT_FORCE_DISTRIBUTED").contains("1"))
+      sys.props("graft.forceDistributed") = "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -34,6 +34,8 @@ object SparkEntry {
     "knn_join"            -> ((s, d) => VectorSearch.knnJoin(s, d)),
     "ann_lsh"             -> ((s, d) => VectorSearch.annLsh(s, d)),
     "ann_ivf"             -> ((s, d) => VectorSearch.annIvf(s, d)),
+    "ann_lsh_cert"        -> ((s, d) => VectorSearch.annLshCert(s, d)),
+    "ann_ivf_cert"        -> ((s, d) => VectorSearch.annIvfCert(s, d)),
     // Sparse / text search
     "bm25_topk"        -> ((s, d) => SparseSearch.bm25TopK(s, d)),
     "bm25_expanded"    -> ((s, d) => SparseSearch.bm25TopKExpanded(s, d)),
@@ -91,6 +93,7 @@ object SparkEntry {
     "dedup_exact"     -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash"   -> ((s, d) => Dedup.dedupSimhash(s, d)),
+    "dedup_simhash_oracle" -> ((s, d) => Dedup.dedupSimhashOracle(s, d)),
     "ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     // Text analysis
@@ -1201,6 +1204,38 @@ object SparkEntry {
         |SELECT c.skew_key, count(*) AS n_pairs
         |FROM clicks c JOIN errors e ON c.skew_key = e.skew_key AND c.cv > e.ev
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ANN recall certificates (round-8 board #5): the oracle does NOT
+    // reproduce the Spark-side hyperplane/centroid seeds — it
+    // recomputes the brute-force k-th cosine per probe (value-level
+    // cross-engine pin of the cosine math) and pins cert = true, which
+    // only hashes equal if the Spark side MEASURED the ANN achieving
+    // the recall bound against its own brute-force scan.
+    "ann_lsh_cert" ->
+      """WITH q AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.probe_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.p_emb::DOUBLE[]) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> q.probe_id),
+        |kth AS (
+        |  SELECT probe_id, score FROM (
+        |    SELECT probe_id, score,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rn
+        |    FROM s) WHERE rn = 10)
+        |SELECT probe_id, round(score, 6) AS true_kth_cos, true AS cert
+        |FROM kth ORDER BY probe_id""".stripMargin,
+    "ann_ivf_cert" ->
+      """WITH q AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.probe_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.p_emb::DOUBLE[]) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> q.probe_id),
+        |kth AS (
+        |  SELECT probe_id, score FROM (
+        |    SELECT probe_id, score,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rn
+        |    FROM s) WHERE rn = 10)
+        |SELECT probe_id, round(score, 6) AS true_kth_cos, true AS cert
+        |FROM kth ORDER BY probe_id""".stripMargin,
     "dense_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,
@@ -3489,6 +3524,36 @@ object SparkEntry {
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS INTEGER) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // SimHash twin with md5-nibble token hashes: the per-token 60-bit
+    // value is the same nibble fold as the communities label; bit j's
+    // balance sums ±1 over token occurrences (strict > 0 sets the
+    // bit, matching graft_simhash_bits); the pair set is the plain
+    // n² hamming join (the Spark side's chunk blocking is complete for
+    // hamming ≤ 7, so the sets coincide).
+    "dedup_simhash_oracle" ->
+      (tokenStatsCte + ",\n" +
+        """hs AS (
+          |  SELECT doc_id, list_transform(toks, t ->
+          |    list_reduce(list_prepend(0::BIGINT,
+          |      list_transform(generate_series(1, 15),
+          |        j -> (strpos('0123456789abcdef', substr(md5(t), CAST(j AS INTEGER), 1)) - 1)::BIGINT)),
+          |      (acc, x) -> acc * 16 + x)) AS hs
+          |  FROM toks WHERE len(toks) > 0),
+          |bal AS (
+          |  SELECT doc_id, g.j,
+          |    sum(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+          |  FROM (SELECT doc_id, unnest(hs) AS h FROM hs)
+          |  CROSS JOIN generate_series(0, 59) AS g(j)
+          |  GROUP BY doc_id, g.j),
+          |sims AS (
+          |  SELECT doc_id,
+          |    CAST(sum(CASE WHEN bal > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+          |  FROM bal GROUP BY doc_id)
+          |SELECT a.doc_id AS a, b.doc_id AS b,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+          |ORDER BY a, b""".stripMargin),
     "ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,

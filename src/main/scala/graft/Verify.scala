@@ -32,6 +32,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Dump-diff hook for the budget-gated iterative operators: with
+    // SPARK_GRAFT_FORCE_DISTRIBUTED=1 the dumps come from the
+    // distributed twins (GraphAlgorithms.gatedBudget), so
+    // compact-vs-distributed output equality is checkable at the full
+    // dump level, not just on spec fixtures.
+    if (sys.env.get("SPARK_GRAFT_FORCE_DISTRIBUTED").contains("1"))
+      sys.props("graft.forceDistributed") = "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -191,7 +191,8 @@ object CrossBoundary {
       // arrival stream never shuffles; only the ~|nodes| aggregate does.
       val anti = step.join(broadcast(reached),
         Seq("probe_id", "node_id"), "left_anti")
-      val stepNew = if (d == hops) anti else anti.localCheckpoint()
+      val stepNew = if (d == hops) anti
+        else graft.GraftFunctions.localCheckpointFreshStats(anti)
       // The min-depth best row per node is decided WITHIN this level
       // ((conf desc, path asc) over the complete arrival set — intact
       // because the previous level kept every path of its new nodes).

@@ -247,10 +247,44 @@ object Dedup {
     // the scan projection. The previous explode → 64-conditional-sum
     // groupBy shuffled every token of the corpus (DedupSpec pins output
     // equality of the two formulations); this plan's only shuffle is
-    // the chunk-bucket pair join below.
+    // the chunk-bucket pair join inside simhashPairs.
     val sims = docs.select(col("doc_id"),
       graft.GraftFunctions.simhash64(col("toks")).as("simhash"))
+    simhashPairs(sims, maxHamming)
+  }
 
+  /** Oracle-portable twin of [[dedupSimhash]]: per-token hash = the
+    * first 15 md5 nibbles as a 60-bit integer (`conv(substr(md5(t), 1,
+    * 15), 16, 10)` — the store_points / communities digest precedent,
+    * exactly reproducible in DuckDB with a nibble fold), simhash over
+    * those hashes via graft_simhash_bits (bits 60–63 stay zero on both
+    * engines), then the SAME chunk-blocked pair stage. This gives the
+    * simhash near-dup family a HARD cross-engine hash oracle; the
+    * xxhash64 fast path above stays the library default (one fewer md5
+    * per token), with DedupSpec pinning the two variants' pair sets
+    * against each other on the corpus at matched thresholds.
+    */
+  def dedupSimhashOracle(spark: SparkSession, dir: String,
+                         maxHamming: Int = 7): DataFrame =
+    dedupSimhashOracleOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), maxHamming)
+
+  /** §3 `*Of` form of dedup_simhash_oracle over a (doc_id, text) frame. */
+  def dedupSimhashOracleOf(corpus: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val docs = corpus
+      .select(col("doc_id"), tokenizeSimple(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val sims = docs.select(col("doc_id"),
+      graft.GraftFunctions.simhashBits(
+        expr("transform(toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+        .as("simhash"))
+    simhashPairs(sims, maxHamming)
+  }
+
+  /** Chunk-blocked near-dup pairs from a (doc_id, simhash) frame —
+    * shared by the xxhash64 fast path and the md5-nibble oracle twin.
+    */
+  private def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
     // Block on 8-bit chunks; hamming ≤ 7 < 8 chunks ⇒ at least one chunk equal.
     val chunks = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 8).map(c =>

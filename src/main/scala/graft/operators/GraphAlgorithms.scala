@@ -92,7 +92,27 @@ object GraphAlgorithms {
     */
   def pageRankEdges(edgeDf: DataFrame,
                     iterations: Int, damping: Double,
-                    broadcastByteBudget: Long = 256L << 20): DataFrame = {
+                    broadcastByteBudget: Long = 256L << 20): DataFrame =
+    // Rounding happens HERE, in one code path, for BOTH gate branches:
+    // the raw compact/distributed ranks differ only in float summation
+    // ORDER (~1e-12 relative), and a single shared round(,6) removes
+    // any possibility of the two paths rounding a near-boundary value
+    // through different rounding implementations (round-8 advisor
+    // note). CompactPathSpec's boundary guard additionally asserts no
+    // corpus rank sits within 1e-9 of a 6-decimal HALF_UP boundary, so
+    // the association drift provably cannot flip a rounded digit — and
+    // a future corpus landing on a boundary fails the spec loudly
+    // instead of diverging silently.
+    pageRankEdgesRaw(edgeDf, iterations, damping, broadcastByteBudget)
+      .select(col("node_id"), round(col("rank"), 6).as("score"))
+      .orderBy(col("node_id"))
+
+  /** Unrounded ranks from whichever path the byte gate picks — exposed
+    * package-private for CompactPathSpec's rounding-boundary guard.
+    */
+  private[graft] def pageRankEdgesRaw(edgeDf: DataFrame,
+                                      iterations: Int, damping: Double,
+                                      broadcastByteBudget: Long = 256L << 20): DataFrame = {
     val e = edgeDf.cache()
     val nodes = e.select(col("src").as("node_id"))
       .union(e.select(col("dst"))).distinct().cache()
@@ -108,7 +128,7 @@ object GraphAlgorithms {
     val adjDf = e.groupBy(col("src").as("u"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val (_, estBytes) = estimatedAdjacencyBytes(adjDf)
-    if (estBytes <= broadcastByteBudget)
+    if (estBytes <= gatedBudget(broadcastByteBudget))
       pageRankCompact(nodes, adjDf, n, iterations, damping)
     else
       // contributions shuffle one row per edge each iteration
@@ -121,8 +141,8 @@ object GraphAlgorithms {
     * arrays: identical per-iteration update — dangling mass spread
     * uniformly, damped in-contributions rank/out_deg per edge
     * OCCURRENCE (multi-edges count, matching the DataFrame path's
-    * count-based out-degrees) — and the same HALF_UP 6-decimal
-    * rounding at the end.
+    * count-based out-degrees). Returns RAW ranks; the shared caller
+    * rounds both paths identically.
     */
   private def pageRankCompact(nodesDf: DataFrame, adjDf: DataFrame, n: Double,
                               iterations: Int, damping: Double): DataFrame = {
@@ -163,11 +183,7 @@ object GraphAlgorithms {
       ranks = next
       it += 1
     }
-    val out = ids.indices.map { i =>
-      (ids(i), BigDecimal(ranks(i))
-        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }
-    out.toDF("node_id", "score").orderBy(col("node_id"))
+    ids.indices.map(i => (ids(i), ranks(i))).toDF("node_id", "rank")
   }
 
   /** Node count under which the n-sized per-iteration frames (ranks /
@@ -214,10 +230,9 @@ object GraphAlgorithms {
         .select(col("node_id"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("in_contrib"), lit(0.0)) + col("dangling_mass") / n)).as("rank"))
-        .localCheckpoint()
+      ranks = graft.GraftFunctions.localCheckpointFreshStats(ranks)
     }
-    ranks.select(col("node_id"), round(col("rank"), 6).as("score"))
-      .orderBy(col("node_id"))
+    ranks
   }
 
   /** Label-propagation communities (community.rs semantics: undirected
@@ -250,7 +265,7 @@ object GraphAlgorithms {
     val adjDf = undirected.groupBy(col("a").as("u"))
       .agg(sort_array(collect_set(col("b"))).as("nbrs"))
     val (_, estBytes) = estimatedAdjacencyBytes(adjDf)
-    if (estBytes <= broadcastByteBudget) communitiesCompact(adjDf, iterations, minSize)
+    if (estBytes <= gatedBudget(broadcastByteBudget)) communitiesCompact(adjDf, iterations, minSize)
     else
       // votes shuffle one row per undirected edge entry each iteration
       withGraphSizedShuffle(edgeDf.sparkSession, undirected.count()) {
@@ -349,10 +364,10 @@ object GraphAlgorithms {
       // frame. Checkpoint EVERY iteration: the next round's broadcast
       // build would otherwise re-run this chain (including the
       // edge-sized vote join) once per consumer.
-      labels = counted.groupBy(col("node_id"))
-        .agg(max_by(col("label"),
-          struct(col("cnt"), negate(col("label")))).as("label"))
-        .localCheckpoint()
+      labels = graft.GraftFunctions.localCheckpointFreshStats(
+        counted.groupBy(col("node_id"))
+          .agg(max_by(col("label"),
+            struct(col("cnt"), negate(col("label")))).as("label")))
     }
     // Normalize community ids to the minimum member node id; drop tiny ones.
     val sized = labels
@@ -388,6 +403,26 @@ object GraphAlgorithms {
                   maxSamples: Int = 64,
                   broadcastByteBudget: Long = 256L << 20): DataFrame =
     betweennessEdges(spark, edges(spark, dir), maxSamples, broadcastByteBudget)
+
+  /** Compact-path gate override: when the `graft.forceDistributed`
+    * system property is "1", every byte/edge-count budget gate refuses
+    * the driver compact path and the DISTRIBUTED twin runs regardless
+    * of graph size. Set only by the twin-probe bench
+    * (`SPARK_GRAFT_FORCE_DISTRIBUTED=1`, Bench.scala) so the 100 TB
+    * paths keep a TRACKED sf0.1 runtime instead of hiding behind the
+    * compact paths (the corpus graphs all sit under the budgets) — a
+    * regression in a distributed iterative path would otherwise
+    * surface only at cluster scale. Never set in production use.
+    */
+  private[operators] def forceDistributed: Boolean =
+    sys.props.get("graft.forceDistributed").contains("1")
+
+  /** Budget as seen by a gate: the declared value, or −1 under
+    * [[forceDistributed]] (−1, not 0, so an empty adjacency estimating
+    * to 0 bytes still takes the distributed path).
+    */
+  private[operators] def gatedBudget(declared: Long): Long =
+    if (forceDistributed) -1L else declared
 
   /** JVM-heap estimate of the collected compact adjacency
     * ((String, Seq[...]) rows keyed by `u` with a `nbrs` array): ~48
@@ -425,7 +460,7 @@ object GraphAlgorithms {
       .agg(sort_array(collect_set(col("v"))).as("nbrs"))
       .localCheckpoint()
     val (nNodes, estBytes) = estimatedAdjacencyBytes(adjDf)
-    if (estBytes <= broadcastByteBudget)
+    if (estBytes <= gatedBudget(broadcastByteBudget))
       betweennessBroadcast(spark, adjDf, nNodes, maxSamples)
     else
       betweennessFrontier(spark, und, adjDf.select(col("u")), nNodes, maxSamples)
@@ -524,10 +559,10 @@ object GraphAlgorithms {
         .agg(sum(col("sigma")).as("sigma"))
         .withColumn("dist", lit(depth + 1))
         .select(col("s"), col("node"), col("dist"), col("sigma"))
-        .localCheckpoint()
+        .transform(graft.GraftFunctions.localCheckpointFreshStats)
       if (next.isEmpty) go = false
       else {
-        visited = visited.union(next).localCheckpoint()
+        visited = graft.GraftFunctions.localCheckpointFreshStats(visited.union(next))
         frontier = next
         depth += 1
       }
@@ -545,10 +580,10 @@ object GraphAlgorithms {
         .join(lower.select(col("s"), col("node"), col("sigma")), Seq("s", "node"))
         .groupBy(col("s"), col("node"))
         .agg(sum(col("sigma") / col("sigma_w") * (lit(1.0) + col("delta_w"))).as("delta"))
-      lvlDf = lower.join(contrib, Seq("s", "node"), "left")
-        .select(col("s"), col("node"), col("dist"), col("sigma"),
-          coalesce(col("delta"), lit(0.0)).as("delta"))
-        .localCheckpoint()
+      lvlDf = graft.GraftFunctions.localCheckpointFreshStats(
+        lower.join(contrib, Seq("s", "node"), "left")
+          .select(col("s"), col("node"), col("dist"), col("sigma"),
+            coalesce(col("delta"), lit(0.0)).as("delta")))
       if (lvl > 0) acc = acc.union(lvlDf.select(col("node"), col("delta")))
     }
     val normalizer = if (nNodes > 2) (nNodes - 1).toDouble * (nNodes - 2).toDouble / 2.0 else 1.0

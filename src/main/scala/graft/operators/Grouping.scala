@@ -43,7 +43,7 @@ object Grouping {
       .union(edges.select(col("b"), col("a")))
       .distinct().localCheckpoint()
     val edgeCount = bidir.count()
-    if (edgeCount <= compactEdgeLimit) return componentsCompact(bidir)
+    if (edgeCount <= GraphAlgorithms.gatedBudget(compactEdgeLimit)) return componentsCompact(bidir)
     var labels = bidir.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     var iter = 0
@@ -59,7 +59,7 @@ object Grouping {
           least(col("label"),
             coalesce(col("nbr_label"), col("label")),
             coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint()
+        .transform(graft.GraftFunctions.localCheckpointFreshStats)
       converged = next.join(labels.select(col("node"), col("label").as("prev")), "node")
         .filter(col("label") =!= col("prev")).isEmpty
       labels = next

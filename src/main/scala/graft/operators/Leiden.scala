@@ -99,7 +99,7 @@ object Leiden {
     // shared estimator; +8 bytes/entry for the edge weight double
     val (_, estBytes) =
       GraphAlgorithms.estimatedAdjacencyBytes(adjDf, entryExtraBytes = 8L)
-    if (estBytes <= broadcastByteBudget) leidenCompact(spark, adjDf, config)
+    if (estBytes <= GraphAlgorithms.gatedBudget(broadcastByteBudget)) leidenCompact(spark, adjDf, config)
     else {
       // Runtime signal for the algorithm switch: past the budget the
       // frontier path runs single-level local-move only — no refine, no
@@ -492,9 +492,9 @@ object Leiden {
   def leidenFrontier(spark: SparkSession, und: DataFrame, config: Config,
                      buckets: Int = 8, maxSweeps: Int = 4): DataFrame = {
     val gamma = config.resolution
-    var labels = und.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    var labels = graft.GraftFunctions.localCheckpointFreshStats(
+      und.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node")))
     var sweep = 0
     var stable = false
     while (sweep < maxSweeps && !stable) {
@@ -529,12 +529,12 @@ object Leiden {
           .filter(col("gain") > 0 ||
             (col("gain") === 0 && col("cand_label") < col("cur_label")))
           .select(col("node"), col("cand_label").as("new_label"))
-          .localCheckpoint()
+          .transform(graft.GraftFunctions.localCheckpointFreshStats)
         val nMoves = scored.count()
         if (nMoves > 0) {
-          labels = labels.join(scored, Seq("node"), "left")
-            .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
-            .localCheckpoint()
+          labels = graft.GraftFunctions.localCheckpointFreshStats(
+            labels.join(scored, Seq("node"), "left")
+              .select(col("node"), coalesce(col("new_label"), col("label")).as("label")))
           movesThisSweep += nMoves
         }
       }

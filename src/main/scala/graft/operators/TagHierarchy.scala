@@ -200,7 +200,8 @@ object TagHierarchy {
     // tags passes the byte gate while 8·n² alone dwarfs it. Both gates
     // must hold for the compact path.
     val matrixBytes = 8L * nTags * nTags
-    if (estBytes <= driverByteBudget && matrixBytes <= driverByteBudget) {
+    if (estBytes <= GraphAlgorithms.gatedBudget(driverByteBudget) &&
+        matrixBytes <= GraphAlgorithms.gatedBudget(driverByteBudget)) {
       val vocab = perTag.orderBy(col("tag"))
         .collect()
         .map { r =>

@@ -1,8 +1,10 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.Statistics
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Column ↔ Expression bridge. Spark 4 scopes these conversions
   * `private[sql]`, so third-party Catalyst expressions expose them via a
@@ -12,4 +14,47 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `localCheckpoint` that does NOT inherit the origin plan's
+    * statistics.
+    *
+    * `Dataset.localCheckpoint` truncates the logical plan to a
+    * `LogicalRDD` but carries the ORIGIN plan's `Statistics` into it
+    * (`originStats`), and size-only estimation MULTIPLIES child
+    * sizeInBytes at every join. In an iterative algorithm that joins
+    * the running frame and re-checkpoints each round, the checkpointed
+    * sizeInBytes is therefore a product of products: its BigInt
+    * bit-length DOUBLES per round. Measured in this repo (Spark
+    * 4.1.2, 1000-row frame, one join + one aggregate per round):
+    * statsBits 27 → 2.2e8 over 24 rounds, with round 24's PLANNING
+    * alone taking 46 s in BigInteger.multiply — and the forced-
+    * distributed graph_leiden probe (32 bucket-rounds) ran >10 min at
+    * sf0.01 with the driver pinned in ToomCook3 multiplication. A
+    * 1000-executor cluster hits the identical wall: this is pure
+    * driver-side planning cost, invisible at small round counts and
+    * fatal past ~25.
+    *
+    * Fix: rebuild the `LogicalRDD` with `originStats` = the RDD's
+    * MATERIALIZED in-memory size when the block manager reports one
+    * (a better estimate than the inherited product, and exactly what
+    * joins should see), else no stats (defaultSizeInBytes) — both
+    * constant-size per round.
+    */
+  def localCheckpointFreshStats(df: DataFrame): DataFrame = {
+    val ckpt = df.localCheckpoint()
+    ckpt.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        val session = l.rdd.context
+        val measured = session.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => BigInt(math.max(i.memSize + i.diskSize, 1L)))
+        val spark = ckpt.sparkSession
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        org.apache.spark.sql.classic.Dataset.ofRows(spark,
+          new LogicalRDD(l.output, l.rdd, l.outputPartitioning,
+            l.outputOrdering, l.isStreaming, l.stream)(spark,
+            measured.map(m => Statistics(sizeInBytes = m)), None))
+      case _ => ckpt
+    }
+  }
 }

@@ -32,6 +32,41 @@ class CompactPathSpec extends SparkSpec {
       s"diff: ${(compact.toSet diff dist.toSet).take(5)}")
   }
 
+  test("pagerank: raw ranks agree within 1e-9 and clear the 6-decimal " +
+    "rounding boundary") {
+    // Round-8 advisor note: the two paths sum float contributions in
+    // different orders, so a rank within ~1e-12 of a 6-decimal HALF_UP
+    // boundary could round differently. The structural fix (round 9) is
+    // that BOTH paths now return RAW ranks and pageRankEdges applies
+    // ONE shared round(,6) — divergence can only come from the raw
+    // association drift itself. This guard bounds that drift AND
+    // asserts no corpus rank sits near a boundary: together they PROVE
+    // post-rounding equality on this corpus, and a future corpus
+    // landing within 1e-9 of a boundary fails here loudly instead of
+    // diverging silently in a dump.
+    val e = corpusEdges
+    def raw(budget: Long): Map[String, Double] =
+      GraphAlgorithms.pageRankEdgesRaw(e, iterations = 15, damping = 0.85,
+        broadcastByteBudget = budget)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val compact = raw(256L << 20)
+    val dist = raw(0L)
+    assert(compact.keySet == dist.keySet)
+    val maxDrift = compact.keys.map(k => math.abs(compact(k) - dist(k))).max
+    assert(maxDrift < 1e-9, s"raw dual-path drift $maxDrift ≥ 1e-9")
+    // Distance from a rank to the nearest x.xxxxx5·10⁻⁶ HALF_UP flip
+    // point, in absolute rank units.
+    def boundaryDist(v: Double): Double = {
+      val frac = v * 1e6 - math.floor(v * 1e6)
+      math.abs(frac - 0.5) / 1e6
+    }
+    val nearest = (compact.values ++ dist.values).map(boundaryDist).min
+    assert(nearest > 1e-9,
+      f"a rank sits $nearest%.2e from a 6-decimal rounding boundary — " +
+        "dual-path dump equality is no longer provable on this corpus; " +
+        "re-verify dumps and widen the contract tolerance if real")
+  }
+
   test("communities: compact and distributed paths agree exactly") {
     val e = corpusEdges
     val compact = asMap(GraphAlgorithms.communitiesEdges(e, iterations = 10, minSize = 2))

@@ -166,6 +166,70 @@ class DedupSpec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  // The md5-nibble oracle twin (dedup_simhash_oracle): the
+  // graft_simhash_bits expression must equal the explode → per-bit ±1
+  // sum → sign aggregation over the SAME md5-derived hashes,
+  // bit-for-bit, on the real corpus (the SimHash64 parity pin, for the
+  // precomputed-hash variant).
+  test("dedup_simhash_oracle: simhash_bits equals the aggregation formulation") {
+    import graft.functions.TextFunctions.tokenizeSimple
+    val hashExpr = "CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokenizeSimple(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val viaExpr = docs.select(col("doc_id"),
+      graft.GraftFunctions.simhashBits(
+        expr(s"transform(toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+        .as("simhash"))
+    val bitCols = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+    }
+    val viaAgg = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", expr(hashExpr))
+      .groupBy(col("doc_id"))
+      .agg(bitCols.head.as("b0"),
+        bitCols.tail.zipWithIndex.map { case (c, i) => c.as(s"b${i + 1}") }: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j))
+          .reduce(_ + _).as("simhash"))
+    val e = viaExpr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = viaAgg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e == a, s"first diff: ${e.find { case (k, v) => a.get(k) != Some(v) }}")
+  }
+
+  // Cross-variant contract, MEASURED (round-9 adjudication): the two
+  // hash families (xxhash64 fast path vs md5-nibble oracle path) agree
+  // wherever the signal is unambiguous — identical token MULTISETS
+  // give hamming 0 under both (simhash is order-invariant, so both
+  // must pair such docs) — but their hamming-≤7 pair sets legitimately
+  // DIFFER on borderline pairs (different random projections ⇒
+  // different noise: at sf0.01, 408 xxhash64 pairs vs 316 md5 pairs
+  // with 37 shared; at hamming ≤ 2, 13 vs 13 with 8 shared). The
+  // operator contract is per-hash-family; the oracle-gated registered
+  // variant is the md5 one, and this spec pins the unambiguous core
+  // rather than asserting an equivalence that is measurably false.
+  test("dedup_simhash variants: identical token multisets pair at hamming 0 in both") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta theta kappa"),
+      (2L, "zeta epsilon delta gamma beta alpha kappa theta"),
+      (3L, "alpha beta gamma delta epsilon omega sigma phi")
+    ).toDF("doc_id", "text")
+    val oraclePairs = Dedup.dedupSimhashOracleOf(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(oraclePairs.get((1L, 2L)) == Some(0),
+      s"md5 variant must pair the identical-multiset docs at 0: $oraclePairs")
+    // fast path: equal xxhash64 simhashes for the same multiset
+    import graft.functions.TextFunctions.tokenizeSimple
+    val sims = docs
+      .select(col("doc_id"), graft.GraftFunctions.simhash64(
+        tokenizeSimple(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(sims(1L) != sims(3L))
+  }
+
   test("dedup_embedding returns the 20 most-similar pairs ranked") {
     val rows = Dedup.dedupEmbedding(spark, sfDir).collect()
     assert(rows.length == 20)
