@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash"   -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_simhash_oracle" -> ((s, d) => Dedup.dedupSimhashOracle(s, d)),
+    "dedup_minhash_oracle" -> ((s, d) => Dedup.dedupMinhashOracle(s, d)),
     "ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     // Text analysis
@@ -1003,6 +1004,68 @@ object SparkEntry {
       |    CASE WHEN op = 'deleted' THEN CAST(NULL AS VARCHAR) ELSE new_content END,
       |    old_content
       |  FROM pairs)""".stripMargin
+
+  /** GENERATED DuckDB twin of dedup_minhash_oracle — built from the
+    * SAME seed-7 coefficient table as the Spark side
+    * (Dedup.minhashCoeffs), the generated-oracle precedent: the two
+    * engines cannot drift on the 36 universal-hash positions. Shingle
+    * hash = 15-nibble md5 fold (60-bit); band key = the 3 signature
+    * values as a string tuple; estimate cut at (threshold − 0.15);
+    * exact Jaccard on the distinct shingle-hash sets; exact-dup groups
+    * keyed (md5, length) with the pair set expanded through them.
+    */
+  private def dedupMinhashOracleSql: String = {
+    val coeffs = graft.operators.Dedup.minhashCoeffs(36)
+    val sigEntries = coeffs.map { case (a, b) =>
+      s"  list_min(list_transform(sh, h -> (h % 2147483647 * $a + $b) % 2147483647))"
+    }.mkString("[\n", ",\n", "\n] AS sig")
+    val bandKey = (1 to 3).map(r => s"CAST(sig[b.band*3+$r] AS VARCHAR)")
+      .mkString(" || ':' || ")
+    s"""WITH dd AS (
+       |  SELECT doc_id, text, md5(text) || ':' || length(text) AS ch FROM documents),
+       |grp AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ch) AS rep FROM dd),
+       |reps AS (SELECT d.doc_id, d.text FROM dd d
+       |         JOIN grp g ON g.doc_id = d.doc_id WHERE g.rep = d.doc_id),
+       |shl AS (SELECT doc_id,
+       |  list_sort(list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+       |    i -> list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(generate_series(1, 15),
+       |        j -> (strpos('0123456789abcdef', substr(md5(substr(text, i, 3)), CAST(j AS INTEGER), 1)) - 1)::BIGINT)),
+       |      (acc, x) -> acc * 16 + x)))) AS sh
+       |  FROM reps),
+       |docs AS (SELECT * FROM shl WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, $sigEntries FROM docs),
+       |bandk AS (
+       |  SELECT doc_id, b.band, $bandKey AS bucket
+       |  FROM sig, generate_series(0, 11) AS b(band)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bandk l JOIN bandk r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       |est AS (
+       |  SELECT c.a, c.b
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+       |  WHERE len(list_filter(generate_series(1, 36), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 36 >= 0.45),
+       |reppairs AS (
+       |  SELECT e.a AS ra, e.b AS rb,
+       |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |  FROM est e JOIN docs sa ON sa.doc_id = e.a JOIN docs sb ON sb.doc_id = e.b
+       |  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6),
+       |valid AS (SELECT g.doc_id, g.rep FROM grp g JOIN docs d ON d.doc_id = g.rep),
+       |dupgroups AS (SELECT DISTINCT rep FROM valid WHERE doc_id <> rep),
+       |grouped AS (SELECT v.doc_id, v.rep FROM valid v JOIN dupgroups dg ON dg.rep = v.rep),
+       |intra AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, 1.0::DOUBLE AS jaccard
+       |  FROM grouped x JOIN grouped y ON x.rep = y.rep AND x.doc_id < y.doc_id),
+       |crossp AS (
+       |  SELECT least(ma.doc_id, mb.doc_id) AS a, greatest(ma.doc_id, mb.doc_id) AS b, rp.jaccard
+       |  FROM reppairs rp JOIN valid ma ON ma.rep = rp.ra JOIN valid mb ON mb.rep = rp.rb)
+       |SELECT a, b, round(jaccard, 4) AS jaccard
+       |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
+       |ORDER BY a, b""".stripMargin
+  }
 
   /** Shared COVERS_TOPIC CTE chain for the two elaborates oracles: the
     * doc_sections depth pipeline down to `covers(source_node_id,
@@ -3554,6 +3617,7 @@ object SparkEntry {
           |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
           |ORDER BY a, b""".stripMargin),
+    "dedup_minhash_oracle" -> dedupMinhashOracleSql,
     "ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -3855,6 +3919,77 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY label) AS csize
         |  FROM final)
         |SELECT node AS node_id, community FROM sized WHERE csize >= 2
+        |ORDER BY node_id""".stripMargin,
+    // Brandes betweenness as recursive CTEs (round-8 board #4 —
+    // upgraded from rows-only): forward pass = walk counts per level
+    // (a walk of length dist(s,v) IS a shortest path, so the count at
+    // first arrival equals Brandes' sigma; revisiting longer walks are
+    // never read); backward pass = per-level dependency accumulation
+    // driven down from the global max level by a NULL-keyed tick row
+    // (the recursive working set would otherwise empty out for
+    // shallow sources and stop the recursion early). First 64 sources
+    // in sorted id order, n/k sample scale, (n-1)(n-2)/2 normalizer,
+    // clamp 1.0 — exactly normalize_betweenness (betweenness.rs:103).
+    "graph_betweenness" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |und AS (SELECT DISTINCT u, v FROM (
+        |  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e)),
+        |nodes AS (SELECT DISTINCT u AS node FROM und),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        |srcs AS (SELECT node AS s FROM nodes ORDER BY node LIMIT 64),
+        |walk AS (
+        |  SELECT 0 AS lvl, s, s AS node, 1.0::DOUBLE AS sig FROM srcs
+        |  UNION ALL
+        |  SELECT nxt.lvl, nxt.s, nxt.node, nxt.sig FROM (
+        |    WITH cur AS (SELECT * FROM walk)
+        |    SELECT cur.lvl + 1 AS lvl, cur.s, und.v AS node, sum(cur.sig) AS sig
+        |    FROM cur JOIN und ON und.u = cur.node
+        |    WHERE cur.lvl < 30
+        |    GROUP BY 1, 2, 3) nxt
+        |),
+        |dist AS (SELECT s, node, min(lvl) AS d FROM walk GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT w.s, w.node, d.d, w.sig AS sigma
+        |  FROM walk w JOIN dist d ON w.s = d.s AND w.node = d.node AND w.lvl = d.d),
+        |maxd AS (SELECT max(d) AS m FROM dist),
+        |back AS (
+        |  SELECT (SELECT m FROM maxd) AS lvl, CAST(NULL AS VARCHAR) AS s,
+        |         CAST(NULL AS VARCHAR) AS node, 0.0::DOUBLE AS delta
+        |  UNION ALL
+        |  SELECT nxt.lvl, nxt.s, nxt.node, nxt.delta FROM (
+        |    WITH cur AS (SELECT * FROM back),
+        |    t AS (SELECT max(lvl) AS t FROM cur),
+        |    prevd AS (SELECT s, node, delta FROM cur WHERE s IS NOT NULL),
+        |    lower0 AS (SELECT g.s, g.node, g.sigma FROM sig g, t
+        |               WHERE g.d = t.t - 1 AND t.t > 0),
+        |    contrib AS (
+        |      SELECT ln.s, ln.node,
+        |        sum(ln.sigma / sw.sigma * (1.0 + coalesce(p.delta, 0.0))) AS dsum
+        |      FROM lower0 ln
+        |      JOIN und ON und.u = ln.node
+        |      JOIN sig sw ON sw.s = ln.s AND sw.node = und.v
+        |      JOIN t ON sw.d = t.t
+        |      LEFT JOIN prevd p ON p.s = ln.s AND p.node = und.v
+        |      GROUP BY 1, 2),
+        |    tick AS (SELECT t.t - 1 AS lvl, CAST(NULL AS VARCHAR) AS s,
+        |                    CAST(NULL AS VARCHAR) AS node, 0.0::DOUBLE AS delta
+        |             FROM t WHERE t.t > 0),
+        |    reals AS (
+        |      SELECT t.t - 1 AS lvl, ln.s, ln.node, coalesce(c.dsum, 0.0) AS delta
+        |      FROM lower0 ln CROSS JOIN t
+        |      LEFT JOIN contrib c ON c.s = ln.s AND c.node = ln.node)
+        |    SELECT * FROM tick UNION ALL SELECT * FROM reals) nxt
+        |),
+        |rawb AS (SELECT node, sum(delta) AS raw FROM back
+        |         WHERE s IS NOT NULL AND node <> s GROUP BY 1)
+        |SELECT n.node AS node_id,
+        |  round(least(coalesce(r.raw, 0.0) *
+        |    (CASE WHEN 64 < nn.n THEN nn.n / 64.0 ELSE 1.0 END) /
+        |    (CASE WHEN nn.n > 2 THEN (nn.n - 1) * (nn.n - 2) / 2.0 ELSE 1.0 END),
+        |    1.0), 6) AS score
+        |FROM nodes n CROSS JOIN nn LEFT JOIN rawb r ON r.node = n.node
         |ORDER BY node_id""".stripMargin,
     "graph_degree" ->
       """WITH e AS (

@@ -51,11 +51,12 @@ object Dedup {
 
   // MinHash family: min of (a*h + b) mod p per position over pre-hashed
   // shingles (classic universal hash, p = 2^31-1; hashes reduced mod p
-  // BEFORE the multiply so a ≤ 10^6 keeps the product < 2^62 — Spark 4
-  // runs ANSI mode and a long overflow would throw). All positions are
-  // computed by the one-traversal MinHashSignature expression;
-  // DedupSpec keeps the composed array_min(transform(...)) twin as the
-  // equality oracle.
+  // BEFORE the multiply, so even full-range a < p keeps the product
+  // < 2^62 — Spark 4 runs ANSI mode and a long overflow would throw;
+  // see minhashCoeffs for why full-range multipliers are load-bearing).
+  // All positions are computed by the one-traversal MinHashSignature
+  // expression; DedupSpec keeps the composed array_min(transform(...))
+  // twin as the equality oracle.
 
   /** MinHash + LSH near-dup pairs: `bands` bands of `rows` signature
     * positions each; docs sharing any band bucket are candidates;
@@ -74,10 +75,80 @@ object Dedup {
   /** §3 `*Of` form of dedup_minhash over a (doc_id, text) frame. */
   def dedupMinhashOf(corpus: DataFrame,
                      bands: Int = 12, rowsPerBand: Int = 3,
-                     jaccardThreshold: Double = 0.6): DataFrame = {
+                     jaccardThreshold: Double = 0.6): DataFrame =
+    minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
+      t => graft.GraftFunctions.shingleHashes(t),
+      (sig, b, rpb) => hash((0 until rpb).map(r =>
+        sig(b * rpb + r).cast("long")): _*))
+
+  /** Oracle-portable twin of dedup_minhash (same recipe as
+    * [[dedupSimhashOracle]], registered because it measured UNDER the
+    * round-8 board's 2× cost criterion: the md5-nibble shingle stage
+    * is 3.4 s vs 0.3 s at sf0.1, ~10 s total vs the 6.9 s fast path):
+    * shingles hash to 60-bit md5-nibble integers, the band bucket is
+    * the PLAIN signature-value tuple as a string key (murmur3 `hash()`
+    * is not DuckDB-reproducible; the tuple key yields the identical
+    * candidate set — hash() only compressed it), everything else —
+    * exact-dup pre-pass, seeded coefficient table, estimate cut,
+    * exact-Jaccard verify, group expansion — is the SAME shared core.
+    * The DuckDB oracle is GENERATED from the same coefficient array
+    * ([[SparkEntry.dedupMinhashOracleSql]]) so the two sides cannot
+    * drift.
+    */
+  def dedupMinhashOracle(spark: SparkSession, dir: String,
+                         bands: Int = 12, rowsPerBand: Int = 3,
+                         jaccardThreshold: Double = 0.6): DataFrame =
+    dedupMinhashOracleOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      bands, rowsPerBand, jaccardThreshold)
+
+  /** §3 `*Of` form of dedup_minhash_oracle. */
+  def dedupMinhashOracleOf(corpus: DataFrame,
+                           bands: Int = 12, rowsPerBand: Int = 3,
+                           jaccardThreshold: Double = 0.6): DataFrame =
+    minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
+      // applies to the core's `text` column (the Column param is fixed
+      // to col("text") at the single call site; a SQL-text expr keeps
+      // the md5 call shared across the 15 nibble extractions)
+      _ => expr(
+        "array_sort(array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), " +
+          "i -> CAST(conv(substr(md5(substr(text, i, 3)), 1, 15), 16, 10) AS BIGINT))))"),
+      (sig, b, rpb) => concat_ws(":", (0 until rpb).map(r =>
+        sig(b * rpb + r).cast("string")): _*))
+
+  /** Universal-hash coefficient table shared by both minhash variants
+    * AND the generated DuckDB oracle — seed 7, a ∈ [1, p−1],
+    * b ∈ [0, p−1] with p = 2³¹−1.
+    *
+    * FULL-RANGE multipliers are load-bearing (round-9 fix, found by
+    * the md5 oracle twin): the original a ≤ 10⁶ slice — chosen for an
+    * overflow margin it never actually needed, since (p−1)·(p−1) <
+    * 2⁶² is already ANSI-safe — covers 0.05% of the multiplier space
+    * and cannot mix the FIXED constellation of xxhash64-of-3-gram
+    * values mod p. Measured on the corpus at sf0.01: signature match
+    * rate 0.494 for pairs of true Jaccard 0.588 (md5-nibble values:
+    * 0.596), dragging dedup_minhash recall vs brute-force truth to
+    * 0.744 where MinHash theory promises ~0.95. With a ∈ [1, p−1]
+    * both value families measure ~0.60 match at J 0.585 and recall
+    * recovers (DedupSpec pins the recall floor).
+    */
+  private[graft] def minhashCoeffs(n: Int): Array[(Long, Long)] = {
+    val p = 2147483647L
     val rng = new java.util.Random(7)
-    val coeffs = Array.fill(bands * rowsPerBand)((math.abs(rng.nextLong()) % 999983L + 1L,
-      math.abs(rng.nextLong()) % 999983L))
+    Array.fill(n)((math.abs(rng.nextLong()) % (p - 1L) + 1L,
+      math.abs(rng.nextLong()) % p))
+  }
+
+  /** The shared MinHash+LSH core — variant axes: the shingle hasher
+    * (xxhash64 native expression vs md5-nibble fold) and the band
+    * bucket key (murmur3 compression vs portable value tuple).
+    */
+  private def minhashCore(corpus: DataFrame,
+                          bands: Int, rowsPerBand: Int,
+                          jaccardThreshold: Double,
+                          shingleHashesOf: Column => Column,
+                          bandBucket: (Column, Int, Int) => Column): DataFrame = {
+    val coeffs = minhashCoeffs(bands * rowsPerBand)
     // Exact-dup pre-pass — the reference's ingest-time content-hash
     // dedup (src/rust/common/src/hashing.rs) composed in front of the
     // near-dup path: shingling, signatures, banding, and verification
@@ -116,8 +187,7 @@ object Dedup {
     val docs = corpus
       .join(members.filter(col("doc_id") === col("rep")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        graft.GraftFunctions.shingleHashes(col("text")).as("sh"))
+      .select(col("doc_id"), shingleHashesOf(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
 
@@ -138,8 +208,7 @@ object Dedup {
       .withColumn("bandsig", array(
         (0 until bands).map { bIdx =>
           struct(lit(bIdx).as("band"),
-            hash((0 until rowsPerBand).map(r =>
-              col("sig")(bIdx * rowsPerBand + r).cast("long")): _*).as("bucket"))
+            bandBucket(col("sig"), bIdx, rowsPerBand).as("bucket"))
         }: _*))
       .localCheckpoint() // signatures computed once, reused by 3 joins
 

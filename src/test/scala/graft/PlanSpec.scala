@@ -341,4 +341,87 @@ class PlanSpec extends SparkSpec {
       "stableStringify is a map-side UDF — no join belongs here:\n" +
         p.take(2000))
   }
+
+  // Codegen lock for the graft native expressions (round-8 board #8).
+  // Plan-string stars can NOT witness the property that matters here:
+  // a CodegenFallback expression still sits inside a WholeStageCodegen
+  // span (its generated code just calls interpreted eval), and several
+  // hosts wrap inputs in Spark's own higher-order functions
+  // (ArrayFilter/ArrayTransform ARE CodegenFallback), which de-star
+  // the enclosing Project regardless of our expressions. Two checks
+  // that do witness it:
+  //  1. None of the ten expression classes mixes in CodegenFallback —
+  //     the exact demotion a lazy future port would reach for.
+  //  2. Every doGenCode COMPILES and produces correct values when
+  //     codegen is the ONLY allowed path (factoryMode=CODEGEN_ONLY,
+  //     fallback=false): the default confs swallow Janino failures by
+  //     silently re-planning interpreted, so a doGenCode broken by a
+  //     Spark upgrade would otherwise surface only as a bench
+  //     regression. Value agreement with interpreted eval is pinned
+  //     separately by NativeExpressionPropSpec's equality twins.
+  test("graft native expressions are codegen-only: no fallback mixin, doGenCode compiles") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val F = graft.GraftFunctions
+    val cands = expr("array(struct(0 AS idx, 'alpha' AS term, CAST(1.0 AS DOUBLE) AS rel), " +
+      "struct(1 AS idx, 'beta' AS term, CAST(0.5 AS DOUBLE) AS rel))")
+    val sims = expr("array(struct('alpha' AS ta, 'beta' AS tb, CAST(0.04 AS DOUBLE) AS s))")
+    val exprs: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "graft_cosine" -> F.cosine(expr("array(1.0D, 2.0D, 2.0D)"), expr("array(1.0D, 2.0D, 2.0D)")),
+      "graft_sorted_intersect_count" -> F.sortedIntersectCount(
+        expr("array(1L, 5L, 9L)"), expr("array(5L, 9L, 11L)")),
+      "graft_simhash64" -> F.simhash64(expr("array('alpha', 'beta', 'alpha')")),
+      "graft_simhash_bits" -> F.simhashBits(expr("array(3L, -7L, 3L)")),
+      "graft_minhash_signature" -> F.minhashSignature(
+        expr("array(10L, 20L, 30L)"), Array(7L, 11L), Array(3L, 5L)),
+      "graft_shingle_hashes" -> F.shingleHashes(lit("hello world")),
+      "graft_gram_counts" -> F.gramCounts(lit("hello world")),
+      "graft_int_array_match_count" -> F.intArrayMatchCount(
+        expr("array(1, 2, 3)"), expr("array(1, 9, 3)")),
+      "graft_mmr_select" -> F.mmrSelect(cands, sims, 2, 0.7, 0.64),
+      "graft_basket_assign" -> F.basketAssign(cands, sims, expr("array('alpha')"), 0.16))
+    for ((name, c) <- exprs) {
+      val leaf = org.apache.spark.sql.graft.Bridge.expression(c).collectFirst {
+        case e if e.getClass.getName.startsWith("org.apache.spark.sql.graft") => e
+      }
+      assert(leaf.isDefined, s"$name: no graft expression under the builder column")
+      assert(!leaf.get.isInstanceOf[CodegenFallback],
+        s"$name: ${leaf.get.getClass.getSimpleName} mixes in CodegenFallback — " +
+          "the hot loop it was built to close is interpreted again")
+    }
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    val row = s2.range(1).select(exprs.map { case (n, c) => c.as(n) }: _*)
+      .collect().head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12, "cosine of identical vectors")
+    assert(String.valueOf(row.get(1)) == "2", "sorted intersect count")
+    assert(row.getSeq[Any](4).length == 2, "minhash signature positions")
+    assert(row.getSeq[Any](5).nonEmpty, "shingle hashes of 'hello world'")
+    assert(String.valueOf(row.get(7)) == "2", "int array match count")
+    assert(row.getSeq[String](8) == Seq("alpha", "beta"), "mmr selects both tags")
+  }
+
+  // Host-coverage half of the codegen lock: the seven expressions that
+  // survive into their registered query's (post-localCheckpoint)
+  // physical plan must still be THERE — a refactor silently replacing
+  // one with a composed-column form would keep tests green and only
+  // show up as a bench regression. graft_shingle_hashes /
+  // graft_minhash_signature / graft_gram_counts are exercised inside
+  // eagerly-materialized checkpoint stages and never appear in the
+  // result's plan; their usage is pinned at the source level by the
+  // operators' own specs.
+  test("graft native expressions appear in their host queries' plans") {
+    val hosts = Seq(
+      "graft_cosine" -> "dense_topk",
+      "graft_int_array_match_count" -> "dedup_minhash",
+      "graft_sorted_intersect_count" -> "dedup_minhash",
+      "graft_simhash64" -> "dedup_simhash",
+      "graft_simhash_bits" -> "dedup_simhash_oracle",
+      "graft_mmr_select" -> "keyword_tags",
+      "graft_basket_assign" -> "keyword_baskets")
+    val plans = hosts.map(_._2).distinct.map(q => q -> plan(q)).toMap
+    for ((exprName, host) <- hosts)
+      assert(plans(host).contains(exprName + "("),
+        s"$exprName not found in $host's plan — host moved? update the lock")
+  }
 }

@@ -74,14 +74,21 @@ class DedupSpec extends SparkSpec {
         s"missing=${(expected.keySet -- got.keySet).take(5)}")
   }
 
-  test("dedup_minhash recall vs exact ngram pairs is reasonable") {
+  // Recall FLOOR at 0.9 — load-bearing since the round-9 coefficient
+  // fix (Dedup.minhashCoeffs scaladoc): the small-multiplier family
+  // measured 0.744 full-corpus recall vs brute-force truth where
+  // MinHash theory promises ~0.95; full-range multipliers measure
+  // 0.953 (xxhash64 values) / 0.994 (md5-nibble values) at sf0.01,
+  // with zero false positives (exact verify). A future regression of
+  // the hash family below theory fails here.
+  test("dedup_minhash recall vs exact ngram pairs stays above 0.9") {
     val exact = Dedup.ngramJaccard(spark, sfDir, probeMax = 50L, threshold = 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Dedup.dedupMinhash(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     if (exact.nonEmpty) {
       val recall = (exact intersect approx).size.toDouble / exact.size
-      assert(recall >= 0.7, s"LSH recall $recall over ${exact.size} true pairs")
+      assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
     }
   }
 
@@ -112,9 +119,7 @@ class DedupSpec extends SparkSpec {
       .select(col("doc_id"),
         array_sort(array_distinct(transform(shingles, s => xxhash64(s)))).as("sh"))
       .filter(size(col("sh")) > 0)
-    val rng = new java.util.Random(7)
-    val coeffs = Array.fill(36)((math.abs(rng.nextLong()) % 999983L + 1L,
-      math.abs(rng.nextLong()) % 999983L))
+    val coeffs = Dedup.minhashCoeffs(36)
     val p = 2147483647L
     val composedCols = coeffs.toSeq.map { case (a, b) =>
       array_min(transform(col("sh"), h => pmod(pmod(h, lit(p)) * a + b, lit(p))))

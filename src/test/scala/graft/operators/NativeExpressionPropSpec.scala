@@ -75,9 +75,9 @@ class NativeExpressionPropSpec extends SparkSpec {
     } yield hs.distinct.sorted
     val rows = sample(shGen, 200).zipWithIndex.map { case (sh, i) => (i.toLong, sh) }
     val df = rows.toDF("id", "sh")
-    val coeffs = Array.fill(12)((math.abs(rng.nextLong()) % 999983L + 1L,
-      math.abs(rng.nextLong()) % 999983L))
     val p = 2147483647L
+    val coeffs = Array.fill(12)((math.abs(rng.nextLong()) % (p - 1L) + 1L,
+      math.abs(rng.nextLong()) % p))
     val composedCols = coeffs.toSeq.map { case (a, b) =>
       array_min(transform(col("sh"), h => pmod(pmod(h, lit(p)) * a + b, lit(p))))
     }
