@@ -110,10 +110,6 @@ object GraftFunctions {
         org.apache.spark.sql.graft.Bridge.expression(a),
         org.apache.spark.sql.graft.Bridge.expression(b)))
 
-  /** 64-bit SimHash of a token array in one map-side pass — equals the
-    * explode → per-bit-sum aggregation with `xxhash64` token hashes
-    * (seed 42), with zero shuffle (see SimHash64's scaladoc).
-    */
   /** `localCheckpoint` without inheriting the origin plan's stats —
     * REQUIRED in per-iteration checkpoint loops: the inherited
     * sizeInBytes is a product over the origin plan's joins, so
@@ -126,6 +122,10 @@ object GraftFunctions {
   def localCheckpointFreshStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats(df)
 
+  /** 64-bit SimHash of a token array in one map-side pass — equals the
+    * explode → per-bit-sum aggregation with `xxhash64` token hashes
+    * (seed 42), with zero shuffle (see SimHash64's scaladoc).
+    */
   def simhash64(toks: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       SimHash64(org.apache.spark.sql.graft.Bridge.expression(toks)))

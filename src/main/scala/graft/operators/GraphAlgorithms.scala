@@ -462,8 +462,17 @@ object GraphAlgorithms {
     val (nNodes, estBytes) = estimatedAdjacencyBytes(adjDf)
     if (estBytes <= gatedBudget(broadcastByteBudget))
       betweennessBroadcast(spark, adjDf, nNodes, maxSamples)
-    else
-      betweennessFrontier(spark, und, adjDf.select(col("u")), nNodes, maxSamples)
+    else {
+      // Size per-iteration shuffles to the frontier flow (≤ samples ×
+      // edge entries in the worst level), like pagerank/communities —
+      // at sf0.1 the session default is pure task-scheduling overhead
+      // per BFS level, ~2·diameter times over.
+      val entries = adjDf
+        .agg(coalesce(sum(size(col("nbrs"))), lit(0L))).head().getLong(0)
+      withGraphSizedShuffle(spark, entries * math.min(maxSamples.toLong, math.max(nNodes, 1L))) {
+        betweennessFrontier(spark, und, adjDf.select(col("u")), nNodes, maxSamples)
+      }
+    }
   }
 
   /** reference normalize_betweenness (betweenness.rs:103). */
@@ -547,14 +556,20 @@ object GraphAlgorithms {
     var frontier = srcs
       .select(col("s"), col("s").as("node"), lit(0).as("dist"), lit(1.0).as("sigma"))
       .localCheckpoint()
-    var visited = frontier
+    // One checkpointed frame PER LEVEL: the visited-set anti-join reads
+    // their union (same data volume either way), but a single growing
+    // `visited` frame would be re-materialized in full every level — an
+    // O(depth × state) write cost that is pure overhead. The backward
+    // sweep indexes levels directly instead of filtering on `dist`.
+    var levels = Vector(frontier)
     var depth = 0
     var go = true
     while (go && depth < maxDepth) {
+      val visitedKeys = levels.map(_.select(col("s"), col("node"))).reduce(_ union _)
       val expanded = frontier.join(und, frontier("node") === und("u"))
         .select(col("s"), und("v").as("node"), col("sigma"))
       val next = expanded
-        .join(visited.select(col("s"), col("node")), Seq("s", "node"), "left_anti")
+        .join(visitedKeys, Seq("s", "node"), "left_anti")
         .groupBy(col("s"), col("node"))
         .agg(sum(col("sigma")).as("sigma"))
         .withColumn("dist", lit(depth + 1))
@@ -562,17 +577,17 @@ object GraphAlgorithms {
         .transform(graft.GraftFunctions.localCheckpointFreshStats)
       if (next.isEmpty) go = false
       else {
-        visited = graft.GraftFunctions.localCheckpointFreshStats(visited.union(next))
+        levels = levels :+ next
         frontier = next
         depth += 1
       }
     }
     // Backward sweep: levels depth → 1; delta flows down one level per step.
-    var lvlDf = visited.filter(col("dist") === depth).withColumn("delta", lit(0.0))
+    var lvlDf = levels(depth).withColumn("delta", lit(0.0))
     var acc: DataFrame = lvlDf.filter(col("dist") > 0)
       .select(col("node"), col("delta"))
     for (lvl <- depth - 1 to 0 by -1) {
-      val lower = visited.filter(col("dist") === lvl)
+      val lower = levels(lvl)
       val contrib = und
         .join(lvlDf.select(col("s"), col("node").as("w"),
           col("sigma").as("sigma_w"), col("delta").as("delta_w")), und("v") === col("w"))

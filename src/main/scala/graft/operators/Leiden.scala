@@ -107,7 +107,12 @@ object Leiden {
       // communities in the output are attributable to this log line.
       log.info(s"graph_leiden: adjacency ~$estBytes bytes over budget " +
         s"$broadcastByteBudget — distributed frontier path (no refine/split)")
-      leidenFrontier(spark, und, config, buckets)
+      // Per-round shuffles sized to the edge flow (wTo joins und once
+      // per bucket-round): at small SFs the session default is pure
+      // task-scheduling overhead × sweeps × buckets rounds.
+      GraphAlgorithms.withGraphSizedShuffle(spark, und.count()) {
+        leidenFrontier(spark, und, config, buckets)
+      }
     }
   }
 
