@@ -184,9 +184,22 @@ object Dedup {
     // sizes for the join-backs, which let runtime join-strategy flips
     // inflate run-to-run variance up to 4× (round-6 fresh-JVM probes on
     // identical code/data: 21-130 s swings; exact sizes pin the plan).
+    // Explicit width (the session's shuffle parallelism) BEFORE the
+    // shingle projection: AQE coalesces the semi-join's shuffle read on
+    // COMPRESSED BYTES — a slim (doc_id, text) frame reads as one
+    // advisory-sized partition — but the work hanging off each row
+    // (shingle hashing, 36-position signatures, band explode, the
+    // candidate join) is orders of magnitude heavier than its bytes,
+    // and localCheckpoint FREEZES whatever layout the join emitted, so
+    // every downstream stage inherits it. Measured at ×10 SF: the whole
+    // near-dup pipeline ran as ONE 400-second task (load ~1 on 32
+    // cores) until this repartition; an explicit partition count is
+    // exempt from AQE coalescing by contract.
+    val shufP = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val docs = corpus
       .join(members.filter(col("doc_id") === col("rep")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
+      .repartition(shufP, col("doc_id"))
       .select(col("doc_id"), shingleHashesOf(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
@@ -239,6 +252,14 @@ object Dedup {
       .filter(col("doc_id") < col("b"))
       .select(col("doc_id").as("a"), col("b"))
       .distinct()
+      // Same AQE hazard as `docs`: the deduped pair set is slim (two
+      // longs), so coalescing packs it into ~one advisory partition,
+      // and when the signature side broadcasts (it fits at small SFs)
+      // the estimate/verify compute inherits that width instead of
+      // re-spreading through a join shuffle. Explicit width on the
+      // probe key keeps both stages parallel AND pre-aligns the sig
+      // join on `a` when it does shuffle at scale.
+      .repartition(shufP, col("a"))
 
     // Stage 1: cheap signature-agreement estimate (E[matches/k] = J)
     // discards the long tail of low-similarity candidates before the
