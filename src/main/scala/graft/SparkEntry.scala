@@ -26,6 +26,7 @@ object SparkEntry {
     "window_events" -> ((s, d) => CoreAnalytics.windowEvents(s, d)),
     "sessionize"    -> ((s, d) => CoreAnalytics.sessionize(s, d)),
     "skew_join"     -> ((s, d) => SkewJoin.skewJoin(s, d)),
+    "skew_join_rank" -> ((s, d) => SkewJoin.skewJoinRank(s, d)),
     // Vector search
     "dense_topk"          -> ((s, d) => VectorSearch.denseTopK(s, d)),
     "dense_topk_filtered" -> ((s, d) => VectorSearch.denseTopK(s, d, label = Some(3))),
@@ -1256,6 +1257,24 @@ object SparkEntry {
         |  round(sum(value), 4) AS session_value
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "skew_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events),
+        |keyed AS (
+        |  SELECT *, CASE WHEN k < 80 THEN 0 ELSE k - 79 END AS skew_key FROM ev),
+        |clicks AS (SELECT skew_key, value AS cv FROM keyed WHERE event_type = 'click'),
+        |errors AS (SELECT skew_key, value AS ev FROM keyed WHERE event_type = 'error')
+        |SELECT c.skew_key, count(*) AS n_pairs
+        |FROM clicks c JOIN errors e ON c.skew_key = e.skew_key AND c.cv > e.ev
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // skew_join_rank computes the SAME integers analytically (a
+    // distributed running error-count instead of pair enumeration —
+    // the O(n log n) answer the ×10 scale bench motivated); the oracle
+    // is the quadratic join, deliberately DIFFERENT in shape, so the
+    // hash row certifies the order-statistics rewrite against the
+    // enumerated truth.
+    "skew_join_rank" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, value,
         |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

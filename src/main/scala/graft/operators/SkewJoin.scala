@@ -67,6 +67,62 @@ object SkewJoin {
       .orderBy(col("skew_key"))
   }
 
+  /** The same pair-count computed ANALYTICALLY in O(n log n) — the
+    * other 100 TB answer to a skewed pair-enumeration: when the join's
+    * aggregate is an order statistic, don't enumerate pairs at all.
+    * `count{(c,e) : cv > ev}` per key = for each click, the number of
+    * errors strictly below its value — a running error-count over the
+    * value-sorted stream. The ×10 scale bench measured skew_join's
+    * enumeration at exponent 1.49 (the hot key's pair set is ~n²·0.64
+    * by design: 252M pairs at sf0.1, 25.2B at ×10); this twin computes
+    * the identical integers from a sort.
+    *
+    * The running sum is DISTRIBUTED (the hot key never lands on one
+    * task): range-partition by the full sort key so each task holds a
+    * value-contiguous slice, window inside each (key, slice) — the
+    * window's hash shuffle keeps slices intact and parallel — then add
+    * per-slice error-count offsets, a frame with one row per (key,
+    * slice) that a window over slice ids prefix-sums and a broadcast
+    * join maps back. Ties: clicks sort before errors at equal value
+    * (in BOTH the range key and the window key), so an equal-valued
+    * error can neither precede a click across slices nor inside one —
+    * strict `cv > ev` exactly.
+    */
+  def skewJoinRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (clicks, errors) = sides(spark, dir)
+    val all = clicks.drop("event_id")
+      .select(col("skew_key"), col("cv").as("value"), lit(0).as("is_err"))
+      .unionByName(errors
+        .select(col("skew_key"), col("ev").as("value"), lit(1).as("is_err")))
+    val shufP = spark.sessionState.conf.numShufflePartitions
+    val sliced = all
+      .repartitionByRange(shufP, col("skew_key"), col("value"), col("is_err"))
+      .withColumn("slice", spark_partition_id())
+    val local = Window.partitionBy(col("skew_key"), col("slice"))
+      .orderBy(col("value"), col("is_err"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = sliced
+      .withColumn("errs_local", sum(col("is_err")).over(local))
+    // One row per (key, slice): total errors in the slice; offset for a
+    // slice = errors in all PRIOR slices of the same key.
+    val offsets = sliced.groupBy(col("skew_key"), col("slice"))
+      .agg(sum(col("is_err")).as("slice_errs"))
+      .withColumn("offset",
+        coalesce(sum(col("slice_errs")).over(
+          Window.partitionBy(col("skew_key")).orderBy(col("slice"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("skew_key"), col("slice"), col("offset"))
+    withLocal
+      .join(broadcast(offsets), Seq("skew_key", "slice"))
+      .filter(col("is_err") === 0)
+      .groupBy(col("skew_key"))
+      .agg(sum(col("errs_local") + col("offset")).as("n_pairs"))
+      // the join form emits a key only when ≥1 qualifying pair exists
+      .filter(col("n_pairs") > 0)
+      .orderBy(col("skew_key"))
+  }
+
   /** The straggler baseline (dev/probe only — NOT registered as a
     * query): identical semantics, join keyed on skew_key alone, so the
     * hot key's entire cross product lands on one task. */

@@ -103,6 +103,18 @@ class PlanSpec extends SparkSpec {
     assert(salted.nonEmpty && salted == unsalted)
   }
 
+  // The order-statistics rewrite must produce the identical integers as
+  // the pair enumeration — the distributed prefix-sum (range slices +
+  // per-slice windows + offset join) is only admissible because this
+  // equality holds, tie rows included (strict cv > ev at equal values).
+  test("skew join: analytic rank twin equals the enumerated pair counts") {
+    val enumerated = operators.SkewJoin.skewJoin(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val analytic = operators.SkewJoin.skewJoinRank(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(analytic.nonEmpty && analytic == enumerated)
+  }
+
   test("semantic rerank broadcasts the 1-row mean, never the candidates") {
     val p = plan("semantic_rerank")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

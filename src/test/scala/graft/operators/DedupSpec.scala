@@ -171,6 +171,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  // The pigeonhole blocking is parametric in the radius (maxHamming+1
+  // disjoint chunks, wider chunks at tighter radii): the pair set must
+  // equal the brute-force n² hamming join at EVERY radius, not just the
+  // default 8×8-bit shape.
+  test("simhash blocking is radius-complete at non-default radii (brute-force parity)") {
+    import graft.functions.TextFunctions.tokenizeSimple
+    val sims = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokenizeSimple(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), graft.GraftFunctions.simhash64(col("toks")).as("simhash"))
+    val l = sims.select(col("doc_id").as("a"), col("simhash").as("sa"))
+    val r = sims.select(col("doc_id").as("b"), col("simhash").as("sb"))
+    for (h <- Seq(0, 3, 7, 11)) {
+      val blocked = Dedup.dedupSimhash(spark, sfDir, maxHamming = h)
+        .select(col("a"), col("b"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val brute = l.crossJoin(r).filter(col("a") < col("b"))
+        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= h)
+        .select(col("a"), col("b"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(blocked == brute, s"radius $h: blocked pair set != brute force")
+    }
+  }
+
   // The md5-nibble oracle twin (dedup_simhash_oracle): the
   // graft_simhash_bits expression must equal the explode → per-bit ±1
   // sum → sign aggregation over the SAME md5-derived hashes,
