@@ -38,16 +38,34 @@ object StreamOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** A table named `<name>.parquet` exists in two physical layouts:
+    * the driver testdata ships a single FILE, while any Spark-written
+    * corpus (ScaleUp, a real cluster at 100 TB) is a DIRECTORY of
+    * part-files. The streaming file source lists a directory and
+    * `pathGlobFilter` matches LEAF file names, so the single glob that
+    * finds the flat file matches nothing inside a directory table —
+    * the ×10 scale bench caught streaming_sessions reading 0 rows on
+    * the scaled corpus. Branch on the layout: directory tables stream
+    * directly (part-files and _SUCCESS handled natively), flat files
+    * keep the leaf-glob scope.
+    */
+  private def streamSource(spark: SparkSession, dir: String,
+                           table: String, schema: StructType): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    if (new java.io.File(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet")
+        .parquet(dir)
+  }
+
   /** File-source stream over the events parquet; emits canonical
     * `ts: TimestampType` regardless of the on-disk encoding. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = graft.Tables.eventsTsType(spark, dir)
-    // The file source needs a directory; scope it to the events file.
-    val base = spark.readStream
-      .schema(eventsRawSchema(tsType))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val base = streamSource(spark, dir, "events", eventsRawSchema(tsType))
     tsType match {
       case LongType => base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => base.withColumn("ts", col("ts").cast(TimestampType))
@@ -143,10 +161,7 @@ object StreamOps {
     * the debouncer stage is [[debounce]] below).
     */
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(documentsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    streamSource(spark, dir, "documents", documentsSchema)
 
   /** The store pipeline INSIDE the stream: chunk → deterministic embed →
     * point rows, reusing the batch operator's column expressions
