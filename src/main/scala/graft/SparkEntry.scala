@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_simhash"   -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_simhash_oracle" -> ((s, d) => Dedup.dedupSimhashOracle(s, d)),
     "dedup_minhash_oracle" -> ((s, d) => Dedup.dedupMinhashOracle(s, d)),
+    "dedup_clusters"  -> ((s, d) => Dedup.dedupClusters(s, d)),
     "ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     // Text analysis
@@ -106,6 +107,8 @@ object SparkEntry {
     "quasi_summary"   -> ((s, d) => TextAnalysis.quasiSummary(s, d)),
     "title_extract"   -> ((s, d) => TitleExtraction.titleExtract(s, d)),
     // Ingestion pipeline
+    "pack_sequences"   -> ((s, d) => Packing.packSequences(s, d)),
+    "sample_stratified" -> ((s, d) => Sampling.sampleStratified(s, d)),
     "chunk_documents"  -> ((s, d) => Ingest.chunkDocuments(s, d)),
     "chunk_paragraphs" -> ((s, d) => Ingest.chunkParagraphs(s, d)),
     "store_points"     -> ((s, d) => Ingest.storePoints(s, d)),
@@ -1015,14 +1018,25 @@ object SparkEntry {
     * exact Jaccard on the distinct shingle-hash sets; exact-dup groups
     * keyed (md5, length) with the pair set expanded through them.
     */
-  private def dedupMinhashOracleSql: String = {
+  private def dedupMinhashOracleSql: String =
+    "WITH " + dedupMinhashPairCtes + "\n" +
+      """SELECT a, b, round(jaccard, 4) AS jaccard
+        |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
+        |ORDER BY a, b""".stripMargin
+
+  /** The shared pair-CTE chain (through `crossp`/`intra`) of the
+    * generated minhash oracle — ONE val-like body feeding both the
+    * pair query above and the cluster canonicalization oracle below,
+    * so the two cannot drift on the hash family.
+    */
+  private def dedupMinhashPairCtes: String = {
     val coeffs = graft.operators.Dedup.minhashCoeffs(36)
     val sigEntries = coeffs.map { case (a, b) =>
       s"  list_min(list_transform(sh, h -> (h % 2147483647 * $a + $b) % 2147483647))"
     }.mkString("[\n", ",\n", "\n] AS sig")
     val bandKey = (1 to 3).map(r => s"CAST(sig[b.band*3+$r] AS VARCHAR)")
       .mkString(" || ':' || ")
-    s"""WITH dd AS (
+    s"""dd AS (
        |  SELECT doc_id, text, md5(text) || ':' || length(text) AS ch FROM documents),
        |grp AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ch) AS rep FROM dd),
        |reps AS (SELECT d.doc_id, d.text FROM dd d
@@ -1062,11 +1076,36 @@ object SparkEntry {
        |  FROM grouped x JOIN grouped y ON x.rep = y.rep AND x.doc_id < y.doc_id),
        |crossp AS (
        |  SELECT least(ma.doc_id, mb.doc_id) AS a, greatest(ma.doc_id, mb.doc_id) AS b, rp.jaccard
-       |  FROM reppairs rp JOIN valid ma ON ma.rep = rp.ra JOIN valid mb ON mb.rep = rp.rb)
-       |SELECT a, b, round(jaccard, 4) AS jaccard
-       |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
-       |ORDER BY a, b""".stripMargin
+       |  FROM reppairs rp JOIN valid ma ON ma.rep = rp.ra JOIN valid mb ON mb.rep = rp.rb)""".stripMargin
   }
+
+  /** GENERATED DuckDB twin of dedup_clusters: the same pair CTEs, then
+    * connected components as a recursive transitive closure (edges are
+    * symmetrized, `reach` is seeded with self so min(reachable) IS the
+    * component's minimum id — the Spark union-find/min-label fixpoint),
+    * and the keep rule as one window: longest text, ties to the lowest
+    * doc_id. Closure size is Σ k² over cluster sizes — fine at the
+    * sf0.01 gate where the oracle runs.
+    */
+  private def dedupClustersSql: String =
+    "WITH RECURSIVE " + dedupMinhashPairCtes + ",\n" +
+      """pairsq AS (SELECT a, b FROM crossp UNION ALL SELECT a, b FROM intra),
+        |edges AS (SELECT a, b FROM pairsq UNION SELECT b AS a, a AS b FROM pairsq),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a),
+        |comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+        |ranked AS (
+        |  SELECT c.doc_id, c.cluster_id,
+        |    count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+        |    CAST(CASE WHEN row_number() OVER (
+        |        PARTITION BY c.cluster_id
+        |        ORDER BY length(d.text) DESC, c.doc_id) = 1
+        |      THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+        |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+        |SELECT doc_id, cluster_id, cluster_size, is_kept FROM ranked
+        |ORDER BY doc_id""".stripMargin
 
   /** Shared COVERS_TOPIC CTE chain for the two elaborates oracles: the
     * doc_sections depth pipeline down to `covers(source_node_id,
@@ -3637,6 +3676,7 @@ object SparkEntry {
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
           |ORDER BY a, b""".stripMargin),
     "dedup_minhash_oracle" -> dedupMinhashOracleSql,
+    "dedup_clusters" -> dedupClustersSql,
     "ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -3699,6 +3739,42 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Concat-and-cut sequence packing: global prefix sum over doc_id
+    // order (the Spark side computes the same sum distributively),
+    // then each doc's [st, st+n) span explodes to its bin overlaps.
+    // sum(BIGINT) OVER is HUGEINT in DuckDB — cast back before the
+    // integer-division bin arithmetic.
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |  FROM t WHERE n > 0),
+        |b AS (
+        |  SELECT doc_id, n, st,
+        |    unnest(generate_series(st // 512, (st + n - 1) // 512)) AS seq_id
+        |  FROM o)
+        |SELECT seq_id, doc_id,
+        |  greatest(st, seq_id * 512) - seq_id * 512 AS tok_start,
+        |  least(seq_id * 512 + 512, st + n) - greatest(st, seq_id * 512) AS tok_len
+        |FROM b ORDER BY seq_id, tok_start""".stripMargin,
+    "sample_stratified" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || source) AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY hh, doc_id)
+        |      AS INTEGER) AS sample_rank
+        |  FROM h)
+        |SELECT source, doc_id, sample_rank FROM r
+        |WHERE sample_rank <= 50
+        |ORDER BY source, sample_rank""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |  list_reduce(

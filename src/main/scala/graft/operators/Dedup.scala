@@ -460,4 +460,50 @@ object Dedup {
         row_number().over(Window.orderBy(col("score").desc, col("a"), col("b"))).as("rnk"))
       .orderBy(col("rnk"))
   }
+
+  /** Near-dup cluster canonicalization — the decision layer a training
+    * pipeline runs AFTER pair generation (the reference dedups whole
+    * clusters at ingest by canonical content id, hashing.rs; web-scale
+    * pipelines do the same over NEAR-dup graphs): the oracle-portable
+    * MinHash pair set (exact-dup groups included as jaccard-1.0 pairs)
+    * becomes an undirected graph, each connected component is one
+    * duplication cluster, and every cluster keeps exactly ONE
+    * representative — the longest text, ties to the lowest doc_id —
+    * and drops the rest. Docs with no near-dup edge are trivially kept
+    * and not listed (at 100 TB the clustered subset is a small
+    * fraction of the corpus; emitting n "keep" rows would dominate the
+    * output for no information).
+    *
+    * Scale posture: components run the budget-gated union-find /
+    * min-label-propagation twin pair
+    * ([[Grouping.connectedComponentsLong]] — pointer jumping, O(log
+    * diameter) rounds past the gate); the keep decision is one window
+    * over cluster_id. Shuffles ∝ clustered docs, never corpus size.
+    */
+  def dedupClusters(spark: SparkSession, dir: String,
+                    bands: Int = 12, rowsPerBand: Int = 3,
+                    jaccardThreshold: Double = 0.6): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    dedupClustersOf(
+      dedupMinhashOracleOf(docs, bands, rowsPerBand, jaccardThreshold),
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("keep_rank")))
+  }
+
+  /** §3 `*Of` form over any (a, b) near-dup pair frame plus a (doc_id,
+    * keep_rank) priority frame — higher keep_rank is kept, ties to the
+    * lower doc_id. The xxhash64 fast-path pair set
+    * ([[dedupMinhashOf]], [[dedupSimhash]]) plugs in here unchanged.
+    */
+  def dedupClustersOf(pairs: DataFrame, priority: DataFrame): DataFrame = {
+    val comps = Grouping.connectedComponentsLong(pairs.select(col("a"), col("b")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val sizeW = Window.partitionBy(col("cluster_id"))
+    val keepW = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("keep_rank").desc, col("doc_id"))
+    comps.join(priority, Seq("doc_id"))
+      .withColumn("cluster_size", count(lit(1)).over(sizeW))
+      .withColumn("is_kept", (row_number().over(keepW) === 1).cast("int"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("is_kept"))
+      .orderBy(col("doc_id"))
+  }
 }

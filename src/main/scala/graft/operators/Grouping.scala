@@ -38,12 +38,35 @@ object Grouping {
     * Past the limit the propagation loop scales out unchanged.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 16,
-                          compactEdgeLimit: Long = 4L << 20): DataFrame = {
+                          compactEdgeLimit: Long = 4L << 20): DataFrame =
+    componentsGated(edges, maxIters, compactEdgeLimit) { bidir =>
+      val spark = bidir.sparkSession
+      import spark.implicits._
+      unionFind(bidir.as[(String, String)].collect()).toSeq.toDF("node", "label")
+    }
+
+  /** Long-keyed twin of [[connectedComponents]] for corpus-scale id
+    * graphs (doc ids): the SAME pointer-jumping propagation loop and
+    * the SAME union-find core under the gate — only the collected edge
+    * encoding differs (a string min-label over numeric ids would order
+    * lexicographically and diverge from the distributed `least`).
+    */
+  def connectedComponentsLong(edges: DataFrame, maxIters: Int = 16,
+                              compactEdgeLimit: Long = 4L << 20): DataFrame =
+    componentsGated(edges, maxIters, compactEdgeLimit) { bidir =>
+      val spark = bidir.sparkSession
+      import spark.implicits._
+      unionFind(bidir.as[(Long, Long)].collect()).toSeq.toDF("node", "label")
+    }
+
+  private def componentsGated(edges: DataFrame, maxIters: Int,
+                              compactEdgeLimit: Long)
+                             (compact: DataFrame => DataFrame): DataFrame = {
     val bidir = edges.select(col("a"), col("b"))
       .union(edges.select(col("b"), col("a")))
       .distinct().localCheckpoint()
     val edgeCount = bidir.count()
-    if (edgeCount <= GraphAlgorithms.gatedBudget(compactEdgeLimit)) return componentsCompact(bidir)
+    if (edgeCount <= GraphAlgorithms.gatedBudget(compactEdgeLimit)) return compact(bidir)
     var labels = bidir.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     var iter = 0
@@ -71,12 +94,10 @@ object Grouping {
   /** Driver union-find over a collected symmetrized edge list; roots
     * are kept at the component minimum (union by min + path
     * compression), so `find(x)` IS the propagation fixpoint label. */
-  private def componentsCompact(bidir: DataFrame): DataFrame = {
-    val spark = bidir.sparkSession
-    import spark.implicits._
-    val pairs = bidir.as[(String, String)].collect()
-    val parent = scala.collection.mutable.HashMap.empty[String, String]
-    def find(x: String): String = {
+  private def unionFind[T](pairs: Array[(T, T)])
+                          (implicit ord: Ordering[T]): Iterator[(T, T)] = {
+    val parent = scala.collection.mutable.HashMap.empty[T, T]
+    def find(x: T): T = {
       var r = x
       while (parent(r) != r) r = parent(r)
       var c = x
@@ -88,9 +109,9 @@ object Grouping {
       parent.getOrElseUpdate(b, b)
       val ra = find(a)
       val rb = find(b)
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      if (ra != rb) { if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
     }
-    parent.keysIterator.map(k => (k, find(k))).toSeq.toDF("node", "label")
+    parent.keysIterator.map(k => (k, find(k)))
   }
 
   /** tag_affinity query: tenants = `source`, profiles = the MMR tag

@@ -264,4 +264,68 @@ class DedupSpec extends SparkSpec {
     assert(rows.length == 20)
     assert(rows.map(_.getInt(2)).toSeq == (1 to 20))
   }
+
+  test("dedup_clusters: fixture components, sizes, and keep rule") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val prio = Seq((1L, 10L), (2L, 30L), (3L, 30L), (5L, 5L), (6L, 9L))
+      .toDF("doc_id", "keep_rank")
+    val rows = Dedup.dedupClustersOf(pairs, prio).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 5L, 6L))
+    // component {1,2,3}: cluster_id 1, size 3, kept = doc 2 (rank tie
+    // 30/30 between 2 and 3 resolves to the lower doc_id)
+    assert(rows(1L) == ((1L, 3L, 0)))
+    assert(rows(2L) == ((1L, 3L, 1)))
+    assert(rows(3L) == ((1L, 3L, 0)))
+    // component {5,6}: kept = doc 6 (higher rank)
+    assert(rows(5L) == ((5L, 2L, 0)))
+    assert(rows(6L) == ((5L, 2L, 1)))
+  }
+
+  test("dedup_clusters: corpus invariants vs the registered pair set") {
+    val pairs = Dedup.dedupMinhashOracle(spark, sfDir)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val out = Dedup.dedupClusters(spark, sfDir).collect()
+    val cluster = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every near-dup pair is co-clustered
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // exactly one kept doc per cluster; cluster_id is the component min;
+    // cluster_size counts the member rows
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_.getInt(3) == 1) == 1, s"cluster $cid keep count")
+      assert(members.map(_.getLong(0)).min == cid, s"cluster $cid id not min")
+      assert(members.forall(_.getLong(2) == members.length), s"cluster $cid size")
+    }
+    // the kept doc maximizes text length (ties to the lowest doc_id)
+    val lens = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.foreach { case (cid, members) =>
+      val kept = members.find(_.getInt(3) == 1).get.getLong(0)
+      val best = members.map(_.getLong(0)).sortBy(d => (-lens(d), d)).head
+      assert(kept == best, s"cluster $cid kept $kept, expected $best")
+    }
+  }
+
+  // The budget gate must be output-invariant: the driver union-find and
+  // the distributed pointer-jumping propagation label every doc with
+  // the same component minimum, so the full cluster output is
+  // row-identical across paths.
+  test("dedup_clusters: compact and distributed component paths agree") {
+    def run(): Seq[(Long, Long, Long, Int)] =
+      Dedup.dedupClusters(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val compact = run()
+    sys.props("graft.forceDistributed") = "1"
+    try {
+      val distributed = run()
+      assert(compact == distributed)
+    } finally sys.props.remove("graft.forceDistributed")
+  }
 }
