@@ -40,10 +40,15 @@ import graft.Tables
   *    window ranks because a row is only ever skipped by its OWN class
   *    cap, so class ordinals are unaffected by other classes' skips.
   *
-  * Scale: seeds are bounded probe lists, so each hop is one broadcast
-  * join of the frontier against the corpus-shaped adjacency — shuffle ∝
-  * reachable rows, never corpus². Caps/dedup are per-probe windows over
-  * ≤ reachable-set rows.
+  * Scale: seeds are bounded probe lists, so the FIRST hop broadcasts the
+  * frontier against the corpus-shaped adjacency; deeper frontiers (and
+  * `reached`, `parents`, the node-attribute axis) scale with the corpus,
+  * so they carry NO broadcast hint — checkpointed stats let the planner
+  * broadcast them exactly while they are small and shuffle past that
+  * (the ×100 sweep measured the forced-broadcast + O(|mids|)-per-arrival
+  * form at e2=1.36; the short-circuit mid lookup and unhinted joins
+  * restore ~linear). Shuffle ∝ reachable rows, never corpus². Caps/dedup
+  * are per-probe windows over ≤ reachable-set rows.
   */
 object CrossBoundary {
 
@@ -59,6 +64,22 @@ object CrossBoundary {
       .when(edgeType === "COVERS_TOPIC", 0.6)
       .when(edgeType === "IMPLEMENTS_CONCEPT", 0.7)
       .otherwise(1.0)
+
+  /** First element of the sorted `mids` array that does NOT contain
+    * `toId` as a substring (the lex-min INSTR-allowed interior node).
+    * `filter(...)` materializes the whole filtered array per row — O(|mids|)
+    * per arrival, and a concept hub's mids set grows with the corpus, so
+    * the naive form is O(n²/concepts) at scale (measured: the ×100
+    * sweep's e2=1.36 on cross_boundary). Substring hits are the rare
+    * quirk case, so test mids[0] first and fall back to the full filter
+    * only when it is itself blocked — semantically identical because
+    * mids is sorted ascending.
+    */
+  private def firstAllowedMid(mids: Column, toId: Column): Column = {
+    val head = element_at(mids, 1)
+    when(!head.contains(toId), head)
+      .otherwise(element_at(filter(mids, mid => !mid.contains(toId)), 1))
+  }
 
   /** The §3 `*Of` form. `seeds`: (probe_id, source_tenant, node_id);
     * `edges`: (src_node_id, dst_node_id, edge_type, weight — nullable);
@@ -95,6 +116,16 @@ object CrossBoundary {
 
     val nodeT = nodes.select(col("node_id").as("n_id"),
       col("tenant_id").as("n_tenant"))
+
+    // Enrich the adjacency with the DESTINATION tenant once — the
+    // reached-node tenant gate then evaluates inline in every hop join
+    // instead of re-joining each level's arrival stream (∝ corpus at
+    // depth ≥ 2) against the corpus-sized node table. One corpus join,
+    // materialized with fresh stats, reused by all three levels — the
+    // ×100 sweep measured the per-level arrival shuffles as the
+    // dominant disk writer here.
+    val adjT = graft.GraftFunctions.localCheckpointFreshStats(
+      adj.join(nodeT, adj("to_id") === nodeT("n_id")).drop("n_id"))
 
     // Seed-ownership guard: the seed node must exist inside the
     // relaxation set.
@@ -151,31 +182,34 @@ object CrossBoundary {
             .agg(min(element_at(split(col("path"), " -> "), 1)).as("seed_id"),
               sort_array(collect_set(
                 element_at(split(col("path"), " -> "), 2))).as("mids"))
-          broadcast(parents).join(adj.as("a"),
+          // parents ∝ corpus (one row per reached depth-2 node) — no
+          // broadcast hint; the planner broadcasts while the frame is
+          // small and falls back to a shuffled join past the threshold
+          // (a forced broadcast here is a driver-OOM at real scale).
+          parents.join(adjT.as("a"),
               col("a.from_id") === col("p_node"))
             .filter(!col("seed_id").contains(col("a.to_id")) &&
               !col("p_node").contains(col("a.to_id")) &&
               exists(col("mids"), mid => !mid.contains(col("a.to_id"))))
-            .join(broadcast(nodeT), col("a.to_id") === nodeT("n_id"))
-            .filter(allowedTenant(col("source_tenant"), col("n_tenant")))
+            .filter(allowedTenant(col("source_tenant"), col("a.n_tenant")))
             .select(col("probe_id"), col("source_tenant"),
               col("a.to_id").as("node_id"), lit(d).as("depth"),
               concat(col("seed_id"), lit(" -> "),
-                element_at(filter(col("mids"),
-                  mid => !mid.contains(col("a.to_id"))), 1),
+                firstAllowedMid(col("mids"), col("a.to_id")),
                 lit(" -> "), col("p_node"), lit(" -> "), col("a.to_id"))
                 .as("path"),
               col("a.edge_type").as("edge_type"),
               (coalesce(col("a.weight"), lit(1.0)) *
                 baseConfidence(col("a.edge_type"))).as("conf"))
-        } else broadcast(f).join(adj.as("a"),
+        // Only the depth-1 frontier is probe-bounded; the depth-2
+        // frontier is the depth-1 arrival set (∝ corpus), so it gets no
+        // hint — its localCheckpoint carries exact stats and the planner
+        // broadcasts it exactly while it is actually small.
+        } else (if (d == 1) broadcast(f) else f).join(adjT.as("a"),
           col("a.from_id") === col("f.node_id"))
         // cycle gate: the reference's literal substring INSTR test
         .filter(!col("f.path").contains(col("a.to_id")))
-        // node axis is corpus-bounded (~thousands) — broadcast keeps the
-        // arrival stream (frontier × degree) pipelined, shuffle-free
-        .join(broadcast(nodeT), col("a.to_id") === nodeT("n_id"))
-        .filter(allowedTenant(col("f.source_tenant"), col("n_tenant")))
+        .filter(allowedTenant(col("f.source_tenant"), col("a.n_tenant")))
         .select(col("f.probe_id").as("probe_id"),
           col("f.source_tenant").as("source_tenant"),
           col("a.to_id").as("node_id"), lit(d).as("depth"),
@@ -187,9 +221,10 @@ object CrossBoundary {
       // The LAST level feeds no further expansion, so it skips the
       // frontier checkpoint entirely — its (largest) arrival set streams
       // straight into the aggregate below and is never materialized.
-      // reached ≤ probes × nodes — broadcast the anti-join so the big
-      // arrival stream never shuffles; only the ~|nodes| aggregate does.
-      val anti = step.join(broadcast(reached),
+      // reached ∝ probes × reached nodes — corpus-scaled, so no forced
+      // broadcast; its checkpointed stats let the planner broadcast the
+      // anti-join build side while it genuinely fits.
+      val anti = step.join(reached,
         Seq("probe_id", "node_id"), "left_anti")
       val stepNew = if (d == hops) anti
         else graft.GraftFunctions.localCheckpointFreshStats(anti)

@@ -189,4 +189,35 @@ class CrossBoundarySpec extends SparkSpec {
       hops = 2, perHit = 6, perConcept = 1)
     assert(out.exists(_._1 == "leaf_a") && out.exists(_._1 == "leaf_b"))
   }
+
+  // The level-3 compacted-parents expansion picks the lex-min INSTR-
+  // allowed interior node via a short-circuit (mids[0] unless blocked).
+  // Pin the fallback branch: the lex-min mid substring-contains the
+  // arrival id, so the path must route through the NEXT allowed mid —
+  // exactly the lex-min allowed full path of the reference enumeration.
+  test("depth-3 path skips a lex-min mid that substring-blocks the arrival") {
+    val nodes = nodesDf(Seq(
+      ("t", "seed_s", "s", "function", "s.rs"),
+      ("t", "mid_xx", "m1", "function", "m1.rs"),
+      ("t", "mid_zz", "m2", "function", "m2.rs"),
+      ("t", "parent_p", "p", "function", "p.rs"),
+      ("t", "id_x", "a", "function", "a.rs")))
+    // seed -> {mid_xx, mid_zz} -> parent_p -> id_x; "mid_xx" contains
+    // "id_x" as a substring, "mid_zz" does not.
+    val edges = edgesDf(Seq(
+      ("seed_s", "mid_xx", "EXPLAINS", 1.0),
+      ("seed_s", "mid_zz", "EXPLAINS", 1.0),
+      ("mid_xx", "parent_p", "EXPLAINS", 1.0),
+      ("mid_zz", "parent_p", "EXPLAINS", 1.0),
+      ("parent_p", "id_x", "EXPLAINS", 1.0)))
+    val rows = CrossBoundary.crossBoundaryOf(
+        seedsDf(Seq(("p", "t", "seed_s"))), edges, nodes,
+        AllTypes, maxHops = 3, libraryTenants = Seq.empty)
+      .collect().map(r => (r.getString(2), r.getInt(7), r.getString(10)))
+    val arrival = rows.filter(_._1 == "id_x")
+    assert(arrival.length == 1)
+    assert(arrival.head._2 == 3)
+    assert(arrival.head._3 == "seed_s -> mid_zz -> parent_p -> id_x",
+      s"path must route through the first ALLOWED mid, got ${arrival.head._3}")
+  }
 }
