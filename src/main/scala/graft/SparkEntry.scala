@@ -101,6 +101,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     // Text analysis
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "quality_repetition" -> ((s, d) => TextAnalysis.qualityRepetition(s, d)),
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -3734,6 +3735,38 @@ object SparkEntry {
         |  round(n_punct::DOUBLE / n_chars_m, 4) AS punct_ratio,
         |  round(n_chars_m::DOUBLE / greatest(n_words, 1), 4) AS avg_word_len
         |FROM f ORDER BY doc_id""".stripMargin,
+    // Gopher-style repetition filter: in-row list arithmetic on both
+    // engines (dup frac = 1 - |distinct|/|list|), 1-based list indexing
+    // matches element_at, thresholds compared on the ROUNDED values.
+    "quality_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\n'),
+        |      l -> len(trim(l)) > 0) AS lines,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      w -> w <> '') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lines,
+        |    CASE WHEN len(words) >= 2 THEN list_transform(
+        |        generate_series(1, len(words)-1),
+        |        i -> words[i] || ' ' || words[i+1])
+        |      ELSE [] END AS g2,
+        |    CASE WHEN len(words) >= 3 THEN list_transform(
+        |        generate_series(1, len(words)-2),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |      ELSE [] END AS g3
+        |  FROM base),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(lines) > 0 THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines), 6) ELSE 0.0 END AS dup_line_frac,
+        |    CASE WHEN len(g2) > 0 THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2), 6) ELSE 0.0 END AS dup_2gram_frac,
+        |    CASE WHEN len(g3) > 0 THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3), 6) ELSE 0.0 END AS dup_3gram_frac
+        |  FROM g)
+        |SELECT doc_id, dup_line_frac, dup_2gram_frac, dup_3gram_frac,
+        |  CAST(CASE WHEN dup_line_frac <= 0.30 AND dup_3gram_frac <= 0.18
+        |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS ws_tokens,

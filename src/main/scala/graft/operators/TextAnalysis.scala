@@ -166,4 +166,43 @@ object TextAnalysis {
         round(col("w"), 4).as("weight"))
       .orderBy(col("doc_id"), col("gist_rank"))
   }
+
+  /** Repetition quality signals — the classic web-corpus filter family
+    * (duplicate-line fraction, duplicate word-n-gram fractions;
+    * thresholds in the style of the Gopher rules, Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1): a document dominated by repeated lines or
+    * n-grams is boilerplate/spam and is dropped before training.
+    *
+    * Every metric is computed WITHIN the row from array functions —
+    * map-only at 100 TB, no shuffle, no per-corpus state: the dup
+    * fraction of a list is `1 − |distinct|/|list|`, exact rational
+    * arithmetic rounded to 6 dp so the DuckDB twin hashes identically.
+    * `keep` applies the line- and 3-gram thresholds (0.30 / 0.18).
+    */
+  def qualityRepetition(spark: SparkSession, dir: String): DataFrame =
+    qualityRepetitionOf(Tables.documents(spark, dir))
+
+  /** §3 `*Of` form over any (doc_id, text) frame. */
+  def qualityRepetitionOf(docs: DataFrame): DataFrame = {
+    def dupFrac(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(size(a) > 0,
+        round(lit(1.0) - size(array_distinct(a)).cast("double") / size(a), 6))
+        .otherwise(lit(0.0))
+    def grams(w: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+        .otherwise(array().cast("array<string>"))
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), "\n"), l => length(trim(l)) > 0).as("lines"),
+        filter(split(lower(col("text")), "\\s+"), w => w =!= "").as("words"))
+      .select(col("doc_id"),
+        dupFrac(col("lines")).as("dup_line_frac"),
+        dupFrac(grams(col("words"), 2)).as("dup_2gram_frac"),
+        dupFrac(grams(col("words"), 3)).as("dup_3gram_frac"))
+      .withColumn("keep",
+        (col("dup_line_frac") <= 0.30 && col("dup_3gram_frac") <= 0.18).cast("int"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -73,4 +73,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaExpr == viaAgg,
       s"first diff: ${viaExpr.find { case (k, v) => viaAgg.get(k) != Some(v) }}")
   }
+
+  // Repetition metrics on hand-computable fixtures: the dup fraction of
+  // a list is 1 - |distinct|/|list| over non-empty trimmed lines /
+  // lowercased whitespace words.
+  test("quality_repetition: fixture fractions and the keep verdict") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "a b\na b\na b a b\na b a b"),
+      // unique everything -> keep
+      (2L, "one two three\nfour five six"),
+      // empty and whitespace-only -> all zeros, keep
+      (3L, ""), (4L, "  \n \n\t")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityRepetitionOf(docsDf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+    // doc 1: 4 lines 2 distinct -> 0.5; 12 words (a/b alternating):
+    // 11 2-grams 2 distinct -> 1-2/11, 10 3-grams 2 distinct -> 0.8
+    assert(out(1L) == ((0.5, 0.818182, 0.8, 0)))
+    assert(out(2L) == ((0.0, 0.0, 0.0, 1)))
+    assert(out(3L) == ((0.0, 0.0, 0.0, 1)))
+    assert(out(4L) == ((0.0, 0.0, 0.0, 1)))
+  }
+
+  test("quality_repetition: corpus invariants") {
+    val rows = TextAnalysis.qualityRepetition(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (l, g2, g3) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(l >= 0.0 && l <= 1.0 && g2 >= 0.0 && g2 <= 1.0 && g3 >= 0.0 && g3 <= 1.0)
+      assert(r.getInt(4) == (if (l <= 0.30 && g3 <= 0.18) 1 else 0))
+    }
+  }
 }
