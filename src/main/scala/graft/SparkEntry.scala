@@ -102,6 +102,7 @@ object SparkEntry {
     // Text analysis
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "quality_repetition" -> ((s, d) => TextAnalysis.qualityRepetition(s, d)),
+    "decontaminate"   -> ((s, d) => Decontamination.decontaminate(s, d)),
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -3767,6 +3768,37 @@ object SparkEntry {
         |  CAST(CASE WHEN dup_line_frac <= 0.30 AND dup_3gram_frac <= 0.18
         |    THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // Eval-set decontamination: eval = doc_id < 50, candidates = the
+    // rest; distinct word-8-gram overlap per candidate.
+    "decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t <> '') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(words) >= 8 THEN list_distinct(list_transform(
+        |        generate_series(1, len(words)-7),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+        |             words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+        |             words[i+6] || ' ' || words[i+7]))
+        |      ELSE [] END AS grams
+        |  FROM w),
+        |ev AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50),
+        |ov AS (
+        |  SELECT c.doc_id, count(*) AS overlap_grams
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 50) c
+        |  JOIN ev ON ev.gram = c.gram
+        |  GROUP BY c.doc_id)
+        |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(ov.overlap_grams, 0) AS BIGINT) AS overlap_grams,
+        |  CAST(CASE WHEN coalesce(ov.overlap_grams, 0) > 0 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS contaminated
+        |FROM g LEFT JOIN ov ON ov.doc_id = g.doc_id
+        |WHERE g.doc_id >= 50
+        |ORDER BY g.doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS ws_tokens,
