@@ -103,6 +103,7 @@ object SparkEntry {
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "quality_repetition" -> ((s, d) => TextAnalysis.qualityRepetition(s, d)),
     "decontaminate"   -> ((s, d) => Decontamination.decontaminate(s, d)),
+    "lm_quality"      -> ((s, d) => LmQuality.lmQuality(s, d)),
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -3799,6 +3800,31 @@ object SparkEntry {
         |FROM g LEFT JOIN ov ON ov.doc_id = g.doc_id
         |WHERE g.doc_id >= 50
         |ORDER BY g.doc_id""".stripMargin,
+    // Unigram-LM quality: corpus top-10000 vocabulary by (cnt desc,
+    // word), OOV floor 1/total, mean log10 probability per doc; keep
+    // thresholds compare on the ROUNDED score, wordless docs score 0.
+    "lm_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t <> '')) AS word
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM w),
+        |vocab AS (
+        |  SELECT word, count(*) AS cnt FROM w GROUP BY word
+        |  ORDER BY cnt DESC, word LIMIT 10000),
+        |s AS (
+        |  SELECT w.doc_id,
+        |    avg(log10(CAST(coalesce(v.cnt, 1) AS DOUBLE) / t.total)) AS lp
+        |  FROM w LEFT JOIN vocab v USING (word) CROSS JOIN tot t
+        |  GROUP BY w.doc_id),
+        |r AS (
+        |  SELECT d.doc_id, round(coalesce(s.lp, 0.0), 4) AS avg_logprob
+        |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id)
+        |SELECT doc_id, avg_logprob,
+        |  CAST(CASE WHEN avg_logprob >= -4.0 AND avg_logprob < 0.0
+        |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS ws_tokens,

@@ -5,6 +5,58 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
+/** Unigram-LM quality scoring — the perplexity-proxy filter a training
+  * pipeline runs to drop gibberish/low-quality text (the CCNet/KenLM
+  * idea reduced to its unigram core so a SQL oracle can reproduce it
+  * bit-for-bit): score = mean log10 unigram probability of the
+  * document's words under the corpus's own top-K vocabulary;
+  * out-of-vocabulary words get the 1/total floor. Low (very negative)
+  * scores mean improbable token streams.
+  *
+  * Scale shape: ONE corpus aggregation builds (vocabulary, total) —
+  * the top-K cut runs as a distributed TakeOrdered (never a global
+  * window); the vocabulary is bounded by K, so scoring is a broadcast
+  * join + one per-doc partial-aggregated mean. Shuffles: the vocab
+  * count (∝ distinct words) and the per-doc mean (∝ tokens,
+  * map-combined to ∝ docs). No corpus-sized state on any single node.
+  */
+object LmQuality {
+
+  private def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => w =!= "")
+
+  def lmQuality(spark: SparkSession, dir: String,
+                vocabSize: Int = 10000, keepThreshold: Double = -4.0): DataFrame =
+    lmQualityOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      vocabSize, keepThreshold)
+
+  /** §3 `*Of` form over any (doc_id, text) frame. Output: (doc_id,
+    * avg_logprob rounded to 4 dp, keep). Wordless documents score 0.0
+    * and are dropped (nothing to keep); every real score is < 0.
+    */
+  def lmQualityOf(docs: DataFrame, vocabSize: Int, keepThreshold: Double): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    // distributed top-K: orderBy+limit plans as TakeOrdered, not a
+    // single-partition window; (cnt desc, word) totalizes the boundary
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(vocabSize)
+    val total = toks.agg(count(lit(1)).cast("double").as("total"))
+    val perDoc = toks
+      .join(broadcast(vocab), Seq("word"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(avg(log10(coalesce(col("cnt"), lit(1L)).cast("double") / col("total")))
+        .as("lp"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("lp"), lit(0.0)), 4).as("avg_logprob"))
+      .withColumn("keep",
+        (col("avg_logprob") >= keepThreshold && col("avg_logprob") < 0.0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+}
+
 /** Eval-set decontamination — the n-gram-overlap check every serious
   * pre-training pipeline runs before training: any training document
   * sharing a long word-n-gram with a benchmark/eval document is flagged
