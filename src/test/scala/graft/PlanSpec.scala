@@ -436,4 +436,31 @@ class PlanSpec extends SparkSpec {
       assert(plans(host).contains(exprName + "("),
         s"$exprName not found in $host's plan — host moved? update the lock")
   }
+
+  test("quality_repetition is map-only: no shuffle anywhere in the plan") {
+    // every repetition metric is in-row array arithmetic; an Exchange
+    // would mean corpus state leaked in (the final orderBy sorts the
+    // SMALL result and is exempt: check the pre-sort subtree by
+    // asserting the only exchange is the rangepartitioning sort)
+    val p = plan("quality_repetition")
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.forall(_ == "rangepartitioning"),
+      s"non-sort exchange in a map-only plan: $exchanges\n" + p.take(2000))
+  }
+
+  test("lm_quality cuts the vocabulary with TakeOrdered, not a global sort") {
+    val p = plan("lm_quality")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab top-K must plan as TakeOrderedAndProject:\n" + p.take(2000))
+  }
+
+  test("decontaminate broadcasts the benchmark grams, never the candidates") {
+    val q = SparkEntry.queries("decontaminate")(spark, sfDir)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    // exactly the eval-gram frame carries the hint (bounded by
+    // construction); the candidate side must not
+    val hints = "strategy=broadcast".r.findAllIn(optimized).length
+    assert(hints == 1,
+      s"expected exactly one broadcast hint (the eval grams), got $hints")
+  }
 }
