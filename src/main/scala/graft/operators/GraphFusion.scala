@@ -98,6 +98,11 @@ object GraphFusion {
         concat(col("src_node_id"), lit(" -> "), col("dst_node_id")).as("path"))
     var acc = hop
     for (d <- 2 to maxHops) {
+      // NOTE (round 9): the cross_boundary unhint-and-checkpoint
+      // treatment was applied here and MEASURED SLOWER at every scale
+      // (sf0.1 4.5→7.0 s, ×10 11.7→24.4 s, ×100 ~195 s) — this hop
+      // frame stays far under broadcast limits through ×100 and the
+      // lazy unroll pipelines whole-stage; reverted on the probes.
       val h = hop.as("h")
       hop = broadcast(h).join(e.as("e2"),
           col("h.tenant_id") === col("e2.tenant_id") &&
