@@ -104,6 +104,7 @@ object SparkEntry {
     "quality_repetition" -> ((s, d) => TextAnalysis.qualityRepetition(s, d)),
     "decontaminate"   -> ((s, d) => Decontamination.decontaminate(s, d)),
     "lm_quality"      -> ((s, d) => LmQuality.lmQuality(s, d)),
+    "boilerplate_lines" -> ((s, d) => Boilerplate.boilerplateLines(s, d)),
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -3825,6 +3826,38 @@ object SparkEntry {
         |  CAST(CASE WHEN avg_logprob >= -4.0 AND avg_logprob < 0.0
         |    THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    // CCNet-style boilerplate: per-(source, trimmed line) document
+    // frequency; kept raw lines rebuild in pos order for the md5.
+    "boilerplate_lines" ->
+      """WITH lx AS (
+        |  SELECT doc_id, source,
+        |    unnest(generate_series(1, len(regexp_split_to_array(text, '\n'))))
+        |      AS pos,
+        |    regexp_split_to_array(text, '\n') AS l
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, source, pos, l[pos] AS line, trim(l[pos]) AS lkey
+        |  FROM lx WHERE len(trim(l[pos])) > 0),
+        |freq AS (
+        |  SELECT source, lkey, count(DISTINCT doc_id) AS df
+        |  FROM lines GROUP BY source, lkey),
+        |per AS (
+        |  SELECT li.doc_id,
+        |    count(*) AS n_lines,
+        |    sum(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS boiler_lines,
+        |    md5(coalesce(string_agg(CASE WHEN f.df < 3 THEN li.line END,
+        |      chr(10) ORDER BY li.pos), '')) AS cleaned_md5
+        |  FROM lines li JOIN freq f ON f.source = li.source AND f.lkey = li.lkey
+        |  GROUP BY li.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(p.boiler_lines, 0) AS BIGINT) AS boiler_lines,
+        |  CASE WHEN coalesce(p.n_lines, 0) > 0
+        |    THEN round(CAST(p.boiler_lines AS DOUBLE) / p.n_lines, 6)
+        |    ELSE 0.0 END AS boiler_frac,
+        |  coalesce(p.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS ws_tokens,
