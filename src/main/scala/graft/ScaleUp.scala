@@ -54,6 +54,29 @@ object ScaleUp {
     def reps(df: DataFrame): DataFrame =
       df.withColumn("r", explode(sequence(lit(0L), lit(scale - 1L))))
 
+    // Fail loudly if a base key would collide across replicas — e.g.
+    // pointing ScaleUp at an ALREADY-SCALED dir, whose keys exceed the
+    // strides below and would silently merge replicas into a corrupt
+    // corpus.
+    def checkStride(df: DataFrame, key: String, stride: Long, table: String): Unit = {
+      val mx = df.agg(max(col(key).cast("long"))).head.getLong(0)
+      require(mx < stride,
+        s"ScaleUp: $table.$key max $mx >= stride $stride — base dir " +
+          s"already scaled or stride too small; replicas would collide")
+    }
+    checkStride(Tables.documents(spark, baseDir), "doc_id", 10000L, "documents")
+    checkStride(Tables.embeddings(spark, baseDir), "vec_id", 10000L, "embeddings")
+    checkStride(Tables.events(spark, baseDir), "event_id", 1000000L, "events")
+    checkStride(Tables.events(spark, baseDir), "user_id", 10000L, "events")
+    checkStride(Tables.orders(spark, baseDir), "o_orderkey", 1000000L, "orders")
+    checkStride(Tables.orders(spark, baseDir), "o_custkey", 100000L, "orders")
+    checkStride(Tables.lineitem(spark, baseDir), "l_orderkey", 1000000L, "lineitem")
+    checkStride(Tables.lineitem(spark, baseDir), "l_partkey", 100000L, "lineitem")
+    checkStride(Tables.lineitem(spark, baseDir), "l_suppkey", 10000L, "lineitem")
+    checkStride(Tables.customer(spark, baseDir), "c_custkey", 100000L, "customer")
+    checkStride(Tables.supplier(spark, baseDir), "s_suppkey", 10000L, "supplier")
+    checkStride(Tables.part(spark, baseDir), "p_partkey", 100000L, "part")
+
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
 

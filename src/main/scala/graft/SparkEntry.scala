@@ -3644,10 +3644,14 @@ object SparkEntry {
         |  CASE WHEN watch_collection <> 'libraries' AND ext IN ('pdf', 'pptx')
         |       THEN source END AS source_project_id
         |FROM x ORDER BY doc_id""".stripMargin,
+    // Grouping key mirrors the Spark side's collision-hardened
+    // (md5, length) pair — under an adversarial chosen-prefix collision
+    // the two engines must agree that different-length docs stay
+    // distinct (the dumped content_hash stays the bare digest).
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
-        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-        |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS INTEGER) AS is_dup
+        |  min(doc_id) OVER (PARTITION BY md5(text), length(text)) AS canonical_id,
+        |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text), length(text)) AS INTEGER) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
     // SimHash twin with md5-nibble token hashes: the per-token 60-bit
     // value is the same nibble fold as the communities label; bit j's

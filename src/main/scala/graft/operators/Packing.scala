@@ -53,10 +53,20 @@ object Packing {
     require(seqLen > 0, "seqLen must be positive")
     val spark = counts.sparkSession
     val shufP = spark.sessionState.conf.numShufflePartitions
+    // localCheckpoint pins ONE physical evaluation of the slice
+    // assignment: both consumers below (the per-row window and the
+    // per-slice offsets) would otherwise re-plan this branch, and
+    // repartitionByRange samples its boundaries with an RDD-id-derived
+    // seed — identical results across the two branches are guaranteed
+    // only by exchange reuse, which replans or
+    // spark.sql.exchange.reuse=false can defeat, silently mis-offsetting
+    // token positions. The checkpointed frame is (doc_id, n_tokens,
+    // slice) — three fixed-width columns, not the corpus text.
     val sliced = counts
       .filter(col("n_tokens") > 0)
       .repartitionByRange(shufP, col("doc_id"))
       .withColumn("slice", spark_partition_id())
+      .localCheckpoint()
     val local = Window.partitionBy(col("slice")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = sliced

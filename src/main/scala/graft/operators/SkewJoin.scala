@@ -42,7 +42,13 @@ object SkewJoin {
         when(col("k") < 80, lit(0)).otherwise(col("k") - 79))
 
   private def sides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val ev = keyed(spark, dir)
+    // NaN guard: in the pair-enumeration form a NaN value joins to
+    // nothing (NaN comparisons are false), but in the rank form NaN
+    // SORTS above every double, so a NaN click would count every error
+    // in its key. Excluding NaN rows up front gives both twins the
+    // enumeration's semantics exactly (the corpus has no NaN; this
+    // pins the contract rather than relying on that).
+    val ev = keyed(spark, dir).filter(!isnan(col("value")))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("skew_key"), col("value").as("cv"), col("event_id"))
     val errors = ev.filter(col("event_type") === "error")
@@ -96,9 +102,14 @@ object SkewJoin {
       .unionByName(errors
         .select(col("skew_key"), col("ev").as("value"), lit(1).as("is_err")))
     val shufP = spark.sessionState.conf.numShufflePartitions
+    // Pin ONE physical evaluation of the slice assignment (same fix as
+    // Packing.packSequencesOf): repartitionByRange samples boundaries
+    // with an RDD-id-derived seed, and the two consumers (window +
+    // offsets) agree only while exchange reuse dedupes the shuffle.
     val sliced = all
       .repartitionByRange(shufP, col("skew_key"), col("value"), col("is_err"))
       .withColumn("slice", spark_partition_id())
+      .localCheckpoint()
     val local = Window.partitionBy(col("skew_key"), col("slice"))
       .orderBy(col("value"), col("is_err"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.LogicalRDD
   * shim inside the sql package tree — the established pattern for Spark
   * extension libraries.
   */
-object Bridge {
+object Bridge extends org.apache.spark.internal.Logging {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
@@ -48,6 +48,19 @@ object Bridge {
         val measured = session.getRDDStorageInfo
           .find(_.id == l.rdd.id)
           .map(i => BigInt(math.max(i.memSize + i.diskSize, 1L)))
+          // If the block manager does not report the checkpointed RDD,
+          // leaving originStats empty makes the LogicalRDD report
+          // defaultSizeInBytes (Long.MaxValue) — a tiny frame then
+          // never broadcasts and every downstream join goes sort-merge,
+          // a silent per-iteration cliff. Fall back to a conservative
+          // row-count × flat-schema-width estimate instead (the RDD is
+          // already materialized, so the count is a cheap cached scan).
+          .orElse {
+            logWarning(s"localCheckpointFreshStats: RDD ${l.rdd.id} not " +
+              "in block-manager storage info; estimating size from row count")
+            val width = l.output.map(_.dataType.defaultSize).sum + 8L
+            Some(BigInt(math.max(l.rdd.count() * width, 1L)))
+          }
         val spark = ckpt.sparkSession
           .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         org.apache.spark.sql.classic.Dataset.ofRows(spark,
