@@ -76,7 +76,16 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
-        val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // Forcing is toRdd.count(), NOT Dataset.count(): count() lets
+        // the optimizer prune every column and then (Spark 3.4+
+        // distinct-keys propagation) ELIMINATE left joins against
+        // aggregated verdict frames — entire subtrees of the measured
+        // query silently skip. Measured: decontaminate 0.17 s under
+        // count() vs ~10 s really materializing its gram overlap at
+        // sf0.1. toRdd executes the query's own physical plan with all
+        // output columns and counts rows executor-side.
+        val n = try { fn(spark, sfDir).queryExecution.toRdd.count() }
+          catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         // Drop caches/checkpoints a query left behind so heap pressure
         // doesn't compound into later timings — EXCEPT the corpus-graph
@@ -106,6 +115,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val totalMin = results.map(_._2._2).sum
+    // Operator/instrument split (SparkEntry.instruments): `value` stays
+    // the cross-round-comparable full total; the two sub-totals keep
+    // the operator tree's regression signal separate from the
+    // reproducibility instruments' deliberate oracle-portable cost.
+    val (instr, ops) = results.partition(r => SparkEntry.instruments(r._1))
+    val opTotal = ops.map(_._2._1).sum
+    val instrTotal = instr.map(_._2._1).sum
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val cpuSec = if (cpu0 >= 0) (cpuNanos - cpu0) / 1e9 else -1.0
     val gcSec = (gcMillis - gc0) / 1e3
@@ -117,8 +133,10 @@ object Bench {
       f""""cpu_per_wall":${if (wallSec > 0) cpuSec / wallSec else -1.0}%.2f,""" +
       f""""gc_sec":$gcSec%.1f,"load_avg_end":$load%.1f}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,""" +
+      s""""operator_total":$opTotal,"instrument_total":$instrTotal,""" +
       s""""queries":$qs,"queries_min":$qmins,"health":$health,""" +
-      s""""sf":"$sfDir","repeats":$repeats,"force_distributed":$forceDistributed}""")
+      s""""sf":"$sfDir","repeats":$repeats,"forcing":"toRdd",""" +
+      s""""force_distributed":$forceDistributed}""")
     spark.stop()
   }
 }

@@ -28,7 +28,9 @@ object Probe {
     }
     for (round <- 1 to 2) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // toRdd forcing, as in Bench: Dataset.count() lets the optimizer
+      // prune columns and eliminate verdict left-joins entirely.
+      val n = fn(spark, sfDir).queryExecution.toRdd.count()
       System.err.println(f"[probe] $name round $round: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     }
     System.err.println(fn(spark, sfDir).queryExecution.executedPlan.toString.take(6000))

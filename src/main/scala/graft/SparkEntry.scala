@@ -16,6 +16,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreAnalytics.q1Agg(spark, "/root/testdata/sf0.001")
 
+  /** Reproducibility INSTRUMENTS among the registered queries: entries
+    * whose job is to certify another operator cross-engine (md5-twin
+    * oracles that deliberately re-run a hash family in its
+    * oracle-portable form, recall certificates that embed a brute-force
+    * truth pass). They stay registered — their correctness rows are the
+    * certificates — but the bench reports them under a separate total
+    * so the OPERATOR tree's regression signal stays one-glance
+    * (dedup_clusters runs the oracle-portable pair pipeline end-to-end
+    * by design; its operator core, dedupClustersOf, accepts the fast
+    * xxhash64 pair families unchanged).
+    */
+  val instruments: Set[String] = Set(
+    "dedup_minhash_oracle", "dedup_simhash_oracle", "dedup_clusters",
+    "ann_lsh_cert", "ann_ivf_cert")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Core analytics
@@ -95,6 +110,7 @@ object SparkEntry {
     "dedup_minhash"   -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash"   -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_simhash_oracle" -> ((s, d) => Dedup.dedupSimhashOracle(s, d)),
+    "dedup_simhash_lsh" -> ((s, d) => Dedup.dedupSimhashLsh(s, d)),
     "dedup_minhash_oracle" -> ((s, d) => Dedup.dedupMinhashOracle(s, d)),
     "dedup_clusters"  -> ((s, d) => Dedup.dedupClusters(s, d)),
     "ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -113,6 +129,7 @@ object SparkEntry {
     // Ingestion pipeline
     "pack_sequences"   -> ((s, d) => Packing.packSequences(s, d)),
     "sample_stratified" -> ((s, d) => Sampling.sampleStratified(s, d)),
+    "corpus_pipeline"  -> ((s, d) => CorpusPipeline.corpusPipeline(s, d)),
     "chunk_documents"  -> ((s, d) => Ingest.chunkDocuments(s, d)),
     "chunk_paragraphs" -> ((s, d) => Ingest.chunkParagraphs(s, d)),
     "store_points"     -> ((s, d) => Ingest.storePoints(s, d)),
@@ -1023,17 +1040,19 @@ object SparkEntry {
     * keyed (md5, length) with the pair set expanded through them.
     */
   private def dedupMinhashOracleSql: String =
-    "WITH " + dedupMinhashPairCtes + "\n" +
+    "WITH " + dedupMinhashPairCtes() + "\n" +
       """SELECT a, b, round(jaccard, 4) AS jaccard
         |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
         |ORDER BY a, b""".stripMargin
 
   /** The shared pair-CTE chain (through `crossp`/`intra`) of the
-    * generated minhash oracle — ONE val-like body feeding both the
-    * pair query above and the cluster canonicalization oracle below,
-    * so the two cannot drift on the hash family.
+    * generated minhash oracle — ONE val-like body feeding the pair
+    * query above, the cluster canonicalization oracle below, AND the
+    * corpus_pipeline composition (parameterized on the (doc_id, text)
+    * source relation), so none of the three can drift on the hash
+    * family.
     */
-  private def dedupMinhashPairCtes: String = {
+  private def dedupMinhashPairCtes(src: String = "documents"): String = {
     val coeffs = graft.operators.Dedup.minhashCoeffs(36)
     val sigEntries = coeffs.map { case (a, b) =>
       s"  list_min(list_transform(sh, h -> (h % 2147483647 * $a + $b) % 2147483647))"
@@ -1041,44 +1060,44 @@ object SparkEntry {
     val bandKey = (1 to 3).map(r => s"CAST(sig[b.band*3+$r] AS VARCHAR)")
       .mkString(" || ':' || ")
     s"""dd AS (
-       |  SELECT doc_id, text, md5(text) || ':' || length(text) AS ch FROM documents),
-       |grp AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ch) AS rep FROM dd),
-       |reps AS (SELECT d.doc_id, d.text FROM dd d
+       |  SELECT doc_id, text, md5(text) || ':' || length(text) AS ch FROM $src),
+       |grp AS MATERIALIZED (SELECT doc_id, min(doc_id) OVER (PARTITION BY ch) AS rep FROM dd),
+       |reps AS MATERIALIZED (SELECT d.doc_id, d.text FROM dd d
        |         JOIN grp g ON g.doc_id = d.doc_id WHERE g.rep = d.doc_id),
-       |shl AS (SELECT doc_id,
+       |shl AS MATERIALIZED (SELECT doc_id,
        |  list_sort(list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
        |    i -> list_reduce(list_prepend(0::BIGINT,
        |      list_transform(generate_series(1, 15),
        |        j -> (strpos('0123456789abcdef', substr(md5(substr(text, i, 3)), CAST(j AS INTEGER), 1)) - 1)::BIGINT)),
        |      (acc, x) -> acc * 16 + x)))) AS sh
        |  FROM reps),
-       |docs AS (SELECT * FROM shl WHERE len(sh) > 0),
-       |sig AS (SELECT doc_id, $sigEntries FROM docs),
-       |bandk AS (
+       |docs AS MATERIALIZED (SELECT * FROM shl WHERE len(sh) > 0),
+       |sig AS MATERIALIZED (SELECT doc_id, $sigEntries FROM docs),
+       |bandk AS MATERIALIZED (
        |  SELECT doc_id, b.band, $bandKey AS bucket
        |  FROM sig, generate_series(0, 11) AS b(band)),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM bandk l JOIN bandk r
        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
-       |est AS (
+       |est AS MATERIALIZED (
        |  SELECT c.a, c.b
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
        |  WHERE len(list_filter(generate_series(1, 36), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 36 >= 0.45),
-       |reppairs AS (
+       |reppairs AS MATERIALIZED (
        |  SELECT e.a AS ra, e.b AS rb,
        |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
        |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
        |  FROM est e JOIN docs sa ON sa.doc_id = e.a JOIN docs sb ON sb.doc_id = e.b
        |  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
        |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6),
-       |valid AS (SELECT g.doc_id, g.rep FROM grp g JOIN docs d ON d.doc_id = g.rep),
-       |dupgroups AS (SELECT DISTINCT rep FROM valid WHERE doc_id <> rep),
-       |grouped AS (SELECT v.doc_id, v.rep FROM valid v JOIN dupgroups dg ON dg.rep = v.rep),
-       |intra AS (
+       |valid AS MATERIALIZED (SELECT g.doc_id, g.rep FROM grp g JOIN docs d ON d.doc_id = g.rep),
+       |dupgroups AS MATERIALIZED (SELECT DISTINCT rep FROM valid WHERE doc_id <> rep),
+       |grouped AS MATERIALIZED (SELECT v.doc_id, v.rep FROM valid v JOIN dupgroups dg ON dg.rep = v.rep),
+       |intra AS MATERIALIZED (
        |  SELECT x.doc_id AS a, y.doc_id AS b, 1.0::DOUBLE AS jaccard
        |  FROM grouped x JOIN grouped y ON x.rep = y.rep AND x.doc_id < y.doc_id),
-       |crossp AS (
+       |crossp AS MATERIALIZED (
        |  SELECT least(ma.doc_id, mb.doc_id) AS a, greatest(ma.doc_id, mb.doc_id) AS b, rp.jaccard
        |  FROM reppairs rp JOIN valid ma ON ma.rep = rp.ra JOIN valid mb ON mb.rep = rp.rb)""".stripMargin
   }
@@ -1092,24 +1111,248 @@ object SparkEntry {
     * sf0.01 gate where the oracle runs.
     */
   private def dedupClustersSql: String =
-    "WITH RECURSIVE " + dedupMinhashPairCtes + ",\n" +
-      """pairsq AS (SELECT a, b FROM crossp UNION ALL SELECT a, b FROM intra),
-        |edges AS (SELECT a, b FROM pairsq UNION SELECT b AS a, a AS b FROM pairsq),
-        |reach(node, r) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a),
-        |comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
-        |ranked AS (
-        |  SELECT c.doc_id, c.cluster_id,
-        |    count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
-        |    CAST(CASE WHEN row_number() OVER (
-        |        PARTITION BY c.cluster_id
-        |        ORDER BY length(d.text) DESC, c.doc_id) = 1
-        |      THEN 1 ELSE 0 END AS INTEGER) AS is_kept
-        |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
-        |SELECT doc_id, cluster_id, cluster_size, is_kept FROM ranked
+    "WITH RECURSIVE " + dedupMinhashPairCtes() + ",\n" +
+      dedupClustersClosureCtes("documents") + "\n" +
+      """SELECT doc_id, cluster_id, cluster_size, is_kept FROM ranked
         |ORDER BY doc_id""".stripMargin
+
+  /** The closure half of the clusters oracle (pairsq → ranked),
+    * parameterized on the (doc_id, text) relation supplying the
+    * keep-rule text — `documents` for the standalone query, the
+    * survivor CTE for corpus_pipeline. Requires WITH RECURSIVE and the
+    * pair CTEs (`crossp`/`intra`) upstream.
+    */
+  private def dedupClustersClosureCtes(textSrc: String): String =
+    s"""pairsq AS (SELECT a, b FROM crossp UNION ALL SELECT a, b FROM intra),
+       |edges AS MATERIALIZED (SELECT a, b FROM pairsq UNION SELECT b AS a, a AS b FROM pairsq),
+       |reach(node, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a),
+       |comp AS MATERIALIZED (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+       |ranked AS MATERIALIZED (
+       |  SELECT c.doc_id, c.cluster_id,
+       |    count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+       |    CAST(CASE WHEN row_number() OVER (
+       |        PARTITION BY c.cluster_id
+       |        ORDER BY length(d.text) DESC, c.doc_id) = 1
+       |      THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+       |  FROM comp c JOIN $textSrc d ON d.doc_id = c.doc_id)""".stripMargin
+
+  /** The md5-nibble simhash CTE chain (toks → hs → bal → sims) shared
+    * by dedup_simhash_oracle and the generated dedup_simhash_lsh twin,
+    * so the two oracles cannot drift on the hash family.
+    */
+  private val simhashSimsCtes: String =
+    tokenStatsCte + ",\n" +
+      """hs AS MATERIALIZED (
+        |  SELECT doc_id, list_transform(toks, t ->
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 15),
+        |        j -> (strpos('0123456789abcdef', substr(md5(t), CAST(j AS INTEGER), 1)) - 1)::BIGINT)),
+        |      (acc, x) -> acc * 16 + x)) AS hs
+        |  FROM toks WHERE len(toks) > 0),
+        |bal AS (
+        |  SELECT doc_id, g.j,
+        |    sum(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+        |  FROM (SELECT doc_id, unnest(hs) AS h FROM hs)
+        |  CROSS JOIN generate_series(0, 59) AS g(j)
+        |  GROUP BY doc_id, g.j),
+        |sims AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN bal > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+        |  FROM bal GROUP BY doc_id)""".stripMargin
+
+  /** GENERATED DuckDB twin of dedup_simhash_lsh: the same md5-nibble
+    * simhash chain, then the 24 sampled-bit table keys generated from
+    * the SAME position table as the Spark side
+    * (Dedup.simhashLshPositions — generated-oracle precedent), the
+    * (table, key) bucket self-join, the exact hamming verify, and the
+    * pair dedup. The oracle finds exactly the pairs the LSH finds —
+    * certifying both the key math and the recall-trading candidate set.
+    */
+  private def dedupSimhashLshSql: String = {
+    val positions = graft.operators.Dedup.simhashLshPositions(24, 16)
+    val tableSelects = positions.zipWithIndex.map { case (pos, t) =>
+      val key = pos.zipWithIndex.map { case (p, i) =>
+        s"(((simhash >> $p) & 1) << $i)"
+      }.mkString(" + ")
+      s"  SELECT doc_id, simhash, $t AS tbl, $key AS k FROM sims"
+    }.mkString("\nUNION ALL\n")
+    simhashSimsCtes + ",\n" +
+      s"""keyed AS MATERIALIZED (
+         |$tableSelects)
+         |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM keyed a JOIN keyed b
+         |  ON a.tbl = b.tbl AND a.k = b.k AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+         |ORDER BY a, b""".stripMargin
+  }
+
+  /** GENERATED DuckDB twin of corpus_pipeline: the component stages'
+    * proven CTE chains (boilerplate_lines rewrite, quality_repetition,
+    * lm_quality, decontaminate, the generated minhash pair chain +
+    * cluster closure, pack_sequences, sample_stratified) composed in
+    * funnel order over one candidate CTE — documents with doc_id < 50
+    * are the raw benchmark, the rest are candidates; stages a doc never
+    * reached carry -1, exactly as the Spark ledger does.
+    */
+  private def corpusPipelineSql: String =
+    "WITH RECURSIVE " +
+      """cands AS (SELECT doc_id, source, text FROM documents WHERE doc_id >= 50),
+        |lx AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    unnest(generate_series(1, len(regexp_split_to_array(text, '\n')))) AS pos,
+        |    regexp_split_to_array(text, '\n') AS l
+        |  FROM cands),
+        |blines AS MATERIALIZED (
+        |  SELECT doc_id, source, pos, l[pos] AS line, trim(l[pos]) AS lkey
+        |  FROM lx WHERE len(trim(l[pos])) > 0),
+        |bfreq AS MATERIALIZED (
+        |  SELECT source, lkey, count(DISTINCT doc_id) AS df
+        |  FROM blines GROUP BY source, lkey),
+        |perb AS MATERIALIZED (
+        |  SELECT li.doc_id,
+        |    count(*) AS n_lines,
+        |    sum(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS boiler_lines,
+        |    coalesce(string_agg(CASE WHEN f.df < 3 THEN li.line END,
+        |      chr(10) ORDER BY li.pos), '') AS cleaned
+        |  FROM blines li JOIN bfreq f ON f.source = li.source AND f.lkey = li.lkey
+        |  GROUP BY li.doc_id),
+        |cleaned AS MATERIALIZED (
+        |  SELECT c.doc_id, c.source,
+        |    coalesce(p.cleaned, '') AS text,
+        |    CAST(coalesce(p.n_lines, 0) AS BIGINT) AS n_lines,
+        |    CAST(coalesce(p.boiler_lines, 0) AS BIGINT) AS boiler_lines
+        |  FROM cands c LEFT JOIN perb p ON p.doc_id = c.doc_id),
+        |rbase AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\n'), l -> len(trim(l)) > 0) AS rlines,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS words
+        |  FROM cleaned),
+        |rg AS MATERIALIZED (
+        |  SELECT doc_id, rlines,
+        |    CASE WHEN len(words) >= 3 THEN list_transform(
+        |        generate_series(1, len(words)-2),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |      ELSE [] END AS g3
+        |  FROM rbase),
+        |repg AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN
+        |      (CASE WHEN len(rlines) > 0 THEN round(1.0 - CAST(len(list_distinct(rlines)) AS DOUBLE)/len(rlines), 6) ELSE 0.0 END) <= 0.30
+        |      AND
+        |      (CASE WHEN len(g3) > 0 THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3), 6) ELSE 0.0 END) <= 0.18
+        |      THEN 1 ELSE 0 END AS rep_keep
+        |  FROM rg),
+        |lmw AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS word
+        |  FROM cleaned),
+        |lmtot AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS total FROM lmw),
+        |lmvocab AS MATERIALIZED (
+        |  SELECT word, count(*) AS cnt FROM lmw GROUP BY word
+        |  ORDER BY cnt DESC, word LIMIT 10000),
+        |lms AS MATERIALIZED (
+        |  SELECT w.doc_id, avg(log10(CAST(coalesce(v.cnt, 1) AS DOUBLE) / t.total)) AS lp
+        |  FROM lmw w LEFT JOIN lmvocab v USING (word) CROSS JOIN lmtot t
+        |  GROUP BY w.doc_id),
+        |lmg AS MATERIALIZED (
+        |  SELECT cl.doc_id,
+        |    CASE WHEN round(coalesce(s.lp, 0.0), 4) >= -4.0
+        |      AND round(coalesce(s.lp, 0.0), 4) < 0.0 THEN 1 ELSE 0 END AS lm_keep
+        |  FROM cleaned cl LEFT JOIN lms s ON s.doc_id = cl.doc_id),
+        |gates AS MATERIALIZED (
+        |  SELECT r.doc_id, r.rep_keep, l.lm_keep FROM repg r JOIN lmg l USING (doc_id)),
+        |passers AS MATERIALIZED (
+        |  SELECT cl.* FROM cleaned cl JOIN gates g USING (doc_id)
+        |  WHERE g.rep_keep = 1 AND g.lm_keep = 1),
+        |evw AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS words
+        |  FROM documents WHERE doc_id < 50),
+        |evg AS MATERIALIZED (
+        |  SELECT DISTINCT unnest(CASE WHEN len(words) >= 8 THEN list_distinct(list_transform(
+        |      generate_series(1, len(words)-7),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+        |           words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+        |           words[i+6] || ' ' || words[i+7]))
+        |    ELSE [] END) AS gram
+        |  FROM evw),
+        |pgr AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN len(words) >= 8 THEN list_distinct(list_transform(
+        |        generate_series(1, len(words)-7),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+        |             words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+        |             words[i+6] || ' ' || words[i+7]))
+        |      ELSE [] END AS grams
+        |  FROM (SELECT doc_id,
+        |      list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS words
+        |    FROM passers) pw),
+        |pov AS MATERIALIZED (
+        |  SELECT c.doc_id, count(*) AS overlap_grams
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM pgr) c
+        |  JOIN evg ON evg.gram = c.gram
+        |  GROUP BY c.doc_id),
+        |deco AS MATERIALIZED (
+        |  SELECT p.doc_id,
+        |    CASE WHEN coalesce(o.overlap_grams, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+        |  FROM pgr p LEFT JOIN pov o ON o.doc_id = p.doc_id),
+        |survivors AS MATERIALIZED (
+        |  SELECT p.* FROM passers p JOIN deco d USING (doc_id) WHERE d.contaminated = 0),
+        |""".stripMargin + "\n" +
+      dedupMinhashPairCtes("survivors") + ",\n" +
+      dedupClustersClosureCtes("survivors") + ",\n" +
+      """dupv AS (
+        |  SELECT s.doc_id,
+        |    coalesce(r.cluster_id, 0) AS cluster_id,
+        |    coalesce(r.cluster_size, 0) AS cluster_size,
+        |    coalesce(r.is_kept, 1) AS dup_kept
+        |  FROM survivors s LEFT JOIN ranked r ON r.doc_id = s.doc_id),
+        |kept AS MATERIALIZED (
+        |  SELECT s.doc_id, s.source, s.text FROM survivors s
+        |  JOIN dupv f USING (doc_id) WHERE f.dup_kept = 1),
+        |pt AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n
+        |  FROM kept),
+        |po AS MATERIALIZED (
+        |  SELECT doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |  FROM pt WHERE n > 0),
+        |pk AS MATERIALIZED (
+        |  SELECT doc_id, n AS n_tokens, st // 512 AS seq_first,
+        |    (st + n - 1) // 512 AS seq_last, st - (st // 512) * 512 AS tok_off
+        |  FROM po),
+        |sr AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || source), doc_id) AS BIGINT) AS r
+        |  FROM kept)
+        |SELECT cl.doc_id, cl.n_lines, cl.boiler_lines,
+        |  CAST(g.rep_keep AS BIGINT) AS rep_keep,
+        |  CAST(g.lm_keep AS BIGINT) AS lm_keep,
+        |  CAST(CASE WHEN g.rep_keep = 1 AND g.lm_keep = 1
+        |    THEN d.contaminated ELSE -1 END AS BIGINT) AS contaminated,
+        |  CAST(coalesce(f.cluster_id, -1) AS BIGINT) AS cluster_id,
+        |  CAST(coalesce(f.cluster_size, -1) AS BIGINT) AS cluster_size,
+        |  CAST(coalesce(f.dup_kept, -1) AS BIGINT) AS dup_kept,
+        |  CAST(CASE WHEN coalesce(f.dup_kept, 0) = 1 THEN 1 ELSE 0 END AS BIGINT) AS final_keep,
+        |  CAST(coalesce(p.n_tokens, -1) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(p.seq_first, -1) AS BIGINT) AS seq_first,
+        |  CAST(coalesce(p.seq_last, -1) AS BIGINT) AS seq_last,
+        |  CAST(coalesce(p.tok_off, -1) AS BIGINT) AS tok_off,
+        |  CAST(coalesce(sm.r, -1) AS BIGINT) AS sample_rank
+        |FROM cleaned cl
+        |JOIN gates g USING (doc_id)
+        |LEFT JOIN deco d ON d.doc_id = cl.doc_id
+        |LEFT JOIN dupv f ON f.doc_id = cl.doc_id
+        |LEFT JOIN pk p ON p.doc_id = cl.doc_id
+        |LEFT JOIN sr sm ON sm.doc_id = cl.doc_id AND sm.r <= 25
+        |ORDER BY cl.doc_id""".stripMargin
 
   /** Shared COVERS_TOPIC CTE chain for the two elaborates oracles: the
     * doc_sections depth pipeline down to `covers(source_node_id,
@@ -3660,29 +3903,13 @@ object SparkEntry {
     // n² hamming join (the Spark side's chunk blocking is complete for
     // hamming ≤ 7, so the sets coincide).
     "dedup_simhash_oracle" ->
-      (tokenStatsCte + ",\n" +
-        """hs AS (
-          |  SELECT doc_id, list_transform(toks, t ->
-          |    list_reduce(list_prepend(0::BIGINT,
-          |      list_transform(generate_series(1, 15),
-          |        j -> (strpos('0123456789abcdef', substr(md5(t), CAST(j AS INTEGER), 1)) - 1)::BIGINT)),
-          |      (acc, x) -> acc * 16 + x)) AS hs
-          |  FROM toks WHERE len(toks) > 0),
-          |bal AS (
-          |  SELECT doc_id, g.j,
-          |    sum(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
-          |  FROM (SELECT doc_id, unnest(hs) AS h FROM hs)
-          |  CROSS JOIN generate_series(0, 59) AS g(j)
-          |  GROUP BY doc_id, g.j),
-          |sims AS (
-          |  SELECT doc_id,
-          |    CAST(sum(CASE WHEN bal > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS simhash
-          |  FROM bal GROUP BY doc_id)
-          |SELECT a.doc_id AS a, b.doc_id AS b,
+      (simhashSimsCtes + "\n" +
+        """SELECT a.doc_id AS a, b.doc_id AS b,
           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
           |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
           |ORDER BY a, b""".stripMargin),
+    "dedup_simhash_lsh" -> dedupSimhashLshSql,
     "dedup_minhash_oracle" -> dedupMinhashOracleSql,
     "dedup_clusters" -> dedupClustersSql,
     "ngram_jaccard" ->
@@ -3903,6 +4130,7 @@ object SparkEntry {
         |SELECT source, doc_id, sample_rank FROM r
         |WHERE sample_rank <= 50
         |ORDER BY source, sample_rank""".stripMargin,
+    "corpus_pipeline" -> corpusPipelineSql,
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |  list_reduce(

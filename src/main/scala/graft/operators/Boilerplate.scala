@@ -34,23 +34,12 @@ object Boilerplate {
     * non-empty line hash the empty string).
     */
   def boilerplateLinesOf(docs: DataFrame, dfThreshold: Int): DataFrame = {
-    val lines = docs
-      .select(col("doc_id"), col("source"),
-        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-      .filter(length(trim(col("line"))) > 0)
-      .withColumn("lkey", trim(col("line")))
-    val freq = lines.groupBy(col("source"), col("lkey"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val perDoc = lines
-      .join(freq, Seq("source", "lkey"))
+    val perDoc = flaggedLines(docs, dfThreshold)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),
         sum((col("df") >= dfThreshold).cast("long")).as("boiler_lines"),
-        md5(array_join(transform(
-          sort_array(collect_list(when(col("df") < dfThreshold,
-            struct(col("pos"), col("line").as("l"))))),
-          s => s.getField("l")), "\n")).as("cleaned_md5"))
+        md5(keptJoined(dfThreshold)).as("cleaned_md5"))
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -62,4 +51,49 @@ object Boilerplate {
         coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** The REWRITE form of the same stage (corpus_pipeline stage 1): the
+    * cleaned text itself — kept raw lines re-joined with \n in original
+    * order — alongside the per-doc counts. Identical line/frequency
+    * internals to [[boilerplateLinesOf]] (md5(text) of this output ==
+    * that output's cleaned_md5; CorpusPipelineSpec pins it), so the
+    * reporting and rewriting forms cannot drift.
+    */
+  def cleanedTextOf(docs: DataFrame, dfThreshold: Int): DataFrame = {
+    val perDoc = flaggedLines(docs, dfThreshold)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum((col("df") >= dfThreshold).cast("long")).as("boiler_lines"),
+        keptJoined(dfThreshold).as("cleaned"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cleaned"), lit("")).as("text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("boiler_lines"), lit(0L)).as("boiler_lines"))
+  }
+
+  /** Non-empty trimmed lines joined to their per-(source, trimmed-line)
+    * document frequency — the shared core of both forms above.
+    */
+  private def flaggedLines(docs: DataFrame, dfThreshold: Int): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .withColumn("lkey", trim(col("line")))
+    val freq = lines.groupBy(col("source"), col("lkey"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    lines.join(freq, Seq("source", "lkey"))
+  }
+
+  /** Aggregate expression: kept raw lines re-joined with \n in original
+    * order (empty string when every line is boilerplate).
+    */
+  private def keptJoined(dfThreshold: Int) =
+    array_join(transform(
+      sort_array(collect_list(when(col("df") < dfThreshold,
+        struct(col("pos"), col("line").as("l"))))),
+      s => s.getField("l")), "\n")
 }

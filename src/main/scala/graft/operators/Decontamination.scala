@@ -76,13 +76,22 @@ object Decontamination {
   private def words(text: Column): Column =
     filter(split(lower(text), "\\s+"), w => w =!= "")
 
-  /** Distinct word n-grams of a word array (space-joined). */
-  private def distinctGrams(w: Column, n: Int): Column =
-    array_distinct(
-      when(size(w) >= n,
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
-        .otherwise(array().cast("array<string>")))
+  /** Distinct word n-grams of a word array (space-joined). The word
+    * array is BOUND ONCE per row through an outer lambda variable:
+    * passing the raw `w` expression straight into the gram lambda would
+    * re-evaluate it (the full split/filter of the text) inside EVERY
+    * `element_at` — interpreted higher-order lambdas get no common-
+    * subexpression elimination, so an n-gram pass turns into
+    * grams × n re-splits per document (measured at sf0.1: 23 s for the
+    * gram projection alone vs ~1 s bound; the round-9 bench's count()
+    * plans had hidden this by eliminating the join that carried it).
+    */
+  private[operators] def distinctGrams(w: Column, n: Int): Column =
+    array_distinct(flatten(transform(array(w), wb =>
+      when(size(wb) >= n,
+        transform(sequence(lit(1), size(wb) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(wb, i + k)): _*)))
+        .otherwise(array().cast("array<string>")))))
 
   /** decontaminate query: eval set = the first 50 doc_ids (a stand-in
     * for a fixed benchmark), candidates = every other document; n=8.

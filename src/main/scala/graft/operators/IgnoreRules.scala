@@ -64,8 +64,21 @@ object IgnoreRules {
           case '*' => sb.append("[^/]*")
           case '?' => sb.append("[^/]")
           case '[' =>
+            // fnmatch bracket class (the reference's `ignore` crate
+            // semantics): `[!...]` and `[^...]` both negate, and a
+            // negated class NEVER matches '/' — copied verbatim, a
+            // regex `[^ab]` would happily cross a segment boundary
+            // (caught by PatternTranslatorPropSpec's random patterns;
+            // positive classes are slash-safe by construction since
+            // segments are split on '/').
             val close = seg.indexOf(']', i + 1)
-            if (close > i) { sb.append(seg.substring(i, close + 1)); i = close }
+            if (close > i) {
+              val body = seg.substring(i + 1, close)
+              if (body.startsWith("!") || body.startsWith("^"))
+                sb.append("[^/").append(body.substring(1)).append("]")
+              else sb.append("[").append(body).append("]")
+              i = close
+            }
             else sb.append("\\[")
           case c if "\\.^$+{}()|".indexOf(c) >= 0 => sb.append("\\").append(c)
           case c => sb.append(c)

@@ -184,15 +184,23 @@ object TextAnalysis {
 
   /** §3 `*Of` form over any (doc_id, text) frame. */
   def qualityRepetitionOf(docs: DataFrame): DataFrame = {
+    // the list argument is referenced three times (two sizes + the
+    // distinct) — bind it once per row through a lambda variable so the
+    // gram construction it carries is not re-evaluated per reference
     def dupFrac(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(size(a) > 0,
-        round(lit(1.0) - size(array_distinct(a)).cast("double") / size(a), 6))
-        .otherwise(lit(0.0))
+      element_at(transform(array(a), ab =>
+        when(size(ab) > 0,
+          round(lit(1.0) - size(array_distinct(ab)).cast("double") / size(ab), 6))
+          .otherwise(lit(0.0))), 1)
+    // words bound once per row via the outer lambda — see
+    // Decontamination.distinctGrams for why (CollapseProject inlines
+    // the split into every element_at otherwise)
     def grams(w: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
-      when(size(w) >= n,
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
-        .otherwise(array().cast("array<string>"))
+      flatten(transform(array(w), wb =>
+        when(size(wb) >= n,
+          transform(sequence(lit(1), size(wb) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(wb, i + k)): _*)))
+          .otherwise(array().cast("array<string>"))))
     docs
       .select(col("doc_id"),
         filter(split(col("text"), "\n"), l => length(trim(l)) > 0).as("lines"),

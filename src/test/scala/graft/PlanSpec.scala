@@ -30,6 +30,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian in the star join")
   }
 
+  test("corpus_pipeline reads the corpus exactly once: zero parquet scans in the plan") {
+    // The composed pipeline pins its single documents scan in a
+    // localCheckpoint and every stage reads that frame (or a derived
+    // pinned frame) — so the FINAL physical plan must contain no file
+    // scan at all. A `Scan parquet`/FileScan appearing here means a
+    // stage re-derived its input from disk and the shared-frame
+    // contract broke (at 100 TB that is N extra corpus scans).
+    val p = plan("corpus_pipeline")
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+      "corpus_pipeline must read only the checkpointed corpus frame:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), "no cartesian in the composed pipeline")
+  }
+
   test("LSH candidate generation is a key-equality join, not a cross product") {
     val p = plan("ann_lsh")
     assert(!p.contains("CartesianProduct"), "LSH must not cross-join")
