@@ -38,6 +38,13 @@ object Recall {
               "(pmod(xxhash64(vec_id, r, j), 2001) / 1000.0 - 1.0) AS FLOAT))"))
             .as("embedding"),
           col("label"))
+        // spread the write: the base table is ONE file → one partition,
+        // and the in-place explode keeps the scaled corpus in that one
+        // partition — 51 MB of floats is a single parquet split, so
+        // every downstream k-means/scan stage ran ONE task (jstack'd at
+        // ×100: load 1.0 on 32 cores). Compute per byte is huge here;
+        // lay the corpus out wide at write time.
+        .repartition(64, col("vec_id"))
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
     out

@@ -363,7 +363,11 @@ object Dedup {
 
   /** §3 `*Of` form of dedup_simhash_oracle over a (doc_id, text) frame. */
   def dedupSimhashOracleOf(corpus: DataFrame, maxHamming: Int = 7): DataFrame = {
+    // Same explicit width as dedupSimhashLshOf: the per-token md5
+    // projection must not inherit the scan's split count.
+    val shufP = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val docs = corpus
+      .repartition(shufP, col("doc_id"))
       .select(col("doc_id"), tokenizeSimple(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
     val sims = docs.select(col("doc_id"),
@@ -405,7 +409,17 @@ object Dedup {
   /** §3 `*Of` form of dedup_simhash_lsh over a (doc_id, text) frame. */
   def dedupSimhashLshOf(corpus: DataFrame, maxHamming: Int = 7,
                         tables: Int = 24, bitsPerTable: Int = 16): DataFrame = {
+    // Explicit width before the heavy projection (the minhashCore
+    // lesson applied here BEFORE it bites): tokenize + per-token md5 +
+    // 24 sampled-bit keys hang off whatever partitioning the scan
+    // emits — at ×100 the corpus arrived as 8 parquet splits and the
+    // whole stage ran 8-wide with one straggler task (jstack'd at
+    // 27 min of CPU in the tokenizer). Work per row is orders of
+    // magnitude heavier than its bytes; spread it to the session's
+    // shuffle width first.
+    val shufP = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val docs = corpus
+      .repartition(shufP, col("doc_id"))
       .select(col("doc_id"), tokenizeSimple(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
     val sims = docs.select(col("doc_id"),

@@ -202,18 +202,26 @@ object VectorSearch {
                     kmeansInit: String = "k-means||"): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    // The fit input is the (sampled) training slice — small by
-    // construction, so collapse it to one partition and cache it:
-    // k-means|| runs ~2·iters tiny jobs, and per-job scheduling over 32
-    // near-empty partitions dominates the fit cost otherwise. The
-    // corpus-sized assignment below never goes through this path.
+    val nEmb = emb.count()
+    // The fit input is the (sampled) training slice. Width scales with
+    // the TRAINING size, not the scan layout: at test SFs (≤ ~8k
+    // vectors) one partition wins — k-means|| runs ~2·iters tiny jobs
+    // and per-job scheduling over 32 near-empty partitions dominates —
+    // but a blanket coalesce(1) made the ×100 sweep's whole Lloyd run
+    // single-threaded (200k vectors × k=5000 on one core, jstack'd at
+    // load 1.0/32). 8192 vectors per partition keeps both regimes
+    // right; widths at the driver SFs are unchanged (=1), so the
+    // fitted centroids — and every registered ann_ivf/cert row — are
+    // bit-identical there (k-means|| init sampling is
+    // partition-dependent, so width IS part of the fit seed).
+    val fitWidth = math.max(1L, math.min(32L, nEmb / trainEvery / 8192L)).toInt
     val feats = emb.filter(col("vec_id") % trainEvery === 0)
       .select(org.apache.spark.ml.functions.array_to_vector(
         asDouble(col("embedding"))).as("features"))
-      .coalesce(1).cache()
+      .coalesce(fitWidth).cache()
     // Cap the quantizer at n/4 lists so tiny corpora stay non-degenerate
     // (at sf0.1's 2000 vectors the tuned k=500 IS the n/4 cap).
-    val k = math.max(16L, math.min(numCentroids.toLong, emb.count() / 4)).toInt
+    val k = math.max(16L, math.min(numCentroids.toLong, nEmb / 4)).toInt
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(k).setMaxIter(kmeansIters).setSeed(seed)
       .setInitMode(kmeansInit).fit(feats)
