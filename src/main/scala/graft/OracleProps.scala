@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Randomized-config property run for the GENERATED oracles (round-11
+  * board #7): the generated DuckDB oracles (trackedSearchOracle,
+  * metricLabelsOracle, ExclusionEngineOps.oracleSql,
+  * GitattributesOps.oracleSqlFor, the dedup coefficient/band SQL) pin
+  * their arms on FIXED config axes by construction — a latent
+  * generation bug (wrong literal substitution, arm precedence, SQL
+  * escaping) could hide behind the fixed lists and never fail the
+  * driver gate. This main re-generates both sides from SEEDED RANDOM
+  * configs: for each family it builds a random config, runs the SPARK
+  * operator with that config, dumps the result parquet, and emits the
+  * GENERATED oracle SQL for the same config — in the exact layout
+  * `scripts/check_oracle.py` consumes, so the comparison is the same
+  * DuckDB-executed gate the driver runs, not a string check.
+  *
+  *   runMain graft.OracleProps /root/testdata/sf0.001 target/oracle-props
+  *   python3 scripts/check_oracle.py /root/testdata/sf0.001 target/oracle-props
+  *
+  * Dev-side instrument like Recall/ScaleUp — not part of the query
+  * surface. Seeded via SPARK_GRAFT_PROP_SEED (default 11) so a failure
+  * reproduces.
+  */
+object OracleProps {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    val rng = new scala.util.Random(
+      sys.env.getOrElse("SPARK_GRAFT_PROP_SEED", "11").toLong)
+    val oracles = scala.collection.mutable.LinkedHashMap[String, String]()
+    def dump(name: String, df: org.apache.spark.sql.DataFrame,
+             sql: String): Unit = {
+      Verify.lintSchema(name, df)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      oracles(name) = sql
+      System.err.println(s"[props] dumped $name")
+    }
+    def opt[T](p: Double)(v: => T): Option[T] =
+      if (rng.nextDouble() < p) Some(v) else None
+
+    // ---- family 1: metric_labels — the allowlist cap is the config
+    // axis (the oracle embeds the capped language IN-list literally).
+    for (i <- 0 until 4) {
+      val cap = 1 + rng.nextInt(MetricLabels.BundledLanguages.length + 5)
+      dump(s"prop_metric_labels_$i",
+        MetricLabels.metricLabelsOf(MetricLabels.rawEvents(spark, sfDir), cap),
+        SparkEntry.metricLabelsOracleFor(cap))
+    }
+
+    // ---- family 2: tracked_search — random ListTrackedFilesOptions
+    // sets: every buildFilterClause arm drawn independently, limits
+    // exercising the rank cut.
+    val langs = Seq("rust", "markdown", "python", "typescript", "go")
+    val exts = Seq("rs", "md", "py", "ts", "go")
+    val dirsS = Seq("src", "lib", "docs", "tests")
+    val branchPool = Seq("main", "dev", "b0", "b1", "b2", "b3")
+    val globPool = Seq("**/f1*.rs", "src/f?.rs", "tests/f[0-9].py",
+      "lib/f[!2-9].md", "*/f1?.*", "docs/f*", "**/*.go", "src/f[12]*")
+    for (i <- 0 until 3) {
+      val scns = (0 until 6).map { j =>
+        TrackedFilesQueries.SearchScenario(
+          name = s"s$j",
+          watch = "w-" + rng.nextInt(8),
+          path = opt(0.3)(dirsS(rng.nextInt(4))),
+          fileType = opt(0.25)(Seq("docs", "code")(rng.nextInt(2))),
+          language = opt(0.25)(langs(rng.nextInt(5))),
+          extension = opt(0.25)(exts(rng.nextInt(5))),
+          includeTests = rng.nextBoolean(),
+          branch = opt(0.3)(branchPool(rng.nextInt(branchPool.length))),
+          glob = opt(0.3)(globPool(rng.nextInt(globPool.length))),
+          componentBasePaths =
+            if (rng.nextDouble() < 0.2)
+              Seq(dirsS(rng.nextInt(4)), dirsS(rng.nextInt(4))).distinct
+            else Nil,
+          afterPath = opt(0.2)(s"${dirsS(rng.nextInt(4))}/f${rng.nextInt(20)}"),
+          limit = 1 + rng.nextInt(40))
+      }
+      dump(s"prop_tracked_search_$i",
+        TrackedFilesQueries.trackedSearchOf(
+          TrackedFilesQueries.tracked(spark, sfDir), scns),
+        SparkEntry.trackedSearchOracleFor(scns))
+    }
+
+    // ---- family 3: exclusion contains chain — random (pattern,
+    // reason) lists over the fixed probe + corpus paths; the pool
+    // includes a quote (SQL literal escaping) and a backslash, and
+    // random ORDER exercises the first-match precedence of the fold.
+    val patPool = Seq(".git", "git", "node_modules", "dist", "out", "tmp",
+      ".env", "id_", "~$", ".md", "f1", "rs", "/f2", "docs/", "x.t",
+      "ain.", "don't", "a\\b", ".DS_Store", "pub", "line", "build")
+    for (i <- 0 until 4) {
+      val pats = rng.shuffle(patPool).take(3 + rng.nextInt(8))
+        .zipWithIndex.map { case (p, k) => p -> s"r$k" }
+      val corpus = TrackedFilesQueries.tracked(spark, sfDir)
+        .filter(col("watch_folder_id") === "w-3")
+        .select(col("relative_path").as("path"))
+      dump(s"prop_exclusion_check_$i",
+        ExclusionEngineOps.exclusionCheckOf(
+          ExclusionEngineOps.probeRows(spark).unionByName(corpus), pats),
+        ExclusionEngineOps.oracleSqlFor(pats))
+    }
+
+    // ---- family 4: gitattributes rules — random fnmatch patterns
+    // (the PatternTranslatorPropSpec atom pool) × random actions,
+    // last-match-wins order randomized by construction.
+    val gaAtoms = Seq("a", "b", "c", ".", "/", "*", "?", "**", "f1", ".rs",
+      "(", ")", "+", "$", "{", "|")
+    def gaPat(): String =
+      (1 to (1 + rng.nextInt(4))).map(_ => gaAtoms(rng.nextInt(gaAtoms.length)))
+        .mkString
+    for (i <- 0 until 4) {
+      val actions: Seq[GitattributesOps.Action] = Seq(
+        GitattributesOps.Vendored, GitattributesOps.Generated,
+        GitattributesOps.Documentation,
+        GitattributesOps.LanguageOverride("l" + i))
+      val rules = (1 to (1 + rng.nextInt(6))).map(_ =>
+        GitattributesOps.Rule(gaPat(), actions(rng.nextInt(actions.length))))
+      dump(s"prop_gitattr_overrides_$i",
+        GitattributesOps.gitattrOverridesOf(
+          TrackedFilesQueries.tracked(spark, sfDir), rules),
+        GitattributesOps.oracleSqlFor(rules))
+    }
+
+    // ---- family 5: the dedup minhash coefficient/band SQL — random
+    // (bands, rowsPerBand, jaccardThreshold); the generated oracle
+    // derives its coefficient table, band arithmetic, series bounds,
+    // and thresholds from the SAME knobs as the Spark side.
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    for ((bands, i) <- Seq(4, 8, 16).zipWithIndex) {
+      val rows = 2 + rng.nextInt(3)
+      val jt = Seq(0.5, 0.6, 0.7)(rng.nextInt(3))
+      dump(s"prop_dedup_minhash_$i",
+        Dedup.dedupMinhashOracleOf(docs, bands, rows, jt),
+        SparkEntry.dedupMinhashOracleSqlFor(bands, rows, jt))
+    }
+
+    Verify.writeOracleJson(outDir, oracles.toMap)
+    spark.stop()
+  }
+}

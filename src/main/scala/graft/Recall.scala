@@ -23,12 +23,35 @@ object Recall {
     * New ids are `replica * n + vec_id`, keeping probe ids 0..4 on
     * DISTINCT source vectors. Written once under target/ and reused.
     */
-  def scaledDir(spark: SparkSession, sfDir: String, scale: Int): String = {
+  def scaledDir(spark: SparkSession, sfDir: String, scale: Int,
+                hardProbes: Boolean = false): String = {
     import org.apache.spark.sql.functions._
-    val out = s"target/synth-emb-a12-x$scale"
+    val out = if (hardProbes) s"target/synth-emb-a12q-x$scale"
+              else s"target/synth-emb-a12-x$scale"
     if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
       val src = graft.Tables.embeddings(spark, sfDir)
       val n = src.count()
+      // hardProbes (round-11: make the decade-2 sweep DISCRIMINATE
+      // again): at ×100 the 0.12-amplitude densification packs every
+      // probe's top-10 into its own replica ball — one IVF cell holds
+      // all of it, so every swept config saturates recall@10 = 1.000.
+      // Drawing each probe OFF-manifold — the midpoint of its source
+      // and the first later source with a DIFFERENT label — puts the
+      // true top-10 on the edge of (at least) two clusters, so cell
+      // coverage (nprobe, and k via cell granularity) separates
+      // configs again. Probe ids stay 0..4 (replica 0), so
+      // knnJoin(probeMax=5) picks them unchanged.
+      val probeSrc = src.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long"))
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Float](1).toArray, r.getLong(2))).sortBy(_._1)
+      val overrides = (0L until 5L).map { i =>
+        val (_, ea, la) = probeSrc(i.toInt)
+        val (_, eb, _) = probeSrc.find { case (j, _, lb) => j > 4 && lb != la }.get
+        (i, ea.zip(eb).map { case (x, y) => (x + y) / 2.0f }.toSeq)
+      }
+      val overrideDf = spark.createDataFrame(overrides)
+        .toDF("vec_id", "emb_mid")
       src.select(col("vec_id"), col("embedding"), col("label"),
         explode(sequence(lit(0), lit(scale - 1))).as("r"))
         .select(
@@ -37,6 +60,11 @@ object Recall {
             expr("transform(embedding, (x, j) -> CAST(x + 0.12 * " +
               "(pmod(xxhash64(vec_id, r, j), 2001) / 1000.0 - 1.0) AS FLOAT))"))
             .as("embedding"),
+          col("label"))
+        .join(if (hardProbes) broadcast(overrideDf)
+              else broadcast(overrideDf.limit(0)), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("emb_mid"), col("embedding")).as("embedding"),
           col("label"))
         // spread the write: the base table is ONE file → one partition,
         // and the in-place explode keeps the scaled corpus in that one
@@ -60,7 +88,8 @@ object Recall {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sfDir = if (scale > 1) scaledDir(spark, baseDir, scale) else baseDir
+    val hard = sys.env.get("SPARK_GRAFT_RECALL_HARD").contains("1")
+    val sfDir = if (scale > 1) scaledDir(spark, baseDir, scale, hard) else baseDir
     val k = 10
     def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => (r.getLong(0), r.getLong(1)))

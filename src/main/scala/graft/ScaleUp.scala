@@ -58,24 +58,32 @@ object ScaleUp {
     // pointing ScaleUp at an ALREADY-SCALED dir, whose keys exceed the
     // strides below and would silently merge replicas into a corrupt
     // corpus.
-    def checkStride(df: DataFrame, key: String, stride: Long, table: String): Unit = {
-      val mx = df.agg(max(col(key).cast("long"))).head.getLong(0)
-      require(mx < stride,
-        s"ScaleUp: $table.$key max $mx >= stride $stride — base dir " +
-          s"already scaled or stride too small; replicas would collide")
+    def checkStrides(df: DataFrame, table: String, keys: (String, Long)*): Unit = {
+      // one full-table scan per TABLE (not per key), null-safe: max()
+      // over an empty table is NULL, which must surface as the
+      // descriptive message below, not an NPE
+      val aggs = keys.map { case (key, _) => max(col(key).cast("long")) }
+      val row = df.agg(aggs.head, aggs.tail: _*).head
+      keys.zipWithIndex.foreach { case ((key, stride), i) =>
+        require(!row.isNullAt(i),
+          s"ScaleUp: $table is empty — no base rows to replicate")
+        val mx = row.getLong(i)
+        require(mx < stride,
+          s"ScaleUp: $table.$key max $mx >= stride $stride — base dir " +
+            s"already scaled or stride too small; replicas would collide")
+      }
     }
-    checkStride(Tables.documents(spark, baseDir), "doc_id", 10000L, "documents")
-    checkStride(Tables.embeddings(spark, baseDir), "vec_id", 10000L, "embeddings")
-    checkStride(Tables.events(spark, baseDir), "event_id", 1000000L, "events")
-    checkStride(Tables.events(spark, baseDir), "user_id", 10000L, "events")
-    checkStride(Tables.orders(spark, baseDir), "o_orderkey", 1000000L, "orders")
-    checkStride(Tables.orders(spark, baseDir), "o_custkey", 100000L, "orders")
-    checkStride(Tables.lineitem(spark, baseDir), "l_orderkey", 1000000L, "lineitem")
-    checkStride(Tables.lineitem(spark, baseDir), "l_partkey", 100000L, "lineitem")
-    checkStride(Tables.lineitem(spark, baseDir), "l_suppkey", 10000L, "lineitem")
-    checkStride(Tables.customer(spark, baseDir), "c_custkey", 100000L, "customer")
-    checkStride(Tables.supplier(spark, baseDir), "s_suppkey", 10000L, "supplier")
-    checkStride(Tables.part(spark, baseDir), "p_partkey", 100000L, "part")
+    checkStrides(Tables.documents(spark, baseDir), "documents", "doc_id" -> 10000L)
+    checkStrides(Tables.embeddings(spark, baseDir), "embeddings", "vec_id" -> 10000L)
+    checkStrides(Tables.events(spark, baseDir), "events",
+      "event_id" -> 1000000L, "user_id" -> 10000L)
+    checkStrides(Tables.orders(spark, baseDir), "orders",
+      "o_orderkey" -> 1000000L, "o_custkey" -> 100000L)
+    checkStrides(Tables.lineitem(spark, baseDir), "lineitem",
+      "l_orderkey" -> 1000000L, "l_partkey" -> 100000L, "l_suppkey" -> 10000L)
+    checkStrides(Tables.customer(spark, baseDir), "customer", "c_custkey" -> 100000L)
+    checkStrides(Tables.supplier(spark, baseDir), "supplier", "s_suppkey" -> 10000L)
+    checkStrides(Tables.part(spark, baseDir), "part", "p_partkey" -> 100000L)
 
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")

@@ -25,11 +25,16 @@ object SparkEntry {
     * so the OPERATOR tree's regression signal stays one-glance
     * (dedup_clusters runs the oracle-portable pair pipeline end-to-end
     * by design; its operator core, dedupClustersOf, accepts the fast
-    * xxhash64 pair families unchanged).
+    * xxhash64 pair families unchanged). `corpus_pipeline` — the
+    * md5-family composition whose hash-green DuckDB twin certifies the
+    * composed ledger — joined the instrument list in round 11 when the
+    * PRODUCTION composition, `corpus_pipeline_fast` (same stages,
+    * xxhash64 pair family), was registered as the operator; the
+    * operator total now prices what a 100 TB run executes.
     */
   val instruments: Set[String] = Set(
     "dedup_minhash_oracle", "dedup_simhash_oracle", "dedup_clusters",
-    "ann_lsh_cert", "ann_ivf_cert")
+    "ann_lsh_cert", "ann_ivf_cert", "corpus_pipeline")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -130,6 +135,7 @@ object SparkEntry {
     "pack_sequences"   -> ((s, d) => Packing.packSequences(s, d)),
     "sample_stratified" -> ((s, d) => Sampling.sampleStratified(s, d)),
     "corpus_pipeline"  -> ((s, d) => CorpusPipeline.corpusPipeline(s, d)),
+    "corpus_pipeline_fast" -> ((s, d) => CorpusPipeline.corpusPipelineFast(s, d)),
     "chunk_documents"  -> ((s, d) => Ingest.chunkDocuments(s, d)),
     "chunk_paragraphs" -> ((s, d) => Ingest.chunkParagraphs(s, d)),
     "store_points"     -> ((s, d) => Ingest.storePoints(s, d)),
@@ -1039,8 +1045,19 @@ object SparkEntry {
     * exact Jaccard on the distinct shingle-hash sets; exact-dup groups
     * keyed (md5, length) with the pair set expanded through them.
     */
-  private def dedupMinhashOracleSql: String =
-    "WITH " + dedupMinhashPairCtes() + "\n" +
+  private def dedupMinhashOracleSql: String = dedupMinhashOracleSqlFor()
+
+  /** Config-parametrized form — OracleProps drives it with seeded
+    * random (bands, rowsPerBand, jaccardThreshold) against
+    * `Dedup.dedupMinhashOracleOf` with the same knobs, proving the
+    * generated coefficient table / band arithmetic has no fixed-config
+    * arm to hide behind. */
+  private[graft] def dedupMinhashOracleSqlFor(bands: Int = 12,
+                                              rowsPerBand: Int = 3,
+                                              jaccardThreshold: Double = 0.6)
+      : String =
+    "WITH " + dedupMinhashPairCtes("documents", bands, rowsPerBand,
+      jaccardThreshold) + "\n" +
       """SELECT a, b, round(jaccard, 4) AS jaccard
         |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
         |ORDER BY a, b""".stripMargin
@@ -1052,12 +1069,19 @@ object SparkEntry {
     * source relation), so none of the three can drift on the hash
     * family.
     */
-  private def dedupMinhashPairCtes(src: String = "documents"): String = {
-    val coeffs = graft.operators.Dedup.minhashCoeffs(36)
+  private[graft] def dedupMinhashPairCtes(src: String = "documents",
+                                          bands: Int = 12,
+                                          rowsPerBand: Int = 3,
+                                          jaccardThreshold: Double = 0.6)
+      : String = {
+    val nSig = bands * rowsPerBand
+    val est = jaccardThreshold - 0.15
+    val coeffs = graft.operators.Dedup.minhashCoeffs(nSig)
     val sigEntries = coeffs.map { case (a, b) =>
       s"  list_min(list_transform(sh, h -> (h % 2147483647 * $a + $b) % 2147483647))"
     }.mkString("[\n", ",\n", "\n] AS sig")
-    val bandKey = (1 to 3).map(r => s"CAST(sig[b.band*3+$r] AS VARCHAR)")
+    val bandKey = (1 to rowsPerBand)
+      .map(r => s"CAST(sig[b.band*$rowsPerBand+$r] AS VARCHAR)")
       .mkString(" || ':' || ")
     s"""dd AS (
        |  SELECT doc_id, text, md5(text) || ':' || length(text) AS ch FROM $src),
@@ -1075,7 +1099,7 @@ object SparkEntry {
        |sig AS MATERIALIZED (SELECT doc_id, $sigEntries FROM docs),
        |bandk AS MATERIALIZED (
        |  SELECT doc_id, b.band, $bandKey AS bucket
-       |  FROM sig, generate_series(0, 11) AS b(band)),
+       |  FROM sig, generate_series(0, ${bands - 1}) AS b(band)),
        |cand AS MATERIALIZED (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM bandk l JOIN bandk r
@@ -1083,14 +1107,14 @@ object SparkEntry {
        |est AS MATERIALIZED (
        |  SELECT c.a, c.b
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
-       |  WHERE len(list_filter(generate_series(1, 36), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 36 >= 0.45),
+       |  WHERE len(list_filter(generate_series(1, $nSig), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / $nSig >= $est),
        |reppairs AS MATERIALIZED (
        |  SELECT e.a AS ra, e.b AS rb,
        |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
        |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
        |  FROM est e JOIN docs sa ON sa.doc_id = e.a JOIN docs sb ON sb.doc_id = e.b
        |  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6),
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= $jaccardThreshold),
        |valid AS MATERIALIZED (SELECT g.doc_id, g.rep FROM grp g JOIN docs d ON d.doc_id = g.rep),
        |dupgroups AS MATERIALIZED (SELECT DISTINCT rep FROM valid WHERE doc_id <> rep),
        |grouped AS MATERIALIZED (SELECT v.doc_id, v.rep FROM valid v JOIN dupgroups dg ON dg.rep = v.rep),
@@ -7081,9 +7105,15 @@ object SparkEntry {
     * CTEs `kw`, `tags`, `canon`. */
   /** The metric_labels oracle, generated from the SAME bundled
     * language list and extension map (cardinality.rs mirrors). */
-  private def metricLabelsOracle: String = {
+  private def metricLabelsOracle: String =
+    metricLabelsOracleFor(graft.operators.MetricLabels.DefaultCap)
+
+  /** Cap-parametrized form — OracleProps drives it with random caps
+    * against `MetricLabels.metricLabelsOf(events, cap)` (round-11
+    * randomized-config properties for the generated oracles). */
+  private[graft] def metricLabelsOracleFor(cap: Int): String = {
     import graft.operators.MetricLabels
-    val allow = MetricLabels.BundledLanguages.take(MetricLabels.DefaultCap)
+    val allow = MetricLabels.BundledLanguages.take(cap)
       .map(l => s"'$l'").mkString(", ")
     val extVals = MetricLabels.ExtensionToLanguage
       .map { case (k, v) => s"('$k', '$v')" }.mkString(",\n  ")
@@ -7325,7 +7355,14 @@ object SparkEntry {
     * arms and glob→regex translations can never drift. Plain string
     * concatenation — regexes carry `$`/`\` that must reach DuckDB
     * verbatim. */
-  private def trackedSearchOracle: String = {
+  private def trackedSearchOracle: String =
+    trackedSearchOracleFor(graft.operators.TrackedFilesQueries.Scenarios)
+
+  /** Scenario-parametrized form — OracleProps drives it with seeded
+    * random filter-option sets against `trackedSearchOf`. */
+  private[graft] def trackedSearchOracleFor(
+      scenarios: Seq[graft.operators.TrackedFilesQueries.SearchScenario])
+      : String = {
     val idx = "(doc_id // 20)"
     val ext = s"['rs','md','py','ts','go'][($idx % 5) + 1]"
     val tsf =
@@ -7344,7 +7381,7 @@ object SparkEntry {
         s"        CASE WHEN $idx % 5 = 0 THEN ['dev']\n" +
         "        ELSE CAST([] AS VARCHAR[]) END) END AS branches\n" +
         "  FROM documents)\n"
-    val blocks = graft.operators.TrackedFilesQueries.Scenarios.map { s =>
+    val blocks = scenarios.map { s =>
       val conds = Seq(
         Some(s"watch_folder_id = '${s.watch}'"),
         s.path.map(p => s"relative_path LIKE '$p/%'"),

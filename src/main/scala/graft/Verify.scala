@@ -65,6 +65,14 @@ object Verify {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
+    writeOracleJson(outDir, SparkEntry.oracleSql)
+    spark.stop()
+  }
+
+  /** Shared with OracleProps: dump a name→SQL map as the
+    * check_oracle.py-compatible oracle_sql.json. */
+  private[graft] def writeOracleJson(outDir: String,
+                                     oracles: Map[String, String]): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -74,9 +82,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -56,6 +56,29 @@ object CorpusPipeline {
         .select(col("doc_id"), col("source"), col("text"))
         .localCheckpoint())
 
+  /** The PRODUCTION composition — identical stages, but the near-dup
+    * pair family is the xxhash64 fast path ([[Dedup.dedupMinhashOf]]:
+    * native shingle hashing + murmur3-compressed band buckets) instead
+    * of the oracle-portable md5-nibble twin. This is the variant a
+    * 100 TB run executes; the md5 flagship exists so the composed
+    * ledger has a DuckDB twin (`corpus_pipeline` is accordingly listed
+    * under [[graft.SparkEntry.instruments]]). Correctness posture:
+    * rows-only by design — the fast hash family is not
+    * DuckDB-reproducible (murmur3/xxhash64), and re-oracling it would
+    * test the port, not the operator (the §5 dedup_minhash
+    * adjudication); instead CorpusPipelineSpec pins DUAL-PATH
+    * agreement: every pair-family-independent ledger column
+    * bit-identical to the flagship's, dup verdicts agreeing outside
+    * the families' borderline band, and the packing/sampling
+    * self-invariants re-checked on the fast path's own keeps.
+    */
+  def corpusPipelineFast(spark: SparkSession, dir: String): DataFrame =
+    corpusPipelineOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint(),
+      pairFamily = Dedup.dedupMinhashOf(_, _, _, _))
+
   /** §3 `*Of` form over any (doc_id, source, text) frame (callers pass
     * a cached/checkpointed frame; the standalone entry pins it). Docs
     * with doc_id < evalMax are the fixed benchmark stand-in (the
@@ -74,7 +97,17 @@ object CorpusPipeline {
                        ngram: Int = 8,
                        bands: Int = 12, rowsPerBand: Int = 3,
                        jaccardThreshold: Double = 0.6,
-                       seqLen: Int = 512, quota: Int = 25): DataFrame = {
+                       seqLen: Int = 512, quota: Int = 25,
+                       // the near-dup pair family: (corpus, bands,
+                       // rowsPerBand, jaccardThreshold) => (a, b,
+                       // jaccard). Default = the oracle-portable md5
+                       // twin; corpusPipelineFast passes the xxhash64
+                       // production path. Both return the same schema
+                       // (shared minhashCore), so everything downstream
+                       // — clustering, packing, sampling, the ledger —
+                       // is family-agnostic.
+                       pairFamily: (DataFrame, Int, Int, Double) => DataFrame =
+                         Dedup.dedupMinhashOracleOf(_, _, _, _)): DataFrame = {
     val eval = corpus.filter(col("doc_id") < evalMax)
     val cand = corpus.filter(col("doc_id") >= evalMax)
 
@@ -123,7 +156,7 @@ object CorpusPipeline {
     // unchanged via dedupMinhashOf).
     // pairs pinned: the component algorithm's budget gate and its
     // label iteration would each re-run the candidate/verify joins
-    val pairs = t("pairs")(Dedup.dedupMinhashOracleOf(
+    val pairs = t("pairs")(pairFamily(
       survivors.select(col("doc_id"), col("text")),
       bands, rowsPerBand, jaccardThreshold)
       .localCheckpoint())

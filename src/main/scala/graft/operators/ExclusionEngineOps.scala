@@ -68,9 +68,12 @@ object ExclusionEngineOps {
     try_element_at(filter(split(p, "/"),
       c => c =!= "" && c =!= ".github" && c.startsWith(".")), lit(1))
 
-  /** The reason string should_exclude reports, NULL = not excluded. */
-  def exclusionReason(p: Column): Column = {
-    val contains = Patterns.foldRight(lit(null).cast("string"): Column) {
+  /** The reason string should_exclude reports, NULL = not excluded.
+    * `patterns` defaults to the engine's registered list; OracleProps
+    * drives it with seeded random lists against the generated oracle. */
+  def exclusionReason(p: Column,
+                      patterns: Seq[(String, String)] = Patterns): Column = {
+    val contains = patterns.foldRight(lit(null).cast("string"): Column) {
       case ((pat, _), acc) =>
         when(p.contains(pat), lit(s"Contains pattern match: $pat"))
           .otherwise(acc)
@@ -116,9 +119,10 @@ object ExclusionEngineOps {
   }
 
   /** §3 `*Of` form: per path — excluded + the reported reason. */
-  def exclusionCheckOf(paths: DataFrame): DataFrame =
+  def exclusionCheckOf(paths: DataFrame,
+                       patterns: Seq[(String, String)] = Patterns): DataFrame =
     paths.select(col("path"),
-        exclusionReason(col("path")).as("reason"))
+        exclusionReason(col("path"), patterns).as("reason"))
       .withColumn("excluded", col("reason").isNotNull)
       .orderBy(col("path"))
 
@@ -132,8 +136,12 @@ object ExclusionEngineOps {
   }
 
   /** The oracle twin, generated from the SAME pattern list. */
-  def oracleSql: String = {
-    val chain = Patterns.foldRight("NULL") { case ((pat, _), acc) =>
+  def oracleSql: String = oracleSqlFor(Patterns)
+
+  /** Pattern-parametrized form for the randomized-config property run
+    * (OracleProps): same template, any (pattern, reason) list. */
+  def oracleSqlFor(patterns: Seq[(String, String)]): String = {
+    val chain = patterns.foldRight("NULL") { case ((pat, _), acc) =>
       val lit = pat.replace("'", "''")
       s"CASE WHEN contains(path, '$lit') " +
         s"THEN 'Contains pattern match: $lit' ELSE $acc END"

@@ -74,9 +74,34 @@ object IgnoreRules {
             val close = seg.indexOf(']', i + 1)
             if (close > i) {
               val body = seg.substring(i + 1, close)
-              if (body.startsWith("!") || body.startsWith("^"))
-                sb.append("[^/").append(body.substring(1)).append("]")
-              else sb.append("[").append(body).append("]")
+              val neg = body.startsWith("!") || body.startsWith("^")
+              // Re-tokenize the fnmatch body (ranges a-b, else literal
+              // chars) and emit each token ESCAPED — copying the body
+              // verbatim let regex-class metacharacters through: a
+              // backslash or '&&' mistranslates or throws
+              // PatternSyntaxException, and a reversed range like
+              // [c-a] (never-matching in fnmatch's lo<=c<=hi scan) is
+              // a Java regex compile error. Tokenization mirrors the
+              // fnmatch semantics exactly (a '-' without both
+              // endpoints is a literal).
+              val raw = if (neg) body.substring(1) else body
+              val esc = new StringBuilder
+              def lit(c: Char): Unit = {
+                if ("\\&[]^-".indexOf(c) >= 0) esc.append('\\')
+                esc.append(c)
+              }
+              var j = 0
+              while (j < raw.length) {
+                if (j + 2 < raw.length && raw.charAt(j + 1) == '-') {
+                  val (lo, hi) = (raw.charAt(j), raw.charAt(j + 2))
+                  // reversed range: matches nothing — emit nothing
+                  if (lo <= hi) { lit(lo); esc.append('-'); lit(hi) }
+                  j += 3
+                } else { lit(raw.charAt(j)); j += 1 }
+              }
+              if (neg) sb.append("[^/").append(esc).append("]")
+              else if (esc.isEmpty) sb.append("(?!)") // `[]`: never matches
+              else sb.append("[").append(esc).append("]")
               i = close
             }
             else sb.append("\\[")

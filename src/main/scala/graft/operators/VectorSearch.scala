@@ -215,10 +215,21 @@ object VectorSearch {
     // bit-identical there (k-means|| init sampling is
     // partition-dependent, so width IS part of the fit seed).
     val fitWidth = math.max(1L, math.min(32L, nEmb / trainEvery / 8192L)).toInt
-    val feats = emb.filter(col("vec_id") % trainEvery === 0)
+    val featsNarrow = emb.filter(col("vec_id") % trainEvery === 0)
       .select(org.apache.spark.ml.functions.array_to_vector(
         asDouble(col("embedding"))).as("features"))
-      .coalesce(fitWidth).cache()
+    // coalesce can only SHRINK: a large training slice read from few
+    // parquet splits (e.g. a single-file embeddings.parquet) would keep
+    // the Lloyd fit on those few cores no matter what fitWidth says.
+    // Grow via repartition when needed; keep coalesce for the shrink
+    // case so driver-SF fits stay single-partition (k-means|| init
+    // sampling is partition-dependent — width is part of the fit seed,
+    // and the registered rows are bit-identical only on the shrink path
+    // they have always taken).
+    val feats =
+      (if (featsNarrow.rdd.getNumPartitions < fitWidth)
+         featsNarrow.repartition(fitWidth)
+       else featsNarrow.coalesce(fitWidth)).cache()
     // Cap the quantizer at n/4 lists so tiny corpora stay non-degenerate
     // (at sf0.1's 2000 vectors the tuned k=500 IS the n/4 cap).
     val k = math.max(16L, math.min(numCentroids.toLong, nEmb / 4)).toInt

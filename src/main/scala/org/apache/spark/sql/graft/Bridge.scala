@@ -59,7 +59,14 @@ object Bridge extends org.apache.spark.internal.Logging {
             logWarning(s"localCheckpointFreshStats: RDD ${l.rdd.id} not " +
               "in block-manager storage info; estimating size from row count")
             val width = l.output.map(_.dataType.defaultSize).sum + 8L
-            Some(BigInt(math.max(l.rdd.count() * width, 1L)))
+            // The absence that routed us here often MEANS the blocks
+            // were evicted — counting a localCheckpoint'd RDD with
+            // missing blocks fails hard (lineage is truncated). A stats
+            // miss must degrade to "size unknown" (None → LogicalRDD
+            // reports defaultSizeInBytes, conservative no-broadcast),
+            // never throw during planning.
+            scala.util.Try(l.rdd.count()).toOption
+              .map(n => BigInt(math.max(n * width, 1L)))
           }
         val spark = ckpt.sparkSession
           .asInstanceOf[org.apache.spark.sql.classic.SparkSession]

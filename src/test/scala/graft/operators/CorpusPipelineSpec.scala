@@ -73,6 +73,73 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(bySrc.forall(_.getLong(14) <= 25), "sample ranks bounded by the quota")
   }
 
+  test("corpus_pipeline_fast: dual-path agreement with the md5 flagship ledger") {
+    // The production composition (xxhash64 pair family) has no DuckDB
+    // oracle BY DESIGN (§5: murmur3/xxhash64 are not
+    // DuckDB-reproducible; re-oracling the fast hashes would test the
+    // port). Its certificate is THIS dual-path check against the
+    // hash-green flagship: every pair-family-INDEPENDENT column must be
+    // bit-identical, and the family-dependent verdicts must agree
+    // outside the families' legitimate borderline band (different hash
+    // families flip candidate pairs whose Jaccard sits at the
+    // threshold — the same adjudication as dedup_minhash vs its md5
+    // twin in DedupSpec).
+    val slow = CorpusPipeline.corpusPipeline(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val fast = CorpusPipeline.corpusPipelineFast(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(slow.keySet == fast.keySet, "one ledger row per candidate doc, both paths")
+
+    // columns upstream of (or independent from) the pair family:
+    // n_lines, boiler_lines, rep_keep, lm_keep, contaminated
+    for ((id, s) <- slow; f = fast(id); i <- Seq(1, 2, 3, 4, 5))
+      assert(s.getLong(i) == f.getLong(i),
+        s"doc $id col $i: pair-family-independent columns must be bit-identical " +
+          s"(slow ${s.getLong(i)} fast ${f.getLong(i)})")
+
+    // family-dependent verdicts: docs BOTH paths leave unclustered are
+    // trivially kept by both; overall keep agreement carries the
+    // DedupSpec recall floor between the two minhash families.
+    val survivors = slow.keys.filter(id => slow(id).getLong(8) >= 0).toSeq
+    assert(survivors.nonEmpty, "the funnel reaches the dedup stage at this SF")
+    for (id <- survivors
+         if slow(id).getLong(7) == 0 && fast(id).getLong(7) == 0)
+      assert(slow(id).getLong(8) == 1 && fast(id).getLong(8) == 1,
+        s"doc $id: unclustered docs are kept on both paths")
+    val agree = survivors.count(id => slow(id).getLong(8) == fast(id).getLong(8))
+    assert(agree.toDouble / survivors.size >= 0.9,
+      s"dup-keep agreement ${agree.toDouble / survivors.size} below the 0.9 floor " +
+        s"($agree/${survivors.size})")
+
+    // docs kept by BOTH paths tokenize identically (token counts are
+    // text-only); stream offsets/sample ranks legitimately differ with
+    // the keep set, so they are covered by the fast path's own
+    // invariants below, not cross-path equality.
+    val commonKeeps = survivors.filter(id =>
+      slow(id).getLong(9) == 1 && fast(id).getLong(9) == 1)
+    assert(commonKeeps.nonEmpty, "the two paths share final keeps")
+    for (id <- commonKeeps)
+      assert(slow(id).getLong(10) == fast(id).getLong(10),
+        s"doc $id: n_tokens must match for docs kept by both paths")
+
+    // fast-path self-invariants: funnel discipline + the packing
+    // prefix-sum tiling, re-run on the fast path's own keep set.
+    for ((id, f) <- fast) {
+      val gated = f.getLong(3) == 1 && f.getLong(4) == 1
+      assert((f.getLong(5) >= 0) == gated, s"doc $id: fast-path funnel discipline")
+      val surv = gated && f.getLong(5) == 0
+      assert((f.getLong(8) >= 0) == surv, s"doc $id: fast-path dedup attribution")
+      assert((f.getLong(9) == 1) == (f.getLong(8) == 1), s"doc $id: fast final_keep")
+    }
+    val keptF = fast.values.filter(_.getLong(9) == 1).toSeq.sortBy(_.getLong(0))
+    var st = 0L
+    for (f <- keptF) {
+      assert(f.getLong(11) * 512 + f.getLong(13) == st,
+        s"doc ${f.getLong(0)}: fast-path stream offset != prefix sum $st")
+      st += f.getLong(10)
+    }
+  }
+
   test("fixture: every funnel arm is reachable and correctly attributed") {
     // evalMax=2: docs 0,1 are the benchmark. dfThreshold=2 so the
     // shared FOOTER line in two source-a docs is boilerplate.

@@ -158,7 +158,11 @@ class PatternTranslatorPropSpec extends SparkSpec {
 
   private def randomIgnoreLine(rng: scala.util.Random): String = {
     val atoms = Seq("a", "b", "c", ".", "/", "*", "?", "**", "f1", ".rs",
-      "[abc]", "[a-c]", "[^ab]", "[!ab]", "+", "(", "$")
+      "[abc]", "[a-c]", "[^ab]", "[!ab]", "+", "(", "$",
+      // regex-metacharacter class bodies (round-11 escaping fix): '&'
+      // and '\' literal members, empty/empty-negated classes, reversed
+      // (never-matching) ranges, trailing literal '-'
+      "[a&]", "[\\]", "[]", "[!]", "[c-a]", "[!c-a]", "[a-]")
     val core = (1 to (1 + rng.nextInt(5)))
       .map(_ => atoms(rng.nextInt(atoms.length))).mkString
     val pre = if (rng.nextInt(5) == 0) "!" else if (rng.nextInt(5) == 0) "/" else ""
