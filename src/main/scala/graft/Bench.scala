@@ -107,12 +107,20 @@ object Bench {
       val min = sorted.head
       System.err.println(f"[bench] $name%-22s med=$med%7.2fs min=$min%7.2fs  " +
         f"rows=${times.last._2}  runs=${times.map(t => f"${t._1}%.2f").mkString(",")}")
-      name -> (med, min)
+      name -> (med, min, times.map(_._2).max)
     }
-    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + m }
+    val qs = results.map { case (k, (m, _, _)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val qmins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
+    val qmins = results.map { case (k, (_, mn, _)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
+    // A repeat that THREW was timed as -1 rows by the catch above —
+    // silently folding that into the medians made a ×100 disk-full
+    // failure look like a (slow) success (round 11, the
+    // corpus_pipeline_fast anomaly). The artifact must carry the
+    // failure signal: `failed` lists queries where NO repeat returned
+    // rows; their timings are failure durations, not measurements.
+    val failed = results.collect { case (k, (_, _, n)) if n < 0 => s"\"$k\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2._1).sum
     val totalMin = results.map(_._2._2).sum
     // Operator/instrument split (SparkEntry.instruments): `value` stays
@@ -134,7 +142,8 @@ object Bench {
       f""""gc_sec":$gcSec%.1f,"load_avg_end":$load%.1f}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,""" +
       s""""operator_total":$opTotal,"instrument_total":$instrTotal,""" +
-      s""""queries":$qs,"queries_min":$qmins,"health":$health,""" +
+      s""""queries":$qs,"queries_min":$qmins,"failed":$failed,""" +
+      s""""health":$health,""" +
       s""""sf":"$sfDir","repeats":$repeats,"forcing":"toRdd",""" +
       s""""force_distributed":$forceDistributed}""")
     spark.stop()

@@ -125,9 +125,19 @@ object CorpusPipeline {
     // corpus frame feeds 2-4 downstream stages. Left lazy, each
     // consumer re-derives its whole upstream chain — measured at sf0.1
     // as 251 s for the composed plan vs ~17 s with the stage outputs
-    // pinned (the verdict frames are a few longs per doc; the corpus
-    // frames are exactly what a disk-materializing pipeline would write
-    // between stages).
+    // pinned.
+    //
+    // WHAT gets pinned is the other half of the lesson (round 11, found
+    // by a ×100 disk-full failure, not an argument): pinning the
+    // shrunken corpus frames THEMSELVES (passers/survivors/kept) stores
+    // up to four near-full copies of the corpus TEXT in the block
+    // manager — at ×100 on one machine that plus the pair stage's
+    // shuffle exhausted 67 GB of /tmp mid-run. Only `cleaned` carries
+    // text; every later stage pins its doc_id SET (a few longs per doc)
+    // and re-attaches text lazily via a semi-join against the one
+    // pinned text frame. The re-join is a broadcast/shuffle of ids —
+    // cheap at every scale — and the disk budget drops from
+    // O(stages × corpus) to O(corpus).
     val rep = TextAnalysis.qualityRepetitionOf(
         cleaned.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("keep").cast("long").as("rep_keep"))
@@ -135,10 +145,13 @@ object CorpusPipeline {
         cleaned.select(col("doc_id"), col("text")), vocabSize, lmThreshold)
       .select(col("doc_id"), col("keep").cast("long").as("lm_keep"))
     val gates = t("gates")(rep.join(lm, Seq("doc_id")).localCheckpoint())
-    val passers = t("passers")(cleaned
-      .join(gates.filter(col("rep_keep") === 1 && col("lm_keep") === 1)
-        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    def withText(ids: DataFrame): DataFrame =
+      cleaned.join(ids, Seq("doc_id"), "left_semi")
+    val passerIds = t("passers")(gates
+      .filter(col("rep_keep") === 1 && col("lm_keep") === 1)
+      .select(col("doc_id"))
       .localCheckpoint())
+    val passers = withText(passerIds)
 
     // Stage 3 — decontamination, gate survivors vs the RAW benchmark.
     val deco = t("deco")(Decontamination.decontaminateOf(
@@ -146,10 +159,11 @@ object CorpusPipeline {
         eval.select(col("doc_id"), col("text")), ngram)
       .select(col("doc_id"), col("contaminated").cast("long").as("contaminated"))
       .localCheckpoint())
-    val survivors = t("survivors")(passers
+    val survivorIds = t("survivors")(passerIds
       .join(deco.filter(col("contaminated") === 0).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       .localCheckpoint())
+    val survivors = withText(survivorIds)
 
     // Stage 4 — near-dup clusters over the surviving cleaned text (the
     // oracle-portable minhash family; the xxhash64 fast path plugs in
@@ -163,17 +177,16 @@ object CorpusPipeline {
     val clusters = Dedup.dedupClustersOf(pairs,
       survivors.select(col("doc_id"), length(col("text")).cast("long").as("keep_rank")))
     // unclustered survivors: cluster_id 0, size 0, kept
-    val dupVerdict = t("dupVerdict")(survivors.select(col("doc_id"))
+    val dupVerdict = t("dupVerdict")(survivorIds
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), lit(0L)).as("cluster_id"),
         coalesce(col("cluster_size"), lit(0L)).as("cluster_size"),
         coalesce(col("is_kept").cast("long"), lit(1L)).as("dup_kept"))
       .localCheckpoint())
-    val kept = t("kept")(survivors
+    val kept = withText(survivorIds
       .join(dupVerdict.filter(col("dup_kept") === 1).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      .localCheckpoint())
+        Seq("doc_id"), "left_semi"))
 
     // Stage 5 — pack the final keeps, summarized per doc.
     val bpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"

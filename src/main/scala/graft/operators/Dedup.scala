@@ -81,6 +81,23 @@ object Dedup {
       (sig, b, rpb) => hash((0 until rpb).map(r =>
         sig(b * rpb + r).cast("long")): _*))
 
+  /** Bucket-window-capped fast family (see minhashCore's bucketWindow
+    * note): candidates LINEAR in bucket size, for the clustering
+    * consumers whose downstream needs components, not the complete
+    * intra-cluster pair enumeration. W-capped output is a verified
+    * SUBSET of [[dedupMinhashOf]]'s pair set (DedupSpec pins subset +
+    * cluster-keep agreement). The decade-3 one-box default is W=8.
+    */
+  def dedupMinhashCappedOf(corpus: DataFrame,
+                           bands: Int = 12, rowsPerBand: Int = 3,
+                           jaccardThreshold: Double = 0.6,
+                           window: Int = 8): DataFrame =
+    minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
+      t => graft.GraftFunctions.shingleHashes(t),
+      (sig, b, rpb) => hash((0 until rpb).map(r =>
+        sig(b * rpb + r).cast("long")): _*),
+      bucketWindow = window)
+
   /** Oracle-portable twin of dedup_minhash (same recipe as
     * [[dedupSimhashOracle]], registered because it measured UNDER the
     * round-8 board's 2× cost criterion: the md5-nibble shingle stage
@@ -140,14 +157,36 @@ object Dedup {
   }
 
   /** The shared MinHash+LSH core — variant axes: the shingle hasher
-    * (xxhash64 native expression vs md5-nibble fold) and the band
-    * bucket key (murmur3 compression vs portable value tuple).
+    * (xxhash64 native expression vs md5-nibble fold), the band
+    * bucket key (murmur3 compression vs portable value tuple), and
+    * the per-bucket candidate policy (`bucketWindow`, below).
+    *
+    * bucketWindow = 0 (default, the registered contract): every pair
+    * inside a band bucket is a candidate — k members generate k²/2,
+    * the complete pair SET. bucketWindow = W > 0: each member pairs
+    * only with the next W members in doc_id order inside its bucket —
+    * k·W candidates, LINEAR in bucket size. The capped form exists
+    * because the pair set itself is quadratic in near-dup cluster
+    * size: at ×100 the synthetic corpus's ~100-member clusters put
+    * ~10⁹ candidates through the estimate join, whose shuffle carries
+    * a signature array per candidate — measured >60 GB of spill on
+    * one box (round 11; it also exposed that the round-10 ×100
+    * dedup_minhash "measurement" had actually died on disk, timed as
+    * a success by the old Bench). For the CLUSTERING consumer
+    * (dedup_clusters, the corpus pipeline) the capped family is
+    * connectivity-preserving inside every bucket (members form a
+    * W-overlap chain; any two bucket-mates are linked through
+    * intermediate verified pairs when the bucket is one true cluster)
+    * and the downstream keep/drop needs components, not the pair
+    * enumeration — the same recall-for-cost trade as
+    * dedup_simhash_lsh, spec-pinned in DedupSpec.
     */
   private def minhashCore(corpus: DataFrame,
                           bands: Int, rowsPerBand: Int,
                           jaccardThreshold: Double,
                           shingleHashesOf: Column => Column,
-                          bandBucket: (Column, Int, Int) => Column): DataFrame = {
+                          bandBucket: (Column, Int, Int) => Column,
+                          bucketWindow: Int = 0): DataFrame = {
     val coeffs = minhashCoeffs(bands * rowsPerBand)
     // Exact-dup pre-pass — the reference's ingest-time content-hash
     // dedup (src/rust/common/src/hashing.rs) composed in front of the
@@ -247,10 +286,32 @@ object Dedup {
     val left = exploded.withColumn("salt", pmod(col("doc_id"), lit(SALT)))
     val right = exploded.select(col("band"), col("bucket"), col("doc_id").as("b"))
       .withColumn("salt", explode(array((0 until SALT).map(lit(_)): _*)))
-    val candidates = left
-      .join(right, Seq("band", "bucket", "salt"))
-      .filter(col("doc_id") < col("b"))
-      .select(col("doc_id").as("a"), col("b"))
+    val rawCandidates =
+      if (bucketWindow <= 0)
+        left.join(right, Seq("band", "bucket", "salt"))
+          .filter(col("doc_id") < col("b"))
+          .select(col("doc_id").as("a"), col("b"))
+      else {
+        // W-window linking: rank bucket members by doc_id, pair each
+        // with ranks r+1..r+W via an EQUI-join on (band, bucket, rank)
+        // — a range predicate on a bucket join would materialize the
+        // k² intermediate this path exists to avoid. Shuffle ∝ k·W.
+        // (The per-bucket rank window is partitioned — never global.)
+        val ranked = exploded.withColumn("r", row_number().over(
+          Window.partitionBy(col("band"), col("bucket"))
+            .orderBy(col("doc_id"))))
+        val lft = ranked
+          .withColumn("d", explode(sequence(lit(1), lit(bucketWindow))))
+          .select(col("band"), col("bucket"), col("doc_id").as("a"),
+            (col("r") + col("d")).as("r2"))
+        lft.join(
+            ranked.select(col("band"), col("bucket"),
+              col("doc_id").as("b"), col("r").as("r2")),
+            Seq("band", "bucket", "r2"))
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+      }
+    val candidates = rawCandidates
       .distinct()
       // Same AQE hazard as `docs`: the deduped pair set is slim (two
       // longs), so coalescing packs it into ~one advisory partition,

@@ -46,6 +46,50 @@ class DedupSpec extends SparkSpec {
     assert(full.nonEmpty && lsh.size >= 0.9 * full.size,
       s"recall ${lsh.size.toDouble / full.size} below the 0.9 floor " +
         s"(${lsh.size}/${full.size})")
+    // The decade-3 key-width point (w=20, t=64): candidate tail
+    // 64·n²/2^20 — 6× below the registered config's 24·n²/2^16 — at
+    // analytic h=7 worst-case recall 1−(1−C(53,20)/C(60,20))^64 ≈
+    // 0.958 (hypergeometric: a table misses a pair iff its 20 sampled
+    // positions all avoid the ≤7 flipped bits). Real corpora sit above
+    // the worst case (most true pairs have h < 7). Same 0.9 floor.
+    val wide = pairSet(Dedup.dedupSimhashLshOf(docs,
+      maxHamming = 7, tables = 64, bitsPerTable = 20))
+    assert(wide.subsetOf(full), "wide-key LSH pairs must be within radius")
+    assert(wide.size >= 0.9 * full.size,
+      s"wide-key recall ${wide.size.toDouble / full.size} below the 0.9 floor " +
+        s"(${wide.size}/${full.size})")
+  }
+
+  test("bucket-window-capped minhash: verified subset, cluster keep-set agreement") {
+    // The W-capped fast family (the decade-3 one-box form — candidates
+    // k·W per bucket instead of k²): every emitted pair must be a pair
+    // the full family also emits with the same jaccard (the verify
+    // stage is shared, so the cap can only REMOVE candidates), and the
+    // clustering consumer's keep/drop decisions over the capped pairs
+    // must agree with the full family's on ≥90 % of clustered docs
+    // (inside one true cluster the W-overlap chain keeps members
+    // connected; disagreement is confined to bucket-straddling edges).
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = pairs(Dedup.dedupMinhashOf(docs))
+    val capped = pairs(Dedup.dedupMinhashCappedOf(docs, window = 2))
+    assert(capped.nonEmpty, "capped family finds pairs on this corpus")
+    for ((k, j) <- capped)
+      assert(full.get(k).contains(j), s"capped pair $k not in the full pair set")
+    val prio = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("keep_rank"))
+    def keeps(p: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupClustersOf(p.select(col("a"), col("b")), prio)
+        .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val kf = keeps(Dedup.dedupMinhashOf(docs))
+    val kc = keeps(Dedup.dedupMinhashCappedOf(docs, window = 2))
+    val commonDocs = kf.keySet intersect kc.keySet
+    assert(commonDocs.nonEmpty)
+    val agree = commonDocs.count(d => kf(d) == kc(d))
+    assert(agree.toDouble / commonDocs.size >= 0.9,
+      s"keep agreement ${agree.toDouble / commonDocs.size} below 0.9 " +
+        s"($agree/${commonDocs.size})")
   }
 
   test("dedup_minhash finds high-jaccard pairs and verifies them exactly") {
