@@ -24,9 +24,10 @@ object Recall {
     * DISTINCT source vectors. Written once under target/ and reused.
     */
   def scaledDir(spark: SparkSession, sfDir: String, scale: Int,
-                hardProbes: Boolean = false): String = {
+                hardProbes: Boolean = false, probes: Int = 5): String = {
     import org.apache.spark.sql.functions._
-    val out = if (hardProbes) s"target/synth-emb-a12q-x$scale"
+    val pSuffix = if (probes != 5) s"p$probes" else ""
+    val out = if (hardProbes) s"target/synth-emb-a12q$pSuffix-x$scale"
               else s"target/synth-emb-a12-x$scale"
     if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
       val src = graft.Tables.embeddings(spark, sfDir)
@@ -41,13 +42,19 @@ object Recall {
       // coverage (nprobe, and k via cell granularity) separates
       // configs again. Probe ids stay 0..4 (replica 0), so
       // knnJoin(probeMax=5) picks them unchanged.
-      val probeSrc = src.filter(col("vec_id") < 20)
+      val pool = math.max(4 * probes, 20)
+      val probeSrc = src.filter(col("vec_id") < pool)
         .select(col("vec_id"), col("embedding"), col("label").cast("long"))
         .collect().map(r => (r.getLong(0),
           r.getSeq[Float](1).toArray, r.getLong(2))).sortBy(_._1)
-      val overrides = (0L until 5L).map { i =>
+      val overrides = (0L until probes.toLong).map { i =>
         val (_, ea, la) = probeSrc(i.toInt)
-        val (_, eb, _) = probeSrc.find { case (j, _, lb) => j > 4 && lb != la }.get
+        // rotate the partner search start so each probe gets a
+        // DIFFERENT off-label partner (a shared partner would make
+        // the 50-probe set 50 variations of one boundary)
+        val (_, eb, _) = (probeSrc.drop(probes + i.toInt) ++
+            probeSrc.drop(probes))
+          .find { case (j, _, lb) => j >= probes && lb != la }.get
         (i, ea.zip(eb).map { case (x, y) => (x + y) / 2.0f }.toSeq)
       }
       val overrideDf = spark.createDataFrame(overrides)
@@ -89,20 +96,27 @@ object Recall {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val hard = sys.env.get("SPARK_GRAFT_RECALL_HARD").contains("1")
-    val sfDir = if (scale > 1) scaledDir(spark, baseDir, scale, hard) else baseDir
+    // probe-set size: 5 historically; 50 tightens the sweep's recall
+    // quantum from 0.02 to 0.002 (round-11 close item #4)
+    val nProbes = sys.env.getOrElse("SPARK_GRAFT_RECALL_PROBES", "5").toInt
+    val sfDir = if (scale > 1) scaledDir(spark, baseDir, scale, hard, nProbes)
+                else baseDir
     val k = 10
     def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val exact = sets(VectorSearch.knnJoin(spark, sfDir, probeMax = 5L, k = k))
+    val exact = sets(VectorSearch.knnJoin(spark, sfDir,
+      probeMax = nProbes.toLong, k = k))
     val n = graft.Tables.embeddings(spark, sfDir).count()
     // (name, top-k frame, candidate frame for scanned-fraction — null for LSH)
     def ivf(name: String, nc: Int, np: Int, r: Int = 1, it: Int = 10,
             init: String = "k-means||") =
       (s"ann_ivf $name",
-        () => VectorSearch.annIvf(spark, sfDir, numCentroids = nc, nprobe = np,
+        () => VectorSearch.annIvf(spark, sfDir, probeMax = nProbes.toLong,
+          numCentroids = nc, nprobe = np,
           replicas = r, kmeansIters = it, kmeansInit = init),
-        () => VectorSearch.ivfCandidates(spark, sfDir, numCentroids = nc, nprobe = np,
+        () => VectorSearch.ivfCandidates(spark, sfDir,
+          probeMax = nProbes.toLong, numCentroids = nc, nprobe = np,
           replicas = r, kmeansIters = it, kmeansInit = init))
     val sweeps = if (scale > 1)
       // The k ~ sqrt(n) validation sweep: at scale x the tuned sf0.1
@@ -135,7 +149,7 @@ object Recall {
         got.getOrElse(p, Set.empty).count(ex).toDouble / ex.size
       }
       val scanned = if (cand == null) Double.NaN
-        else cand().count().toDouble / (5.0 * n)
+        else cand().count().toDouble / (nProbes.toDouble * n)
       println(f"[recall] $name%-20s recall@$k = ${recalls.sum / recalls.size}%.3f  " +
         f"scanned = $scanned%.3f  ($sec%.1fs)")
     }
