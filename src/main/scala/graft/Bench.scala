@@ -102,24 +102,38 @@ object Bench {
       // long bench JVM otherwise bleeds GC pauses into later timings
       // (the round-2/3 driver-artifact pathology).
       System.gc()
-      val sorted = times.map(_._1).sorted
-      val med = sorted(times.length / 2)
+      // A crashed repeat (rows = -1) recorded a FAILURE duration, not a
+      // measurement — med/min are computed over successful repeats only,
+      // so a single mid-run crash can never contribute a timing (the
+      // round-11 timed-failure hazard, closed for partial failures too).
+      // When EVERY repeat failed there is no measurement; the failure
+      // durations are reported as-is and the query lands in `failed`.
+      val ok = times.filter(_._2 >= 0)
+      val basis = if (ok.nonEmpty) ok else times
+      val sorted = basis.map(_._1).sorted
+      val med = sorted(basis.length / 2)
       val min = sorted.head
       System.err.println(f"[bench] $name%-22s med=$med%7.2fs min=$min%7.2fs  " +
         f"rows=${times.last._2}  runs=${times.map(t => f"${t._1}%.2f").mkString(",")}")
-      name -> (med, min, times.map(_._2).max)
+      name -> (med, min, times.map(_._2).max, times.exists(_._2 < 0))
     }
-    val qs = results.map { case (k, (m, _, _)) => s"\"" + k + "\":" + m }
+    val qs = results.map { case (k, (m, _, _, _)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val qmins = results.map { case (k, (_, mn, _)) => s"\"" + k + "\":" + mn }
+    val qmins = results.map { case (k, (_, mn, _, _)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     // A repeat that THREW was timed as -1 rows by the catch above —
     // silently folding that into the medians made a ×100 disk-full
     // failure look like a (slow) success (round 11, the
     // corpus_pipeline_fast anomaly). The artifact must carry the
     // failure signal: `failed` lists queries where NO repeat returned
-    // rows; their timings are failure durations, not measurements.
-    val failed = results.collect { case (k, (_, _, n)) if n < 0 => s"\"$k\"" }
+    // rows (their reported timings are failure durations, not
+    // measurements); `partial_failed` lists queries where SOME repeat
+    // crashed — those med/min are computed over the surviving repeats
+    // only, but the instability itself must be visible.
+    val failed = results.collect { case (k, (_, _, n, _)) if n < 0 => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val partialFailed = results
+      .collect { case (k, (_, _, n, anyFail)) if n >= 0 && anyFail => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).sum
     val totalMin = results.map(_._2._2).sum
@@ -143,6 +157,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,""" +
       s""""operator_total":$opTotal,"instrument_total":$instrTotal,""" +
       s""""queries":$qs,"queries_min":$qmins,"failed":$failed,""" +
+      s""""partial_failed":$partialFailed,""" +
       s""""health":$health,""" +
       s""""sf":"$sfDir","repeats":$repeats,"forcing":"toRdd",""" +
       s""""force_distributed":$forceDistributed}""")

@@ -148,6 +148,70 @@ object OracleProps {
         SparkEntry.dedupMinhashOracleSqlFor(bands, rows, jt))
     }
 
+    // ---- family 6: the W-capped candidate policy (round 12) — random
+    // (bands, rowsPerBand, threshold, W): the rank-window join is the
+    // new generated arm; tight windows make the cap BIND so the
+    // comparison certifies the window arithmetic, not the uncapped
+    // fallthrough.
+    for ((bands, i) <- Seq(6, 12, 16).zipWithIndex) {
+      val rows = 2 + rng.nextInt(3)
+      val jt = Seq(0.5, 0.6, 0.7)(rng.nextInt(3))
+      val w = 1 + rng.nextInt(4)
+      dump(s"prop_dedup_minhash_capped_$i",
+        Dedup.dedupMinhashCappedOracleOf(docs, bands, rows, jt, window = w),
+        SparkEntry.dedupMinhashCappedOracleSqlFor(bands, rows, jt, window = w))
+    }
+
+    // ---- family 7: folder_scan — the largest gate cascade (round-11
+    // board #5, the remaining generated family asserted-not-tested):
+    // random entry sets, random Gate-0 ignore-rule sets (compiled by
+    // the same IgnoreRules compiler on both sides), random mtime
+    // baseline and size cap. Name pool sticks to extensions whose
+    // classification is a pure extension-table lookup (no json context
+    // routing, no compound suffixes, no config dotfile names) — those
+    // axes belong to file_classify's own oracle.
+    val fsRoots = Seq("/w/proj-a", "/w/proj-b", "/home/u/.config/app")
+    val fsNamePool = Seq(
+      "main.rs", "lib.rs", "util.py", "notes.md", "readme.txt", "svc.go",
+      "app.log", "x.tmp", "data.dat", "README", ".env", ".hidden.rs",
+      "f1.rs", "f2.md", "old.py", "build.log", "core.txt", "deep.go")
+    val fsDirPool = Seq("vendor", "src", "docs", "node_modules", "target",
+      ".github", ".cache", "secret", "submod", "tests")
+    // no negation lines: Gate-0's fold treats every rule as positive
+    // (the fixture set has none), so a `!` rule would pin an
+    // unspecified semantics rather than test a real arm
+    val fsIgnorePool = Seq("secret/", "*.log", "*.tmp", "node_modules/",
+      "f?.rs", "[abc]*", "docs/", "*.md", "build*", "co[a-r]e.txt",
+      "/vendor")
+    for (i <- 0 until 3) {
+      val ignores = rng.shuffle(fsIgnorePool).take(2 + rng.nextInt(4))
+      val baseline = Seq(6.0, 24.0, 48.0)(rng.nextInt(3))
+      val cap = Seq(512L, 4096L, 1024L * 1024, 100L * 1024 * 1024)(rng.nextInt(4))
+      val entries = (0 until 18).map { _ =>
+        val root = fsRoots(rng.nextInt(fsRoots.length))
+        if (rng.nextDouble() < 0.35) {
+          val d = fsDirPool(rng.nextInt(fsDirPool.length))
+          (root, d, true, rng.nextDouble() < 0.2, rng.nextDouble() < 0.1,
+            1.0, 0L)
+        } else {
+          val n = fsNamePool(rng.nextInt(fsNamePool.length))
+          (root, n, false, false, rng.nextDouble() < 0.1,
+            Seq(0.5, 2.0, 30.0, 72.0)(rng.nextInt(4)),
+            Seq(10L, 600L, 8192L, 3L * 1024 * 1024, 200L * 1024 * 1024)(rng.nextInt(5)))
+        }
+        // one entry per (root, name): a directory listing cannot repeat
+        // a name, and the classifier join-back is keyed on the path
+      }.groupBy(e => (e._1, e._2)).map(_._2.head).toSeq.sortBy(e => (e._1, e._2))
+      val entriesDf = {
+        import spark.implicits._
+        entries.toDF("root", "name", "is_dir", "has_git", "is_symlink",
+          "mtime_age_hours", "size_bytes")
+      }
+      dump(s"prop_folder_scan_$i",
+        FolderScanOps.folderScanOf(entriesDf, baseline, cap, ignores),
+        SparkEntry.folderScanOracleFor(entries, ignores, baseline, cap))
+    }
+
     Verify.writeOracleJson(outDir, oracles.toMap)
     spark.stop()
   }

@@ -24,23 +24,9 @@ object Probe {
     val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame = name match {
       case "skew_join_unsalted" =>
         (s, d) => graft.operators.SkewJoin.skewJoinUnsalted(s, d)
-      case "dedup_minhash_capped" =>
-        // W=8 bucket-window fast family over the full corpus — the
-        // decade-3 one-box point (candidates k·W per bucket, not k²)
-        (s, d) => graft.operators.Dedup.dedupMinhashCappedOf(
-          graft.Tables.documents(s, d)
-            .select(org.apache.spark.sql.functions.col("doc_id"),
-              org.apache.spark.sql.functions.col("text")))
-      case "corpus_pipeline_fast_capped" =>
-        // the production composition with the W=8-capped pair family
-        (s, d) => {
-          import org.apache.spark.sql.functions.col
-          graft.operators.CorpusPipeline.corpusPipelineOf(
-            graft.Tables.documents(s, d)
-              .select(col("doc_id"), col("source"), col("text"))
-              .localCheckpoint(),
-            pairFamily = graft.operators.Dedup.dedupMinhashCappedOf(_, _, _, _))
-        }
+      // dedup_minhash_capped / corpus_pipeline_fast_capped were probe
+      // targets in round 11; they are REGISTERED queries now (round 12)
+      // and resolve through SparkEntry.queries below.
       case "dedup_simhash_lsh_wide" =>
         // the decade-3 key-width point: w=20/t=64 cuts the candidate
         // tail 6x (64/2^20 vs 24/2^16) at analytic h=7 worst-case

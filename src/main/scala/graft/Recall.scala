@@ -42,23 +42,39 @@ object Recall {
       // coverage (nprobe, and k via cell granularity) separates
       // configs again. Probe ids stay 0..4 (replica 0), so
       // knnJoin(probeMax=5) picks them unchanged.
-      val pool = math.max(4 * probes, 20)
-      val probeSrc = src.filter(col("vec_id") < pool)
-        .select(col("vec_id"), col("embedding"), col("label").cast("long"))
-        .collect().map(r => (r.getLong(0),
-          r.getSeq[Float](1).toArray, r.getLong(2))).sortBy(_._1)
-      val overrides = (0L until probes.toLong).map { i =>
-        val (_, ea, la) = probeSrc(i.toInt)
-        // rotate the partner search start so each probe gets a
-        // DIFFERENT off-label partner (a shared partner would make
-        // the 50-probe set 50 variations of one boundary)
-        val (_, eb, _) = (probeSrc.drop(probes + i.toInt) ++
-            probeSrc.drop(probes))
-          .find { case (j, _, lb) => j >= probes && lb != la }.get
-        (i, ea.zip(eb).map { case (x, y) => (x + y) / 2.0f }.toSeq)
+      // The midpoint overrides are a hardProbes-only construction —
+      // computed ONLY under the flag: on the plain scaled-dir path the
+      // probe-pool collect and the off-label partner search are new
+      // failure modes (too few qualifying base rows, or an all-one-label
+      // pool) a non-hard caller should never be able to hit.
+      val overrides: Seq[(Long, Seq[Float])] = if (!hardProbes) Seq.empty
+      else {
+        val pool = math.max(4 * probes, 20)
+        val probeSrc = src.filter(col("vec_id") < pool)
+          .select(col("vec_id"), col("embedding"), col("label").cast("long"))
+          .collect().map(r => (r.getLong(0),
+            r.getSeq[Float](1).toArray, r.getLong(2))).sortBy(_._1)
+        require(probeSrc.length >= 2 * probes,
+          s"hard probes need >= ${2 * probes} base vectors with vec_id < $pool; " +
+            s"found ${probeSrc.length}")
+        (0L until probes.toLong).map { i =>
+          val (_, ea, la) = probeSrc(i.toInt)
+          // rotate the partner search start so each probe gets a
+          // DIFFERENT off-label partner (a shared partner would make
+          // the 50-probe set 50 variations of one boundary)
+          val (_, eb, _) = (probeSrc.drop(probes + i.toInt) ++
+              probeSrc.drop(probes))
+            .find { case (j, _, lb) => j >= probes && lb != la }
+            .getOrElse(sys.error(
+              s"hard probe $i: no off-label partner in the ${probeSrc.length}-vector " +
+                s"pool (all candidates carry label $la) — widen the pool or the base table"))
+          (i, ea.zip(eb).map { case (x, y) => (x + y) / 2.0f }.toSeq)
+        }
       }
-      val overrideDf = spark.createDataFrame(overrides)
-        .toDF("vec_id", "emb_mid")
+      val overrideDf =
+        if (overrides.isEmpty)
+          spark.createDataFrame(Seq((0L, Seq.empty[Float]))).toDF("vec_id", "emb_mid").limit(0)
+        else spark.createDataFrame(overrides).toDF("vec_id", "emb_mid")
       src.select(col("vec_id"), col("embedding"), col("label"),
         explode(sequence(lit(0), lit(scale - 1))).as("r"))
         .select(
@@ -68,8 +84,7 @@ object Recall {
               "(pmod(xxhash64(vec_id, r, j), 2001) / 1000.0 - 1.0) AS FLOAT))"))
             .as("embedding"),
           col("label"))
-        .join(if (hardProbes) broadcast(overrideDf)
-              else broadcast(overrideDf.limit(0)), Seq("vec_id"), "left")
+        .join(broadcast(overrideDf), Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("emb_mid"), col("embedding")).as("embedding"),
           col("label"))

@@ -34,6 +34,7 @@ object SparkEntry {
     */
   val instruments: Set[String] = Set(
     "dedup_minhash_oracle", "dedup_simhash_oracle", "dedup_clusters",
+    "dedup_minhash_capped_oracle",
     "ann_lsh_cert", "ann_ivf_cert", "corpus_pipeline")
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -117,6 +118,8 @@ object SparkEntry {
     "dedup_simhash_oracle" -> ((s, d) => Dedup.dedupSimhashOracle(s, d)),
     "dedup_simhash_lsh" -> ((s, d) => Dedup.dedupSimhashLsh(s, d)),
     "dedup_minhash_oracle" -> ((s, d) => Dedup.dedupMinhashOracle(s, d)),
+    "dedup_minhash_capped" -> ((s, d) => Dedup.dedupMinhashCapped(s, d)),
+    "dedup_minhash_capped_oracle" -> ((s, d) => Dedup.dedupMinhashCappedOracle(s, d)),
     "dedup_clusters"  -> ((s, d) => Dedup.dedupClusters(s, d)),
     "ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
@@ -136,6 +139,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Sampling.sampleStratified(s, d)),
     "corpus_pipeline"  -> ((s, d) => CorpusPipeline.corpusPipeline(s, d)),
     "corpus_pipeline_fast" -> ((s, d) => CorpusPipeline.corpusPipelineFast(s, d)),
+    "corpus_pipeline_fast_capped" -> ((s, d) => CorpusPipeline.corpusPipelineFastCapped(s, d)),
     "chunk_documents"  -> ((s, d) => Ingest.chunkDocuments(s, d)),
     "chunk_paragraphs" -> ((s, d) => Ingest.chunkParagraphs(s, d)),
     "store_points"     -> ((s, d) => Ingest.storePoints(s, d)),
@@ -171,6 +175,7 @@ object SparkEntry {
     "streaming_window"    -> ((s, d) => graft.streaming.StreamOps.streamingWindowOnce(s, d)),
     "streaming_sessions"  -> ((s, d) => graft.streaming.StreamOps.sessionWindowOnce(s, d)),
     "streaming_store"     -> ((s, d) => graft.streaming.StreamOps.streamingStoreOnce(s, d)),
+    "streaming_store_manifest" -> ((s, d) => graft.streaming.StreamOps.streamingStoreManifestOnce(s, d)),
     "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.featureSummary(s, d)),
     "multimodal_search"   -> ((s, d) => graft.multimodal.Multimodal.multimodalSearch(s, d)),
     // Payload filtering / cross-collection / lexicon
@@ -1062,6 +1067,26 @@ object SparkEntry {
         |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
         |ORDER BY a, b""".stripMargin
 
+  /** GENERATED DuckDB twin of dedup_minhash_capped_oracle — the same
+    * CTE chain with the W-window candidate policy (row_number per
+    * (band, bucket) + rank-offset join), certifying the capped
+    * candidate set itself cross-engine, not just the hash family.
+    * OracleProps drives the parametrized form with seeded random
+    * (bands, rowsPerBand, threshold, W).
+    */
+  private def dedupMinhashCappedOracleSql: String =
+    dedupMinhashCappedOracleSqlFor()
+
+  private[graft] def dedupMinhashCappedOracleSqlFor(bands: Int = 12,
+                                                    rowsPerBand: Int = 3,
+                                                    jaccardThreshold: Double = 0.6,
+                                                    window: Int = 8): String =
+    "WITH " + dedupMinhashPairCtes("documents", bands, rowsPerBand,
+      jaccardThreshold, bucketWindow = window) + "\n" +
+      """SELECT a, b, round(jaccard, 4) AS jaccard
+        |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
+        |ORDER BY a, b""".stripMargin
+
   /** The shared pair-CTE chain (through `crossp`/`intra`) of the
     * generated minhash oracle — ONE val-like body feeding the pair
     * query above, the cluster canonicalization oracle below, AND the
@@ -1072,7 +1097,8 @@ object SparkEntry {
   private[graft] def dedupMinhashPairCtes(src: String = "documents",
                                           bands: Int = 12,
                                           rowsPerBand: Int = 3,
-                                          jaccardThreshold: Double = 0.6)
+                                          jaccardThreshold: Double = 0.6,
+                                          bucketWindow: Int = 0)
       : String = {
     val nSig = bands * rowsPerBand
     val est = jaccardThreshold - 0.15
@@ -1083,6 +1109,27 @@ object SparkEntry {
     val bandKey = (1 to rowsPerBand)
       .map(r => s"CAST(sig[b.band*$rowsPerBand+$r] AS VARCHAR)")
       .mkString(" || ':' || ")
+    // Candidate policy, mirroring minhashCore's bucketWindow axis: the
+    // complete per-bucket pair set (W = 0), or the W-window rank join —
+    // row_number per (band, bucket) in doc_id order, each member paired
+    // with ranks r+1..r+W. Ordering by doc_id means rank order IS id
+    // order, so a < b holds by construction on both engines.
+    val candCte =
+      if (bucketWindow <= 0)
+        """cand AS MATERIALIZED (
+          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          |  FROM bandk l JOIN bandk r
+          |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)""".stripMargin
+      else
+        s"""rankedk AS MATERIALIZED (
+           |  SELECT doc_id, band, bucket,
+           |    row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS r
+           |  FROM bandk),
+           |cand AS MATERIALIZED (
+           |  SELECT DISTINCT l.doc_id AS a, r2.doc_id AS b
+           |  FROM rankedk l JOIN rankedk r2
+           |    ON r2.band = l.band AND r2.bucket = l.bucket
+           |    AND r2.r > l.r AND r2.r <= l.r + $bucketWindow)""".stripMargin
     s"""dd AS (
        |  SELECT doc_id, text, md5(text) || ':' || length(text) AS ch FROM $src),
        |grp AS MATERIALIZED (SELECT doc_id, min(doc_id) OVER (PARTITION BY ch) AS rep FROM dd),
@@ -1100,10 +1147,7 @@ object SparkEntry {
        |bandk AS MATERIALIZED (
        |  SELECT doc_id, b.band, $bandKey AS bucket
        |  FROM sig, generate_series(0, ${bands - 1}) AS b(band)),
-       |cand AS MATERIALIZED (
-       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |  FROM bandk l JOIN bandk r
-       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       |$candCte,
        |est AS MATERIALIZED (
        |  SELECT c.a, c.b
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
@@ -3935,6 +3979,7 @@ object SparkEntry {
           |ORDER BY a, b""".stripMargin),
     "dedup_simhash_lsh" -> dedupSimhashLshSql,
     "dedup_minhash_oracle" -> dedupMinhashOracleSql,
+    "dedup_minhash_capped_oracle" -> dedupMinhashCappedOracleSql,
     "dedup_clusters" -> dedupClustersSql,
     "ngram_jaccard" ->
       """WITH g AS (
@@ -4305,6 +4350,9 @@ object SparkEntry {
     // The streaming twin reuses the batch column expressions verbatim,
     // so on the closed corpus it sits under the SAME oracle.
     "streaming_store" -> storePointsSql,
+    // The manifest-source variant reads the same corpus through
+    // O(new-files) discovery; identical points, identical oracle.
+    "streaming_store_manifest" -> storePointsSql,
     "retrieve_scroll" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE lang = 'en' AND doc_id > 40
@@ -7159,14 +7207,31 @@ object SparkEntry {
     * engine's contains chain (via the shared pattern list), the
     * project allowlist, and the classifier values for the enqueued
     * extensions. */
-  private def folderScanOracle: String = {
-    import graft.operators.{ExclusionEngineOps, IgnoreRules, FolderScanOps,
+  private def folderScanOracle: String =
+    folderScanOracleFor(graft.operators.FolderScanOps.scanEntriesSeq,
+      graft.operators.FolderScanOps.IgnoreLines,
+      baselineHours = 24.0, maxFileSize = 100L * 1024 * 1024)
+
+  /** Config-parametrized form — OracleProps drives it with seeded
+    * random (entry rows, Gate-0 ignore-rule sets, mtime baseline, size
+    * cap) against `FolderScanOps.folderScanOf` with the same knobs.
+    * The enqueued-file classifier arms are GENERATED from the shared
+    * `FileClassification.extensionTable` for the extensions present in
+    * the entry set, so neither the gate cascade nor the classification
+    * values have a fixed-config arm to hide behind. */
+  private[graft] def folderScanOracleFor(
+      entries: Seq[(String, String, Boolean, Boolean, Boolean, Double, Long)],
+      ignoreLines: Seq[String],
+      baselineHours: Double, maxFileSize: Long): String = {
+    import graft.operators.{ExclusionEngineOps, IgnoreRules, FileClassification,
       AllowedExtensionsOps}
-    val gate0 = IgnoreRules.compileLines(FolderScanOps.IgnoreLines)
-    def gate0Sql(isDirLit: String) = gate0.map { p =>
-      val base = s"regexp_matches(name, '${p.regex}')"
-      if (p.dirOnly) s"($base AND $isDirLit)" else base
-    }.mkString("(", " OR ", ")")
+    val gate0 = IgnoreRules.compileLines(ignoreLines)
+    def gate0Sql(isDirLit: String) =
+      if (gate0.isEmpty) "false"
+      else gate0.map { p =>
+        val base = s"regexp_matches(name, '${p.regex}')"
+        if (p.dirOnly) s"($base AND $isDirLit)" else base
+      }.mkString("(", " OR ", ")")
     val containsChain = ExclusionEngineOps.Patterns
       .map { case (pat, _) => s"contains(relpath, '${pat.replace("'", "''")}')" }
       .mkString(" OR ")
@@ -7181,9 +7246,23 @@ object SparkEntry {
       s"(NOT $github AND ($hidden OR ($containsChain)))"
     val projExts = AllowedExtensionsOps.projectExtensions
       .map(e => s"'${e.stripPrefix(".")}'").mkString(", ")
-    val rows = FolderScanOps.scanEntriesSeq.map { case (r, n, d, g, sl, a, sz) =>
+    val rows = entries.map { case (r, n, d, g, sl, a, sz) =>
       s"('$r', '$n', $d, $g, $sl, $a, $sz)"
     }.mkString(",\n  ")
+    // classifier arms for the entry set's extensions, generated from
+    // the shared extension table (only enqueued files carry file_type,
+    // so arms for non-allowed extensions are inert but harmless)
+    val extArms = entries.map(_._2.toLowerCase)
+      .flatMap { n =>
+        val i = n.lastIndexOf('.')
+        if (i > 0 && i < n.length - 1) Some(n.substring(i + 1)) else None
+      }.distinct.sorted
+      .flatMap(e => FileClassification.extensionTable
+        .find(_._1 == e).map { case (_, _, ft, _) => s"WHEN '$e' THEN '$ft'" })
+      .mkString(" ") match {
+        case "" => "WHEN '' THEN ''" // no classifiable exts: inert arm keeps the CASE valid
+        case arms => arms
+      }
     s"""WITH fsx(root, name, is_dir, has_git, is_symlink, mtime_age_hours,
        |  size_bytes) AS (VALUES
        |  $rows),
@@ -7214,8 +7293,8 @@ object SparkEntry {
        |          WHEN $engineExcl THEN 'excluded_static'
        |          WHEN ext IS NULL OR ext NOT IN ($projExts)
        |            THEN 'excluded_extension'
-       |          WHEN mtime_age_hours >= 24.0 THEN 'pruned_mtime'
-       |          WHEN size_bytes > ${100L * 1024 * 1024}
+       |          WHEN mtime_age_hours >= $baselineHours THEN 'pruned_mtime'
+       |          WHEN size_bytes > $maxFileSize
        |            THEN 'excluded_large'
        |          ELSE 'enqueue_file_add' END
        |      END AS verdict,
@@ -7224,8 +7303,7 @@ object SparkEntry {
        |SELECT * FROM (
        |  SELECT root, name, is_dir, verdict,
        |    CASE WHEN verdict = 'enqueue_file_add' THEN
-       |      CASE ext WHEN 'rs' THEN 'code' WHEN 'md' THEN 'text'
-       |        WHEN 'py' THEN 'code' END END AS file_type,
+       |      CASE ext $extArms END END AS file_type,
        |    CASE WHEN verdict = 'enqueue_file_add' THEN size_bytes END
        |      AS size_bytes
        |  FROM v

@@ -79,6 +79,28 @@ object CorpusPipeline {
         .localCheckpoint(),
       pairFamily = Dedup.dedupMinhashOf(_, _, _, _))
 
+  /** The DECADE-3 production composition: identical stages with the
+    * W=8 bucket-window-capped pair family
+    * ([[Dedup.dedupMinhashCappedOf]]) — candidates linear in bucket
+    * size, the form a 100 TB run executes where the uncapped pair
+    * stage's quadratic-in-cluster-size candidate volume is measured
+    * disk death at ×100 one-box (148.9 s capped vs DNF uncapped,
+    * round 11). Rows-only posture, two certificates: the W-window
+    * candidate policy is hard-oracled standalone
+    * (dedup_minhash_capped_oracle), and CorpusPipelineSpec pins this
+    * ledger's pair-family-independent columns bit-identical to the
+    * hash-green flagship's plus a ≥0.9 dup-keep agreement vs the
+    * uncapped fast path (the capped family's chain-break caveat —
+    * see dedupMinhashCappedOf — is why agreement is a measured floor,
+    * not an identity).
+    */
+  def corpusPipelineFastCapped(spark: SparkSession, dir: String): DataFrame =
+    corpusPipelineOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint(),
+      pairFamily = Dedup.dedupMinhashCappedOf(_, _, _, _))
+
   /** §3 `*Of` form over any (doc_id, source, text) frame (callers pass
     * a cached/checkpointed frame; the standalone entry pins it). Docs
     * with doc_id < evalMax are the fixed benchmark stand-in (the

@@ -86,7 +86,26 @@ object Dedup {
     * consumers whose downstream needs components, not the complete
     * intra-cluster pair enumeration. W-capped output is a verified
     * SUBSET of [[dedupMinhashOf]]'s pair set (DedupSpec pins subset +
-    * cluster-keep agreement). The decade-3 one-box default is W=8.
+    * cluster-keep agreement). The decade-3 one-box default is W=8:
+    * measured at ×100 one-box the capped family completes in 78.4 s
+    * where the uncapped pair stage dies on disk (>60 GB estimate-join
+    * spill).
+    *
+    * CONTRACT — what the cap does and does not promise. The emitted
+    * pair set is exactly "each bucket member × its next W bucket-mates
+    * in doc_id order, Jaccard-verified" — a deterministic, oracle-able
+    * definition ([[dedupMinhashCappedOracleOf]] carries the hard
+    * DuckDB twin). It is NOT a guaranteed-connectivity contract: the
+    * W-overlap chain links two bucket-mates only through INTERMEDIATE
+    * verified pairs, so a bucket where consecutive-by-doc_id members
+    * fall below the Jaccard threshold while distant members sit above
+    * it can split a cluster the full family would merge (chain break).
+    * On real near-dup clusters — whose bucket-mates are mutually
+    * similar by construction — breaks are rare; DedupSpec pins a ≥0.9
+    * cluster-keep agreement floor vs the full family at test SF, a
+    * MEASURED floor, not a bound. Consumers that need the complete
+    * pair enumeration use [[dedupMinhashOf]] and pay its quadratic
+    * intra-cluster cost.
     */
   def dedupMinhashCappedOf(corpus: DataFrame,
                            bands: Int = 12, rowsPerBand: Int = 3,
@@ -96,6 +115,47 @@ object Dedup {
       t => graft.GraftFunctions.shingleHashes(t),
       (sig, b, rpb) => hash((0 until rpb).map(r =>
         sig(b * rpb + r).cast("long")): _*),
+      bucketWindow = window)
+
+  /** Registered decade-3 form of the capped family over the documents
+    * table (W = 8, the measured one-box default). Rows-only posture,
+    * same §5 adjudication as dedup_minhash: the xxhash64/murmur3 hash
+    * family is not DuckDB-reproducible; the md5 capped twin below is
+    * the hard-oracled certificate for the W-window candidate policy.
+    */
+  def dedupMinhashCapped(spark: SparkSession, dir: String,
+                         window: Int = 8): DataFrame =
+    dedupMinhashCappedOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      window = window)
+
+  /** Oracle-portable md5-nibble twin of the W-capped family — the SAME
+    * shared core as [[dedupMinhashOracleOf]] (md5-nibble shingle
+    * hashes, plain value-tuple band keys) with the W-window candidate
+    * policy. Its DuckDB oracle is GENERATED from the same coefficient
+    * table AND the same rank-window definition
+    * (SparkEntry.dedupMinhashCappedOracleSqlFor: row_number per
+    * (band, bucket) + W rank-offset join), so the capped candidate
+    * policy itself — not just the hash family — is certified
+    * cross-engine.
+    */
+  def dedupMinhashCappedOracle(spark: SparkSession, dir: String,
+                               window: Int = 8): DataFrame =
+    dedupMinhashCappedOracleOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      window = window)
+
+  /** §3 `*Of` form of dedup_minhash_capped_oracle. */
+  def dedupMinhashCappedOracleOf(corpus: DataFrame,
+                                 bands: Int = 12, rowsPerBand: Int = 3,
+                                 jaccardThreshold: Double = 0.6,
+                                 window: Int = 8): DataFrame =
+    minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
+      _ => expr(
+        "array_sort(array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), " +
+          "i -> CAST(conv(substr(md5(substr(text, i, 3)), 1, 15), 16, 10) AS BIGINT))))"),
+      (sig, b, rpb) => concat_ws(":", (0 until rpb).map(r =>
+        sig(b * rpb + r).cast("string")): _*),
       bucketWindow = window)
 
   /** Oracle-portable twin of dedup_minhash (same recipe as

@@ -70,17 +70,24 @@ object FolderScanOps {
   /** Gate-0: does the compiled ignore set match this entry? Single-
     * level scan — the entry itself is the decided target (ancestors
     * are the scanned dir, by construction not ignored). */
-  private def gate0(name: Column, isDir: Column): Column = {
-    val compiled = IgnoreRules.compileLines(IgnoreLines)
+  private def gate0Match(name: Column, isDir: Column,
+                         ignoreLines: Seq[String]): Column = {
+    val compiled = IgnoreRules.compileLines(ignoreLines)
     compiled.map { p =>
       val m = name.rlike(p.regex)
       if (p.dirOnly) m && isDir else m
     }.foldLeft(lit(false))(_ || _)
   }
 
-  /** §3 `*Of` form: the verdict per entry + per-root counters. */
+  /** §3 `*Of` form: the verdict per entry + per-root counters.
+    * `ignoreLines` defaults to the registered fixture set; OracleProps
+    * drives it with seeded random rule sets against the generated
+    * oracle (SparkEntry.folderScanOracleFor). */
   def folderScanOf(entries: DataFrame, baselineHours: Double,
-                   maxFileSize: Long): DataFrame = {
+                   maxFileSize: Long,
+                   ignoreLines: Seq[String] = IgnoreLines): DataFrame = {
+    def gate0(name: Column, isDir: Column): Column =
+      gate0Match(name, isDir, ignoreLines)
     val absPath = concat(col("root"), lit("/"), col("name"))
     val verdict =
       when(col("is_symlink"), lit("skipped_symlink"))

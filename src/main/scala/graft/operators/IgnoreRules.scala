@@ -91,16 +91,31 @@ object IgnoreRules {
                 esc.append(c)
               }
               var j = 0
+              var malformed = raw.isEmpty
               while (j < raw.length) {
                 if (j + 2 < raw.length && raw.charAt(j + 1) == '-') {
                   val (lo, hi) = (raw.charAt(j), raw.charAt(j + 2))
-                  // reversed range: matches nothing — emit nothing
                   if (lo <= hi) { lit(lo); esc.append('-'); lit(hi) }
+                  // reversed range: the reference's ignore engine (the
+                  // Rust `ignore` crate → globset) rejects it as a glob
+                  // parse error, which drops the whole LINE — mark the
+                  // class malformed rather than silently narrowing it
+                  else malformed = true
                   j += 3
                 } else { lit(raw.charAt(j)); j += 1 }
               }
-              if (neg) sb.append("[^/").append(esc).append("]")
-              else if (esc.isEmpty) sb.append("(?!)") // `[]`: never matches
+              // Malformed classes — empty (`[]`, `[!]`: globset treats
+              // the `]` as a would-be first member and errors on the
+              // then-unclosed class) or containing a reversed range
+              // (`[c-a]`, `[ac-a]`: globset ErrorKind::InvalidRange) —
+              // make the reference engine drop the entire ignore line.
+              // `(?!)` never matches, so emitting it anywhere in the
+              // compiled regex renders the line inert, which is exactly
+              // that behavior. (POSIX fnmatch differs — it would treat
+              // `[!]` literally — but the reference's engine is globset,
+              // and PatternTranslatorPropSpec pins this contract.)
+              if (malformed) sb.append("(?!)")
+              else if (neg) sb.append("[^/").append(esc).append("]")
               else sb.append("[").append(esc).append("]")
               i = close
             }

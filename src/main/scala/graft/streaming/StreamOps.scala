@@ -195,6 +195,72 @@ object StreamOps {
       .orderBy(col("doc_id"), col("chunk_index"))
   }
 
+  /** Manifest-based source variant of the streaming store (round 12,
+    * board #7 — the §4 listing caveat turned into a working
+    * alternative): the plain file source LISTS the input directory on
+    * every trigger, O(all files) per batch regardless of how few are
+    * new — at 10⁵-10⁶ part-files the listing term grows with the
+    * corpus. The 100 TB posture is a source whose discovery is O(new
+    * files): the ingest writer APPENDS each landed data file's path to
+    * a compacted manifest (the reference's watch daemon IS such a
+    * notifier — watching_queue/ emits per-file events; cloud stores
+    * ship the same shape as an event queue). Here the STREAM reads the
+    * manifest directory — tiny text segments, one path per line — and
+    * each micro-batch loads exactly the data files its new segments
+    * name (`foreachBatch` + a batch parquet read of those paths, the
+    * standard Structured Streaming pattern for source indirection).
+    * Per-trigger cost: list the manifest dir (O(segments), compactable)
+    * + read the NEW data files only. The store pipeline inside the
+    * batch is the same map-only chunk → embed → point rows, so outputs
+    * are row-for-row the file-source twin's (StreamOpsSpec reconciles;
+    * the registered query sits under the SAME DuckDB store oracle).
+    */
+  def streamingStoreManifestOnce(spark: SparkSession, dir: String,
+                                 segments: Int = 4): DataFrame = {
+    val dataPath = new java.io.File(s"$dir/documents.parquet")
+    // the "ingest writer"'s manifest: the corpus part-files split into
+    // append-order segments (a flat single-file table is one segment)
+    val files: Seq[String] =
+      if (dataPath.isDirectory)
+        dataPath.listFiles().toSeq.map(_.getAbsolutePath)
+          .filter(p => p.endsWith(".parquet") || p.contains("part-")).sorted
+      else Seq(dataPath.getAbsolutePath)
+    val tag = Integer.toHexString(dir.hashCode)
+    val work = new java.io.File(s"target/stream-manifest-$tag")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (work.exists()) rm(work)
+    val manifestDir = new java.io.File(work, "manifest"); manifestDir.mkdirs()
+    val outDir = new java.io.File(work, "points")
+    val nSeg = math.max(1, math.min(segments, files.length))
+    files.grouped(math.ceil(files.length.toDouble / nSeg).toInt)
+      .zipWithIndex.foreach { case (fs, i) =>
+        java.nio.file.Files.writeString(
+          new java.io.File(manifestDir, f"seg-$i%05d.txt").toPath,
+          fs.mkString("", "\n", "\n"))
+      }
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1") // one manifest segment per trigger
+      .text(manifestDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val paths = batch.collect().map(_.getString(0)).filter(_.nonEmpty)
+        if (paths.nonEmpty) {
+          val docs = spark.read.schema(documentsSchema).parquet(paths.toIndexedSeq: _*)
+          storePointsStream(docs)
+            .write.mode("append").parquet(outDir.getAbsolutePath)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir.getAbsolutePath)
+      .orderBy(col("doc_id"), col("chunk_index"))
+  }
+
   /** Stateful per-key debouncer — the streaming twin of the reference's
     * `EventDebouncer` (watching_queue/types.rs:160: per path only the
     * latest event survives; it is released after `debounceSec` of

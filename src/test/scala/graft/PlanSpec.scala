@@ -37,7 +37,8 @@ class PlanSpec extends SparkSpec {
     // scan at all. A `Scan parquet`/FileScan appearing here means a
     // stage re-derived its input from disk and the shared-frame
     // contract broke (at 100 TB that is N extra corpus scans).
-    for (name <- Seq("corpus_pipeline", "corpus_pipeline_fast")) {
+    for (name <- Seq("corpus_pipeline", "corpus_pipeline_fast",
+        "corpus_pipeline_fast_capped")) {
       val p = plan(name)
       assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
         s"$name must read only the checkpointed corpus frame:\n" + p.take(2000))
@@ -62,6 +63,7 @@ class PlanSpec extends SparkSpec {
       "pack_sequences" -> "slice-offset window over one row per shuffle partition",
       "corpus_pipeline" -> "inherits pack_sequences' slice-offset window",
       "corpus_pipeline_fast" -> "inherits pack_sequences' slice-offset window",
+      "corpus_pipeline_fast_capped" -> "inherits pack_sequences' slice-offset window",
       // config/registry-sized daemon state, not corpus rows
       "project_registry" -> "ranks the registered-projects table (daemon registry state)",
       "rules_select" -> "budget prefix sum over the memory-rules table (config-sized)",

@@ -140,6 +140,61 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("corpus_pipeline_fast_capped: dual-path agreement with the uncapped fast ledger") {
+    // The decade-3 production composition (W=8 capped pair family,
+    // registered round 12). Same certificate shape as the fast-vs-
+    // flagship check: columns upstream of the pair family bit-identical
+    // to the uncapped fast path's (stages 1-3 share code paths exactly,
+    // so any diff is a wiring bug), dup-keep agreement >= 0.9 on the
+    // survivors (the capped family's chain-break caveat makes this a
+    // measured floor), and the funnel/packing self-invariants re-run on
+    // the capped path's own keep set.
+    val fast = CorpusPipeline.corpusPipelineFast(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val capped = CorpusPipeline.corpusPipelineFastCapped(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(fast.keySet == capped.keySet, "one ledger row per candidate doc, both paths")
+
+    for ((id, s) <- fast; c = capped(id); i <- Seq(1, 2, 3, 4, 5))
+      assert(s.getLong(i) == c.getLong(i),
+        s"doc $id col $i: pair-family-independent columns must be bit-identical " +
+          s"(fast ${s.getLong(i)} capped ${c.getLong(i)})")
+
+    val survivors = fast.keys.filter(id => fast(id).getLong(8) >= 0).toSeq
+    assert(survivors.nonEmpty, "the funnel reaches the dedup stage at this SF")
+    // the capped pair set is a SUBSET of the uncapped one (DedupSpec),
+    // so a doc BOTH paths leave unclustered is kept by both; and a doc
+    // the capped path clusters, the uncapped path must cluster too.
+    for (id <- survivors) {
+      if (fast(id).getLong(7) == 0)
+        assert(capped(id).getLong(7) == 0,
+          s"doc $id: capped path clustered a doc the uncapped path left unclustered")
+      if (fast(id).getLong(7) == 0 && capped(id).getLong(7) == 0)
+        assert(fast(id).getLong(8) == 1 && capped(id).getLong(8) == 1,
+          s"doc $id: unclustered docs are kept on both paths")
+    }
+    val agree = survivors.count(id => fast(id).getLong(8) == capped(id).getLong(8))
+    assert(agree.toDouble / survivors.size >= 0.9,
+      s"dup-keep agreement ${agree.toDouble / survivors.size} below the 0.9 floor " +
+        s"($agree/${survivors.size})")
+
+    for ((id, c) <- capped) {
+      val gated = c.getLong(3) == 1 && c.getLong(4) == 1
+      assert((c.getLong(5) >= 0) == gated, s"doc $id: capped-path funnel discipline")
+      val surv = gated && c.getLong(5) == 0
+      assert((c.getLong(8) >= 0) == surv, s"doc $id: capped-path dedup attribution")
+      assert((c.getLong(9) == 1) == (c.getLong(8) == 1), s"doc $id: capped final_keep")
+    }
+    val keptC = capped.values.filter(_.getLong(9) == 1).toSeq.sortBy(_.getLong(0))
+    assert(keptC.nonEmpty, "the capped path keeps documents")
+    var stc = 0L
+    for (c <- keptC) {
+      assert(c.getLong(11) * 512 + c.getLong(13) == stc,
+        s"doc ${c.getLong(0)}: capped-path stream offset != prefix sum $stc")
+      stc += c.getLong(10)
+    }
+  }
+
   test("fixture: every funnel arm is reachable and correctly attributed") {
     // evalMax=2: docs 0,1 are the benchmark. dfThreshold=2 so the
     // shared FOOTER line in two source-a docs is boilerplate.

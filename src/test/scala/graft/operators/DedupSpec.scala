@@ -92,6 +92,27 @@ class DedupSpec extends SparkSpec {
         s"($agree/${commonDocs.size})")
   }
 
+  test("capped md5 oracle twin: verified subset of the full md5 pair set, cap binds") {
+    // dedup_minhash_capped_oracle (registered round 12, hard DuckDB
+    // oracle) must relate to dedup_minhash_oracle exactly as the
+    // xxhash64 capped form relates to its full family: every capped
+    // pair is a full-family pair with the SAME verified jaccard (the
+    // W-window can only remove candidates), and at a tight window the
+    // cap actually removes cross-rep pairs on this corpus (a cap that
+    // never binds certifies nothing).
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = pairs(Dedup.dedupMinhashOracleOf(docs))
+    val capped = pairs(Dedup.dedupMinhashCappedOracleOf(docs, window = 2))
+    assert(capped.nonEmpty, "capped md5 twin finds pairs on this corpus")
+    for ((k, j) <- capped)
+      assert(full.get(k).contains(j),
+        s"capped md5 pair $k (j=$j) not in the full md5 pair set")
+    assert(capped.size < full.size,
+      s"window=2 must bind on this corpus (capped ${capped.size} = full ${full.size})")
+  }
+
   test("dedup_minhash finds high-jaccard pairs and verifies them exactly") {
     val rows = Dedup.dedupMinhash(spark, sfDir).collect()
     assert(rows.nonEmpty, "expected near-dup pairs in this self-similar corpus")

@@ -102,22 +102,27 @@ class PatternTranslatorPropSpec extends SparkSpec {
   // matching gives that for free here; the regex compiler has to guard
   // negated classes explicitly, which this spec caught it not doing);
   // unanchored patterns float to any depth.
-  private def classMatch(cls: String, c: Char): Boolean = {
+  // Returns None for a MALFORMED class — empty body or any reversed
+  // range — which the reference engine (ignore crate → globset) rejects
+  // at glob-parse time, dropping the whole line; the matcher mirrors
+  // that as "this segment (and hence the line) can never match".
+  private def classMatch(cls: String, c: Char): Option[Boolean] = {
     // cls excludes the brackets
     val (neg, body) =
       if (cls.startsWith("^") || cls.startsWith("!")) (true, cls.drop(1))
       else (false, cls)
-    var i = 0; var hit = false
+    var i = 0; var hit = false; var malformed = body.isEmpty
     while (i < body.length) {
       if (i + 2 < body.length && body.charAt(i + 1) == '-') {
-        if (body.charAt(i) <= c && c <= body.charAt(i + 2)) hit = true
+        if (body.charAt(i) > body.charAt(i + 2)) malformed = true
+        else if (body.charAt(i) <= c && c <= body.charAt(i + 2)) hit = true
         i += 3
       } else {
         if (body.charAt(i) == c) hit = true
         i += 1
       }
     }
-    hit != neg
+    if (malformed) None else Some(hit != neg)
   }
 
   private def segMatch(pat: String, s: String): Boolean =
@@ -128,7 +133,8 @@ class PatternTranslatorPropSpec extends SparkSpec {
       case '[' =>
         val close = pat.indexOf(']', 1)
         if (close > 0)
-          s.nonEmpty && classMatch(pat.substring(1, close), s.head) &&
+          s.nonEmpty &&
+            classMatch(pat.substring(1, close), s.head).contains(true) &&
             segMatch(pat.substring(close + 1), s.tail)
         else s.nonEmpty && s.head == '[' && segMatch(pat.tail, s.tail)
       case c => s.nonEmpty && s.head == c && segMatch(pat.tail, s.tail)
