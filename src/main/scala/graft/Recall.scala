@@ -133,6 +133,17 @@ object Recall {
         () => VectorSearch.ivfCandidates(spark, sfDir,
           probeMax = nProbes.toLong, numCentroids = nc, nprobe = np,
           replicas = r, kmeansIters = it, kmeansInit = init))
+    def lsh(name: String, tables: Int, bits: Int) =
+      (s"ann_lsh $name",
+        () => VectorSearch.annLsh(spark, sfDir, probeMax = nProbes.toLong,
+          tables = tables, bits = bits),
+        () => VectorSearch.lshCandidates(spark, sfDir,
+          probeMax = nProbes.toLong, tables = tables, bits = bits))
+    // LSH scale rule under test (round-12 board #6): expected bucket
+    // occupancy is n/2^bits, so holding the per-table scanned fraction
+    // needs bits ~ log2(n) — bits-scaled = 4 + log2(scale) vs the
+    // sf0.1-tuned (16, 4).
+    val bScaled = (4 + math.log(scale) / math.log(2)).round.toInt
     val sweeps = if (scale > 1)
       // The k ~ sqrt(n) validation sweep: at scale x the tuned sf0.1
       // point (k=500, np=18 @ n=2000), the rule predicts
@@ -147,11 +158,14 @@ object Recall {
         ivf(s"sqrt-scaled k=${(500 * math.sqrt(scale)).toInt} np=32 it=5",
           (500 * math.sqrt(scale)).toInt, 32, it = 5),
         ivf(s"sqrt-scaled k=${(500 * math.sqrt(scale)).toInt} np=${(18 * math.sqrt(scale)).toInt} it=5",
-          (500 * math.sqrt(scale)).toInt, (18 * math.sqrt(scale)).toInt, it = 5))
+          (500 * math.sqrt(scale)).toInt, (18 * math.sqrt(scale)).toInt, it = 5),
+        lsh("unscaled t=16 b=4", 16, 4),
+        lsh(s"bits-scaled t=16 b=$bScaled", 16, bScaled),
+        lsh(s"bits-scaled t=32 b=$bScaled", 32, bScaled))
     else Seq(
-      ("ann_lsh tables=4", () => VectorSearch.annLsh(spark, sfDir, tables = 4), null),
-      ("ann_lsh tables=8", () => VectorSearch.annLsh(spark, sfDir, tables = 8), null),
-      ("ann_lsh tables=16", () => VectorSearch.annLsh(spark, sfDir, tables = 16), null),
+      lsh("tables=4", 4, 4),
+      lsh("tables=8", 8, 4),
+      lsh("tables=16", 16, 4),
       ivf("k=200 np=5", 200, 5),
       ivf("k=500 np=12 it=5", 500, 12, it = 5),
       ivf("k=500 np=18 it=5", 500, 18, it = 5),

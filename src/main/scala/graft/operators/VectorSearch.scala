@@ -151,6 +151,25 @@ object VectorSearch {
     */
   def annLsh(spark: SparkSession, dir: String, probeMax: Long = 5L, k: Int = 10,
              tables: Int = 16, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val candidates = lshCandidates(spark, dir, probeMax, tables, bits, dim)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id"))
+    candidates
+      .withColumn("score", graft.GraftFunctions.cosine(col("embedding"), col("p_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** LSH candidate generation — the bucket-collision set without the
+    * final ranking (one row per distinct (probe, candidate) pair with
+    * both embeddings), exposed like [[ivfCandidates]] so graft.Recall
+    * can measure the TRUE scanned fraction alongside recall. annLsh
+    * above ranks exactly this frame — pure code motion, the registered
+    * query's plan is unchanged.
+    */
+  def lshCandidates(spark: SparkSession, dir: String, probeMax: Long = 5L,
+                    tables: Int = 16, bits: Int = 4, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(tables, bits, dim)
     val emb = Tables.embeddings(spark, dir)
 
@@ -166,19 +185,11 @@ object VectorSearch {
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         posexplode(col("buckets")).as(Seq("tbl", "bkt")))
 
-    val candidates = corpus
+    corpus
       .join(probes, Seq("tbl", "bkt"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("embedding"), col("p_emb"))
       .dropDuplicates("probe_id", "vec_id")
-
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id"))
-    candidates
-      .withColumn("score", graft.GraftFunctions.cosine(col("embedding"), col("p_emb")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"))
-      .orderBy(col("probe_id"), col("rnk"))
   }
 
   /** IVF candidate generation — the inverted-list scan without the
