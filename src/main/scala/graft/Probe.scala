@@ -27,6 +27,15 @@ object Probe {
       // dedup_minhash_capped / corpus_pipeline_fast_capped were probe
       // targets in round 11; they are REGISTERED queries now (round 12)
       // and resolve through SparkEntry.queries below.
+      case "dedup_minhash_capped_nosort" =>
+        // pair-SINK form: the registered query minus the final
+        // presentation orderBy — isolates the global-sort term at
+        // decade 3 (SURVEY §6 round-12 candidate #3)
+        (s, d) => graft.operators.Dedup.dedupMinhashCappedOf(
+          graft.Tables.documents(s, d)
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text")),
+          ordered = false)
       case "dedup_simhash_lsh_wide" =>
         // the decade-3 key-width point: w=20/t=64 cuts the candidate
         // tail 6x (64/2^20 vs 24/2^16) at analytic h=7 worst-case

@@ -110,12 +110,20 @@ object Dedup {
   def dedupMinhashCappedOf(corpus: DataFrame,
                            bands: Int = 12, rowsPerBand: Int = 3,
                            jaccardThreshold: Double = 0.6,
-                           window: Int = 8): DataFrame =
+                           window: Int = 8,
+                           // pair-SINK mode: at decade 3 the output is
+                           // millions of pairs and a caller writing them
+                           // partitioned (or feeding dedupClustersOf,
+                           // which re-shuffles anyway) has no use for
+                           // the presentation-ordered global sort —
+                           // ordered=false skips it (measured cost in
+                           // SURVEY §6 round 12)
+                           ordered: Boolean = true): DataFrame =
     minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
       t => graft.GraftFunctions.shingleHashes(t),
       (sig, b, rpb) => hash((0 until rpb).map(r =>
         sig(b * rpb + r).cast("long")): _*),
-      bucketWindow = window)
+      bucketWindow = window, ordered = ordered)
 
   /** Registered decade-3 form of the capped family over the documents
     * table (W = 8, the measured one-box default). Rows-only posture,
@@ -246,7 +254,8 @@ object Dedup {
                           jaccardThreshold: Double,
                           shingleHashesOf: Column => Column,
                           bandBucket: (Column, Int, Int) => Column,
-                          bucketWindow: Int = 0): DataFrame = {
+                          bucketWindow: Int = 0,
+                          ordered: Boolean = true): DataFrame = {
     val coeffs = minhashCoeffs(bands * rowsPerBand)
     // Exact-dup pre-pass — the reference's ingest-time content-hash
     // dedup (src/rust/common/src/hashing.rs) composed in front of the
@@ -438,7 +447,8 @@ object Dedup {
       .join(valid.select(col("rep").as("rb"), col("doc_id").as("mb")), Seq("rb"))
       .select(least(col("ma"), col("mb")).as("a"),
         greatest(col("ma"), col("mb")).as("b"), col("jaccard"))
-    cross.unionByName(intra).orderBy(col("a"), col("b"))
+    val pairs = cross.unionByName(intra)
+    if (ordered) pairs.orderBy(col("a"), col("b")) else pairs
   }
 
   /** 64-bit SimHash from token hashes (Charikar '02): per bit position,
