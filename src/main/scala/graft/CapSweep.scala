@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dev tool: the recall-vs-W curve for the bucket-window-capped minhash
+  * family — places the knee of the W knob instead of asserting it.
+  * For each W: pair count, fraction of the full family's pair set
+  * recovered, cluster-keep agreement with the full family (the
+  * clustering consumer's metric), and coarse wall time.
+  * `runMain graft.CapSweep [sfDir]`.
+  */
+object CapSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val prio = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("keep_rank")).localCheckpoint()
+
+    def pairsOf(w: Int) =
+      if (w <= 0) Dedup.dedupMinhashOf(docs) else Dedup.dedupMinhashCappedOf(docs, window = w)
+    def keepsOf(p: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      Dedup.dedupClustersOf(p.select(col("a"), col("b")), prio)
+        .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+
+    // full family once (W=0): the reference point
+    val t0 = System.nanoTime()
+    val fullPairs = pairsOf(0).localCheckpoint()
+    val fullN = fullPairs.count()
+    val fullSec = (System.nanoTime() - t0) / 1e9
+    val kf = keepsOf(fullPairs)
+    println(f"[capsweep] W=full  pairs=$fullN%8d  recovered=1.000  keep_agree=1.000  ($fullSec%.1fs)  docs_clustered=${kf.size}")
+
+    for (w <- Seq(1, 2, 4, 8, 16, 32)) {
+      val t1 = System.nanoTime()
+      val p = pairsOf(w).localCheckpoint()
+      val n = p.count()
+      val sec = (System.nanoTime() - t1) / 1e9
+      val kc = keepsOf(p)
+      val common = kf.keySet intersect kc.keySet
+      val agree =
+        if (common.isEmpty) Double.NaN
+        else common.count(d => kf(d) == kc(d)).toDouble / common.size
+      // clustered-doc coverage: docs the full family clusters that the
+      // capped family also sees (a doc missing entirely counts against
+      // the clustering consumer too)
+      val coverage = if (kf.isEmpty) Double.NaN
+        else common.size.toDouble / kf.size
+      println(f"[capsweep] W=$w%-4d  pairs=$n%8d  recovered=${n.toDouble / fullN}%.3f  " +
+        f"keep_agree=$agree%.3f  coverage=$coverage%.3f  ($sec%.1fs)")
+    }
+    spark.stop()
+  }
+}

@@ -103,9 +103,15 @@ object Dedup {
     * On real near-dup clusters — whose bucket-mates are mutually
     * similar by construction — breaks are rare; DedupSpec pins a ≥0.9
     * cluster-keep agreement floor vs the full family at test SF, a
-    * MEASURED floor, not a bound. Consumers that need the complete
-    * pair enumeration use [[dedupMinhashOf]] and pay its quadratic
-    * intra-cluster cost.
+    * MEASURED floor, not a bound. The measured W curve
+    * (CAPSWEEP_r12.txt, graft.CapSweep, scale-stable across sf0.1/×10):
+    * keep agreement ≥ 0.978 at every W ≥ 1; the real cost axis is
+    * COVERAGE — docs whose only above-threshold partners sit further
+    * than W away in bucket doc_id order are silently KEPT (never
+    * wrongly dropped): 0.90 of the full family's clustered docs at
+    * W=8, 0.95 at W=32 (~2× runtime, still linear). Consumers that
+    * need the complete pair enumeration use [[dedupMinhashOf]] and pay
+    * its quadratic intra-cluster cost.
     */
   def dedupMinhashCappedOf(corpus: DataFrame,
                            bands: Int = 12, rowsPerBand: Int = 3,
