@@ -36,6 +36,18 @@ object Probe {
             .select(org.apache.spark.sql.functions.col("doc_id"),
               org.apache.spark.sql.functions.col("text")),
           ordered = false)
+      case "corpus_pipeline_capped_oracle" =>
+        // the md5 ORACLE-PORTABLE composition with the W=8-capped pair
+        // family — the decade-3 completion probe for the hash family
+        // whose uncapped form (corpus_pipeline) dies at ×100
+        (s, d) => {
+          import org.apache.spark.sql.functions.col
+          graft.operators.CorpusPipeline.corpusPipelineOf(
+            graft.Tables.documents(s, d)
+              .select(col("doc_id"), col("source"), col("text"))
+              .localCheckpoint(),
+            pairFamily = graft.operators.Dedup.dedupMinhashCappedOracleOf(_, _, _, _))
+        }
       case "dedup_simhash_lsh_wide" =>
         // the decade-3 key-width point: w=20/t=64 cuts the candidate
         // tail 6x (64/2^20 vs 24/2^16) at analytic h=7 worst-case

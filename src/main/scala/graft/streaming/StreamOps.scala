@@ -233,14 +233,63 @@ object StreamOps {
     }
     if (work.exists()) rm(work)
     val manifestDir = new java.io.File(work, "manifest"); manifestDir.mkdirs()
-    val outDir = new java.io.File(work, "points")
     val nSeg = math.max(1, math.min(segments, files.length))
     files.grouped(math.ceil(files.length.toDouble / nSeg).toInt)
-      .zipWithIndex.foreach { case (fs, i) =>
-        java.nio.file.Files.writeString(
-          new java.io.File(manifestDir, f"seg-$i%05d.txt").toPath,
-          fs.mkString("", "\n", "\n"))
+      .foreach(fs => appendManifestSegment(manifestDir, fs))
+    runManifestStore(spark, manifestDir, new java.io.File(work, "points"))
+  }
+
+  /** Writer half of the manifest protocol: seal `paths` as the next
+    * numbered segment (`seg-NNNNN.txt`, one data-file path per line) —
+    * what the reference's watch daemon would emit per landed batch.
+    */
+  def appendManifestSegment(manifestDir: java.io.File,
+                            paths: Seq[String]): java.io.File = {
+    manifestDir.mkdirs()
+    val next = Option(manifestDir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith("seg-") && n.endsWith(".txt") =>
+        n.stripPrefix("seg-").stripSuffix(".txt").toInt }
+      .foldLeft(-1)(math.max) + 1
+    val f = new java.io.File(manifestDir, f"seg-$next%05d.txt")
+    java.nio.file.Files.writeString(f.toPath, paths.mkString("", "\n", "\n"))
+    f
+  }
+
+  /** Compaction: merge every sealed segment into ONE segment holding
+    * the distinct union of their paths (append order preserved), and
+    * delete the merged inputs. Keeps the manifest dir's file count —
+    * the per-trigger discovery term — O(1) across long append
+    * histories instead of O(appends).
+    *
+    * CONTRACT: compact only BETWEEN stream runs. The file stream's
+    * checkpoint tracks processed manifest files BY NAME, so a live
+    * checkpointed stream would see the compacted file as new and
+    * re-deliver every path; on a fresh start (or a reader that
+    * dedups by data-file path downstream) the compacted manifest
+    * enumerates each data file exactly once — StreamOpsSpec pins the
+    * exactly-once enumeration and output equality across compaction.
+    */
+  def compactManifest(manifestDir: java.io.File): java.io.File = {
+    val segs = Option(manifestDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("seg-") && f.getName.endsWith(".txt"))
+      .sortBy(_.getName)
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    segs.foreach { f =>
+      java.nio.file.Files.readAllLines(f.toPath).forEach { l =>
+        if (l.nonEmpty) { seen += l; () }
       }
+    }
+    segs.foreach(_.delete())
+    appendManifestSegment(manifestDir, seen.toSeq)
+  }
+
+  /** Reader half: stream the manifest segments (one per trigger), each
+    * micro-batch loading exactly the data files its segment names, into
+    * a parquet point sink; returns the accumulated points.
+    */
+  private def runManifestStore(spark: SparkSession, manifestDir: java.io.File,
+                               outDir: java.io.File): DataFrame = {
     val q = spark.readStream
       .option("maxFilesPerTrigger", "1") // one manifest segment per trigger
       .text(manifestDir.getAbsolutePath)
@@ -259,6 +308,32 @@ object StreamOps {
     q.awaitTermination()
     spark.read.parquet(outDir.getAbsolutePath)
       .orderBy(col("doc_id"), col("chunk_index"))
+  }
+
+  /** [[streamingStoreManifestOnce]] with a compaction cycle in front:
+    * seal per-file segments (a long append history), compact them to
+    * one, then run the store from the compacted manifest — the spec
+    * uses this to pin output equality across compaction.
+    */
+  def streamingStoreCompactedManifestOnce(spark: SparkSession,
+                                          dir: String): DataFrame = {
+    val dataPath = new java.io.File(s"$dir/documents.parquet")
+    val files: Seq[String] =
+      if (dataPath.isDirectory)
+        dataPath.listFiles().toSeq.map(_.getAbsolutePath)
+          .filter(p => p.endsWith(".parquet") || p.contains("part-")).sorted
+      else Seq(dataPath.getAbsolutePath)
+    val work = new java.io.File(
+      s"target/stream-manifest-c${Integer.toHexString(dir.hashCode)}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (work.exists()) rm(work)
+    val manifestDir = new java.io.File(work, "manifest")
+    files.foreach(p => appendManifestSegment(manifestDir, Seq(p)))
+    compactManifest(manifestDir)
+    runManifestStore(spark, manifestDir, new java.io.File(work, "points"))
   }
 
   /** Stateful per-key debouncer — the streaming twin of the reference's

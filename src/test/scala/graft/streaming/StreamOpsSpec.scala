@@ -104,6 +104,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(viaManifest.length == viaFiles.length, "no duplicate points")
   }
 
+  test("manifest compaction: exactly-once enumeration, identical store output") {
+    // Writer-side compaction (round 12): seal a long per-file append
+    // history, compact to one segment, and the store over the compacted
+    // manifest must equal the file-source twin — each data file
+    // enumerated exactly once (duplicate appends would duplicate
+    // points; the length equality below catches that too).
+    val viaFiles = StreamOps.streamingStoreOnce(spark, sfDir).collect()
+      .map(_.toSeq)
+    val viaCompacted = StreamOps
+      .streamingStoreCompactedManifestOnce(spark, sfDir).collect()
+      .map(_.toSeq)
+    assert(viaCompacted.nonEmpty)
+    assert(viaCompacted.toSet == viaFiles.toSet,
+      "compacted-manifest store must build the file-source twin's points")
+    assert(viaCompacted.length == viaFiles.length, "exactly-once enumeration")
+
+    // the compaction primitive itself: distinct union, append order,
+    // merged inputs deleted, survives appends after compaction
+    val mdir = new java.io.File("target/manifest-compact-spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    if (mdir.exists()) rm(mdir)
+    StreamOps.appendManifestSegment(mdir, Seq("/a", "/b"))
+    StreamOps.appendManifestSegment(mdir, Seq("/b", "/c"))
+    StreamOps.compactManifest(mdir)
+    StreamOps.appendManifestSegment(mdir, Seq("/d"))
+    val lines = mdir.listFiles().sortBy(_.getName).toSeq.flatMap(f =>
+      java.nio.file.Files.readAllLines(f.toPath).toArray.toSeq.map(_.toString))
+      .filter(_.nonEmpty)
+    assert(mdir.listFiles().length == 2, "one compacted + one appended segment")
+    assert(lines == Seq("/a", "/b", "/c", "/d"),
+      s"distinct union in append order, then the post-compaction append: $lines")
+  }
+
   test("stateful debounce stream equals the closed-log twin up to the watermark") {
     val debounceMs = 600L * 1000L
     val batch = PayloadOps.debounceEvents(spark, sfDir).collect()
