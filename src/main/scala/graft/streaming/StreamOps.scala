@@ -262,13 +262,23 @@ object StreamOps {
     * the per-trigger discovery term — O(1) across long append
     * histories instead of O(appends).
     *
-    * CONTRACT: compact only BETWEEN stream runs. The file stream's
-    * checkpoint tracks processed manifest files BY NAME, so a live
-    * checkpointed stream would see the compacted file as new and
-    * re-deliver every path; on a fresh start (or a reader that
-    * dedups by data-file path downstream) the compacted manifest
-    * enumerates each data file exactly once — StreamOpsSpec pins the
-    * exactly-once enumeration and output equality across compaction.
+    * Segment numbering is MONOTONIC ACROSS COMPACTION: the compacted
+    * output takes max(merged indices) + 1, computed BEFORE the merged
+    * inputs are deleted, and every later [[appendManifestSegment]]
+    * counts up from it. The file stream's checkpoint tracks processed
+    * manifest files BY NAME, so reusing a retired name (the round-12
+    * behavior: delete first, recount from the survivors → the
+    * compacted file and post-compaction appends restart at seg-00000)
+    * makes a stream resumed on an existing checkpoint treat NEW
+    * segments as already processed and silently SKIP them — data
+    * loss. With fresh names the resumed stream instead sees the
+    * compacted segment as new and RE-DELIVERS its (already processed)
+    * paths: duplicate delivery, the safe at-least-once failure mode —
+    * downstream point stores are keyed by (doc_id, chunk_index) and
+    * dedup idempotently. Write order is compact-then-delete for the
+    * same reason: a crash between the two leaves duplicates, never a
+    * gap. StreamOpsSpec pins exactly-once enumeration on a fresh
+    * start AND new-segment delivery on a resumed checkpoint.
     */
   def compactManifest(manifestDir: java.io.File): java.io.File = {
     val segs = Option(manifestDir.listFiles()).getOrElse(Array.empty)
@@ -280,8 +290,17 @@ object StreamOps {
         if (l.nonEmpty) { seen += l; () }
       }
     }
+    // next index from the inputs BEFORE deleting them — the high-water
+    // mark lives in the compacted segment's own name, so numbering
+    // never rewinds no matter how many compaction cycles run
+    val next = segs.map(_.getName)
+      .map(n => n.stripPrefix("seg-").stripSuffix(".txt").toInt)
+      .foldLeft(-1)(math.max) + 1
+    val out = new java.io.File(manifestDir, f"seg-$next%05d.txt")
+    java.nio.file.Files.writeString(out.toPath,
+      seen.mkString("", "\n", "\n"))
     segs.foreach(_.delete())
-    appendManifestSegment(manifestDir, seen.toSeq)
+    out
   }
 
   /** Reader half: stream the manifest segments (one per trigger), each
@@ -289,8 +308,22 @@ object StreamOps {
     * a parquet point sink; returns the accumulated points.
     */
   private def runManifestStore(spark: SparkSession, manifestDir: java.io.File,
-                               outDir: java.io.File): DataFrame = {
-    val q = spark.readStream
+                               outDir: java.io.File): DataFrame =
+    runManifestStoreResumable(spark, manifestDir, outDir, checkpointDir = None)
+
+  /** [[runManifestStore]] with an optional DURABLE checkpoint so a
+    * stream can be stopped and RESUMED against the same manifest —
+    * the deployment shape whose interplay with [[compactManifest]]'s
+    * segment naming the spec pins (a resumed checkpoint must deliver
+    * post-compaction appends; re-delivery of compacted paths is the
+    * documented at-least-once cost).
+    */
+  private[graft] def runManifestStoreResumable(spark: SparkSession,
+                                               manifestDir: java.io.File,
+                                               outDir: java.io.File,
+                                               checkpointDir: Option[java.io.File])
+      : DataFrame = {
+    val writer = spark.readStream
       .option("maxFilesPerTrigger", "1") // one manifest segment per trigger
       .text(manifestDir.getAbsolutePath)
       .writeStream
@@ -304,6 +337,9 @@ object StreamOps {
         ()
       }
       .trigger(Trigger.AvailableNow())
+    val q = checkpointDir
+      .map(c => writer.option("checkpointLocation", c.getAbsolutePath))
+      .getOrElse(writer)
       .start()
     q.awaitTermination()
     spark.read.parquet(outDir.getAbsolutePath)
