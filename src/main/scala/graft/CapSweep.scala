@@ -28,8 +28,9 @@ object CapSweep {
     val prio = docs.select(col("doc_id"),
       length(col("text")).cast("long").as("keep_rank")).localCheckpoint()
 
-    def pairsOf(w: Int) =
-      if (w <= 0) Dedup.dedupMinhashOf(docs) else Dedup.dedupMinhashCappedOf(docs, window = w)
+    def pairsOf(w: Int, passes: Int = 1) =
+      if (w <= 0) Dedup.dedupMinhashOf(docs)
+      else Dedup.dedupMinhashCappedOf(docs, window = w, passes = passes)
     def keepsOf(p: org.apache.spark.sql.DataFrame): Map[Long, Int] =
       Dedup.dedupClustersOf(p.select(col("a"), col("b")), prio)
         .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
@@ -42,9 +43,13 @@ object CapSweep {
     val kf = keepsOf(fullPairs)
     println(f"[capsweep] W=full  pairs=$fullN%8d  recovered=1.000  keep_agree=1.000  ($fullSec%.1fs)  docs_clustered=${kf.size}")
 
-    for (w <- Seq(1, 2, 4, 8, 16, 32)) {
+    // (W, passes) grid — the round-13 question: does a second
+    // independent band-seed pass at W=8 recover coverage faster than
+    // widening the window to 16/32 at equal-or-less runtime?
+    for ((w, passes) <- Seq((1, 1), (2, 1), (4, 1), (8, 1), (16, 1), (32, 1),
+                            (8, 2), (8, 3), (8, 4), (16, 2))) {
       val t1 = System.nanoTime()
-      val p = pairsOf(w).localCheckpoint()
+      val p = pairsOf(w, passes).localCheckpoint()
       val n = p.count()
       val sec = (System.nanoTime() - t1) / 1e9
       val kc = keepsOf(p)
@@ -57,7 +62,7 @@ object CapSweep {
       // the clustering consumer too)
       val coverage = if (kf.isEmpty) Double.NaN
         else common.size.toDouble / kf.size
-      println(f"[capsweep] W=$w%-4d  pairs=$n%8d  recovered=${n.toDouble / fullN}%.3f  " +
+      println(f"[capsweep] W=$w%-4d P=$passes%-2d pairs=$n%8d  recovered=${n.toDouble / fullN}%.3f  " +
         f"keep_agree=$agree%.3f  coverage=$coverage%.3f  ($sec%.1fs)")
     }
     spark.stop()

@@ -157,9 +157,15 @@ object OracleProps {
       val rows = 2 + rng.nextInt(3)
       val jt = Seq(0.5, 0.6, 0.7)(rng.nextInt(3))
       val w = 1 + rng.nextInt(4)
+      // round-13 axis: random pass count — the multi-pass per-pass
+      // coefficient tables, disjoint global band ids, and max-over-
+      // passes estimate all regenerate on BOTH sides
+      val np = 1 + rng.nextInt(3)
       dump(s"prop_dedup_minhash_capped_$i",
-        Dedup.dedupMinhashCappedOracleOf(docs, bands, rows, jt, window = w),
-        SparkEntry.dedupMinhashCappedOracleSqlFor(bands, rows, jt, window = w))
+        Dedup.dedupMinhashCappedOracleOf(docs, bands, rows, jt,
+          window = w, passes = np),
+        SparkEntry.dedupMinhashCappedOracleSqlFor(bands, rows, jt,
+          window = w, passes = np))
     }
 
     // ---- family 7: folder_scan — the largest gate cascade (round-11
@@ -211,6 +217,26 @@ object OracleProps {
         FolderScanOps.folderScanOf(entriesDf, baseline, cap, ignores),
         SparkEntry.folderScanOracleFor(entries, ignores, baseline, cap))
     }
+
+    // ---- family 8: the simhash-LSH position-table SQL (round 13) —
+    // random (tables, bitsPerTable, maxHamming) incl. the wide-key
+    // w=20/t=64 decade-3 point: the seeded position table, per-table
+    // sampled-bit key arithmetic, and hamming verify all regenerate
+    // from the SAME knobs on both sides (Dedup.simhashLshPositions is
+    // the shared source), so §6's "any (tables, bits) choice" claim is
+    // measured. Config 0 pins the wide key exactly; configs 1-2 draw
+    // from ranges bracketing the default 24×16.
+    for (i <- 0 until 3) {
+      val (tables, bits) =
+        if (i == 0) (64, 20)
+        else (4 + rng.nextInt(32), 6 + rng.nextInt(14))
+      val mh = Seq(3, 5, 7)(rng.nextInt(3))
+      dump(s"prop_dedup_simhash_lsh_$i",
+        Dedup.dedupSimhashLshOf(docs, maxHamming = mh,
+          tables = tables, bitsPerTable = bits),
+        SparkEntry.dedupSimhashLshSqlFor(tables, bits, mh))
+    }
+
 
     Verify.writeOracleJson(outDir, oracles.toMap)
     spark.stop()

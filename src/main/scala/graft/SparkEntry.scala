@@ -34,7 +34,7 @@ object SparkEntry {
     */
   val instruments: Set[String] = Set(
     "dedup_minhash_oracle", "dedup_simhash_oracle", "dedup_clusters",
-    "dedup_minhash_capped_oracle",
+    "dedup_minhash_capped_oracle", "dedup_minhash_capped_multi_oracle",
     "ann_lsh_cert", "ann_ivf_cert", "corpus_pipeline")
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -120,6 +120,8 @@ object SparkEntry {
     "dedup_minhash_oracle" -> ((s, d) => Dedup.dedupMinhashOracle(s, d)),
     "dedup_minhash_capped" -> ((s, d) => Dedup.dedupMinhashCapped(s, d)),
     "dedup_minhash_capped_oracle" -> ((s, d) => Dedup.dedupMinhashCappedOracle(s, d)),
+    "dedup_minhash_capped_multi" -> ((s, d) => Dedup.dedupMinhashCappedMulti(s, d)),
+    "dedup_minhash_capped_multi_oracle" -> ((s, d) => Dedup.dedupMinhashCappedMultiOracle(s, d)),
     "dedup_clusters"  -> ((s, d) => Dedup.dedupClusters(s, d)),
     "ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
@@ -1080,9 +1082,10 @@ object SparkEntry {
   private[graft] def dedupMinhashCappedOracleSqlFor(bands: Int = 12,
                                                     rowsPerBand: Int = 3,
                                                     jaccardThreshold: Double = 0.6,
-                                                    window: Int = 8): String =
+                                                    window: Int = 8,
+                                                    passes: Int = 1): String =
     "WITH " + dedupMinhashPairCtes("documents", bands, rowsPerBand,
-      jaccardThreshold, bucketWindow = window) + "\n" +
+      jaccardThreshold, bucketWindow = window, passes = passes) + "\n" +
       """SELECT a, b, round(jaccard, 4) AS jaccard
         |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
         |ORDER BY a, b""".stripMargin
@@ -1098,17 +1101,38 @@ object SparkEntry {
                                           bands: Int = 12,
                                           rowsPerBand: Int = 3,
                                           jaccardThreshold: Double = 0.6,
-                                          bucketWindow: Int = 0)
+                                          bucketWindow: Int = 0,
+                                          passes: Int = 1)
       : String = {
     val nSig = bands * rowsPerBand
     val est = jaccardThreshold - 0.15
-    val coeffs = graft.operators.Dedup.minhashCoeffs(nSig)
+    // multi-pass (passes > 1): the signature list CONCATENATES the
+    // per-pass coefficient tables (pass p reseeds at 7+p, mirroring
+    // Dedup.minhashCore) — pass p's positions are p·nSig+1 .. (p+1)·nSig
+    // and its bands the global ids p·bands .. (p+1)·bands−1, so the
+    // shared band-key arithmetic sig[band·rowsPerBand+r] addresses the
+    // right pass's values unchanged
+    val coeffs = (0 until passes).flatMap(p =>
+      graft.operators.Dedup.minhashCoeffs(nSig, 7L + p))
     val sigEntries = coeffs.map { case (a, b) =>
       s"  list_min(list_transform(sh, h -> (h % 2147483647 * $a + $b) % 2147483647))"
     }.mkString("[\n", ",\n", "\n] AS sig")
     val bandKey = (1 to rowsPerBand)
       .map(r => s"CAST(sig[b.band*$rowsPerBand+$r] AS VARCHAR)")
       .mkString(" || ':' || ")
+    // estimate cut: single-pass keeps the original agreement fraction;
+    // multi-pass takes the MAX over per-pass fractions (a pair survives
+    // iff at least one coefficient family estimates it above the cut —
+    // the same greatest() the Spark side computes, making the P-pass
+    // pair set a deterministic superset of P = 1)
+    def passMatch(p: Int): String =
+      s"len(list_filter(generate_series(${p * nSig + 1}, ${(p + 1) * nSig}), " +
+        s"i -> sa.sig[i] = sb.sig[i]))::DOUBLE / $nSig"
+    val estPredicate =
+      if (passes == 1)
+        s"len(list_filter(generate_series(1, $nSig), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / $nSig >= $est"
+      else
+        (0 until passes).map(passMatch).mkString("greatest(", ", ", s") >= $est")
     // Candidate policy, mirroring minhashCore's bucketWindow axis: the
     // complete per-bucket pair set (W = 0), or the W-window rank join —
     // row_number per (band, bucket) in doc_id order, each member paired
@@ -1146,12 +1170,12 @@ object SparkEntry {
        |sig AS MATERIALIZED (SELECT doc_id, $sigEntries FROM docs),
        |bandk AS MATERIALIZED (
        |  SELECT doc_id, b.band, $bandKey AS bucket
-       |  FROM sig, generate_series(0, ${bands - 1}) AS b(band)),
+       |  FROM sig, generate_series(0, ${passes * bands - 1}) AS b(band)),
        |$candCte,
        |est AS MATERIALIZED (
        |  SELECT c.a, c.b
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
-       |  WHERE len(list_filter(generate_series(1, $nSig), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / $nSig >= $est),
+       |  WHERE $estPredicate),
        |reppairs AS MATERIALIZED (
        |  SELECT e.a AS ra, e.b AS rb,
        |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
@@ -1239,8 +1263,20 @@ object SparkEntry {
     * pair dedup. The oracle finds exactly the pairs the LSH finds —
     * certifying both the key math and the recall-trading candidate set.
     */
-  private def dedupSimhashLshSql: String = {
-    val positions = graft.operators.Dedup.simhashLshPositions(24, 16)
+  private def dedupSimhashLshSql: String = dedupSimhashLshSqlFor()
+
+  /** Config-parametrized form (round 13) — OracleProps drives it with
+    * seeded random (tables, bitsPerTable, maxHamming) against
+    * `Dedup.dedupSimhashLshOf` with the same knobs, including the
+    * wide-key w=20/t=64 decade-3 point: the position TABLE itself
+    * (Dedup.simhashLshPositions, shared by both sides) regenerates per
+    * config, so the §6 claim that the generated-oracle machinery
+    * covers ANY (tables, bits) choice is tested, not asserted.
+    */
+  private[graft] def dedupSimhashLshSqlFor(tables: Int = 24,
+                                           bitsPerTable: Int = 16,
+                                           maxHamming: Int = 7): String = {
+    val positions = graft.operators.Dedup.simhashLshPositions(tables, bitsPerTable)
     val tableSelects = positions.zipWithIndex.map { case (pos, t) =>
       val key = pos.zipWithIndex.map { case (p, i) =>
         s"(((simhash >> $p) & 1) << $i)"
@@ -1254,7 +1290,7 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM keyed a JOIN keyed b
          |  ON a.tbl = b.tbl AND a.k = b.k AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
          |ORDER BY a, b""".stripMargin
   }
 
@@ -3980,6 +4016,7 @@ object SparkEntry {
     "dedup_simhash_lsh" -> dedupSimhashLshSql,
     "dedup_minhash_oracle" -> dedupMinhashOracleSql,
     "dedup_minhash_capped_oracle" -> dedupMinhashCappedOracleSql,
+    "dedup_minhash_capped_multi_oracle" -> dedupMinhashCappedOracleSqlFor(passes = 2),
     "dedup_clusters" -> dedupClustersSql,
     "ngram_jaccard" ->
       """WITH g AS (

@@ -124,12 +124,21 @@ object Dedup {
                            // the presentation-ordered global sort —
                            // ordered=false skips it (measured cost in
                            // SURVEY §6 round 12)
-                           ordered: Boolean = true): DataFrame =
+                           ordered: Boolean = true,
+                           // coverage knob (round 13): P independent
+                           // band-seed passes over the SAME shingle
+                           // scan; candidates are the union of the
+                           // per-pass W-window sets, the output a
+                           // deterministic superset of passes = 1
+                           // (see minhashCore's multi-pass note and
+                           // the measured coverage-vs-passes curve in
+                           // CAPSWEEP_r13.txt / SURVEY §4)
+                           passes: Int = 1): DataFrame =
     minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
       t => graft.GraftFunctions.shingleHashes(t),
       (sig, b, rpb) => hash((0 until rpb).map(r =>
         sig(b * rpb + r).cast("long")): _*),
-      bucketWindow = window, ordered = ordered)
+      bucketWindow = window, ordered = ordered, passes = passes)
 
   /** Registered decade-3 form of the capped family over the documents
     * table (W = 8, the measured one-box default). Rows-only posture,
@@ -142,6 +151,35 @@ object Dedup {
     dedupMinhashCappedOf(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       window = window)
+
+  /** Registered multi-pass form of the capped family (round 13):
+    * P = 2 independent band-seed passes at W = 8 — the measured
+    * coverage setting (CAPSWEEP_r13.txt) for a decade-3 run that wants
+    * the capped family's linear cost but more of the full family's
+    * clustered docs. Same rows-only posture as dedup_minhash_capped;
+    * the md5 multi twin below hard-oracles the multi-pass arithmetic
+    * (per-pass coefficient tables, disjoint global band ids, max-over-
+    * passes estimate) cross-engine.
+    */
+  def dedupMinhashCappedMulti(spark: SparkSession, dir: String,
+                              window: Int = 8, passes: Int = 2): DataFrame =
+    dedupMinhashCappedOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      window = window, passes = passes)
+
+  /** Oracle-portable md5-nibble twin of the multi-pass capped family —
+    * the capped md5 twin with `passes` independent seed-(7+p)
+    * coefficient families; its DuckDB oracle is GENERATED from the
+    * same per-pass tables and the same max-over-passes estimate
+    * (SparkEntry.dedupMinhashCappedOracleSqlFor(passes = P)), so the
+    * multi-pass candidate policy itself is certified cross-engine.
+    */
+  def dedupMinhashCappedMultiOracle(spark: SparkSession, dir: String,
+                                    window: Int = 8,
+                                    passes: Int = 2): DataFrame =
+    dedupMinhashCappedOracleOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      window = window, passes = passes)
 
   /** Oracle-portable md5-nibble twin of the W-capped family — the SAME
     * shared core as [[dedupMinhashOracleOf]] (md5-nibble shingle
@@ -163,14 +201,15 @@ object Dedup {
   def dedupMinhashCappedOracleOf(corpus: DataFrame,
                                  bands: Int = 12, rowsPerBand: Int = 3,
                                  jaccardThreshold: Double = 0.6,
-                                 window: Int = 8): DataFrame =
+                                 window: Int = 8,
+                                 passes: Int = 1): DataFrame =
     minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
       _ => expr(
         "array_sort(array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), " +
           "i -> CAST(conv(substr(md5(substr(text, i, 3)), 1, 15), 16, 10) AS BIGINT))))"),
       (sig, b, rpb) => concat_ws(":", (0 until rpb).map(r =>
         sig(b * rpb + r).cast("string")): _*),
-      bucketWindow = window)
+      bucketWindow = window, passes = passes)
 
   /** Oracle-portable twin of dedup_minhash (same recipe as
     * [[dedupSimhashOracle]], registered because it measured UNDER the
@@ -223,9 +262,9 @@ object Dedup {
     * both value families measure ~0.60 match at J 0.585 and recall
     * recovers (DedupSpec pins the recall floor).
     */
-  private[graft] def minhashCoeffs(n: Int): Array[(Long, Long)] = {
+  private[graft] def minhashCoeffs(n: Int, seed: Long = 7L): Array[(Long, Long)] = {
     val p = 2147483647L
-    val rng = new java.util.Random(7)
+    val rng = new java.util.Random(seed)
     Array.fill(n)((math.abs(rng.nextLong()) % (p - 1L) + 1L,
       math.abs(rng.nextLong()) % p))
   }
@@ -261,8 +300,8 @@ object Dedup {
                           shingleHashesOf: Column => Column,
                           bandBucket: (Column, Int, Int) => Column,
                           bucketWindow: Int = 0,
-                          ordered: Boolean = true): DataFrame = {
-    val coeffs = minhashCoeffs(bands * rowsPerBand)
+                          ordered: Boolean = true,
+                          passes: Int = 1): DataFrame = {
     // Exact-dup pre-pass — the reference's ingest-time content-hash
     // dedup (src/rust/common/src/hashing.rs) composed in front of the
     // near-dup path: shingling, signatures, banding, and verification
@@ -329,13 +368,32 @@ object Dedup {
     // longs differently), keeping bucket values — and thus the
     // candidate set — bit-identical to the original long-array
     // formulation.
+    // Multi-pass (passes > 1): P INDEPENDENT coefficient families —
+    // pass p reseeds the whole universal-hash table with seed 7+p, so
+    // its bands bucket on statistically independent signatures. For
+    // the W-capped policy this is the coverage knob (round-13 board
+    // #1): a doc whose only above-threshold partners sit further than
+    // W away in one pass's bucket order gets P independent chances at
+    // a nearer slot. Signature cost is the same arithmetic as one
+    // P·bands-band family (each pass traverses the SHARED hashed
+    // shingle array once), and the shingle scan — the dominant cost —
+    // is computed once for all passes; candidates are the exact UNION
+    // of the per-pass candidate sets (global band ids p·bands+bIdx
+    // keep passes' buckets disjoint).
+    val passCoeffs = (0 until passes).map(p =>
+      minhashCoeffs(bands * rowsPerBand, 7L + p))
+    val sigCols = passCoeffs.zipWithIndex.map { case (c, p) =>
+      graft.GraftFunctions.minhashSignature(
+        col("sh"), c.map(_._1), c.map(_._2)).as(s"sig_$p")
+    }
     val sig = docs
-      .withColumn("sig", graft.GraftFunctions.minhashSignature(
-        col("sh"), coeffs.map(_._1), coeffs.map(_._2)))
+      .select(col("doc_id") +: col("sh") +: sigCols: _*)
       .withColumn("bandsig", array(
-        (0 until bands).map { bIdx =>
-          struct(lit(bIdx).as("band"),
-            bandBucket(col("sig"), bIdx, rowsPerBand).as("bucket"))
+        (0 until passes).flatMap { p =>
+          (0 until bands).map { bIdx =>
+            struct(lit(p * bands + bIdx).as("band"),
+              bandBucket(col(s"sig_$p"), bIdx, rowsPerBand).as("bucket"))
+          }
         }: _*))
       .localCheckpoint() // signatures computed once, reused by 3 joins
 
@@ -407,12 +465,24 @@ object Dedup {
     // per candidate pair under interpreted lambda evaluation, and this
     // runs once per pair (millions at sf0.1; NativeExpressionPropSpec
     // pins equality).
+    // Multi-pass estimate = MAX over passes of the per-pass agreement
+    // fraction: a pair survives iff AT LEAST ONE coefficient family
+    // estimates it above the cut. This makes the P-pass output a
+    // deterministic SUPERSET of the single-pass output (DedupSpec pins
+    // it) — per-pass families are what the candidate came from, and
+    // averaging across families would let an unlucky family veto a
+    // pair another family correctly surfaced. Each per-pass count is
+    // the same allocation-free expression over that pass's own array.
+    val estCols = (0 until passes).map(p =>
+      graft.GraftFunctions.intArrayMatchCount(
+        col(s"sig_${p}_a"), col(s"sig_${p}_b")).cast("double") / nSig)
+    val estCol = if (passes == 1) estCols.head else greatest(estCols: _*)
     val estimated = candidates
-      .join(sig.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
-      .join(sig.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
-      .withColumn("est",
-        graft.GraftFunctions.intArrayMatchCount(col("sig_a"), col("sig_b"))
-          .cast("double") / nSig)
+      .join(sig.select(col("doc_id").as("a") +:
+        (0 until passes).map(p => col(s"sig_$p").as(s"sig_${p}_a")): _*), Seq("a"))
+      .join(sig.select(col("doc_id").as("b") +:
+        (0 until passes).map(p => col(s"sig_$p").as(s"sig_${p}_b")): _*), Seq("b"))
+      .withColumn("est", estCol)
       .filter(col("est") >= estThreshold)
       .select(col("a"), col("b"))
 

@@ -113,6 +113,38 @@ class DedupSpec extends SparkSpec {
       s"window=2 must bind on this corpus (capped ${capped.size} = full ${full.size})")
   }
 
+  test("multi-pass capped minhash: deterministic superset of single-pass, " +
+    "independent seeds recover coverage, twin families agree on the relation") {
+    // The passes knob (round 13): P independent band-seed passes over
+    // one shingle scan. Contract pins — (1) SUPERSET: every P=1 pair
+    // appears in the P=2 set with the same verified jaccard (candidates
+    // are the union of per-pass W-window sets and the estimate takes
+    // the max over passes, so adding a pass can only ADD pairs);
+    // (2) the pass actually RECOVERS pairs at a tight window on this
+    // corpus (a knob that never binds certifies nothing); (3) the md5
+    // twin — whose generated DuckDB oracle is the verify-gate
+    // certificate — satisfies the same relation, so the cross-engine
+    // certification covers the arithmetic this spec pins.
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val p1 = pairs(Dedup.dedupMinhashCappedOf(docs, window = 2))
+    val p2 = pairs(Dedup.dedupMinhashCappedOf(docs, window = 2, passes = 2))
+    for ((k, j) <- p1)
+      assert(p2.get(k).contains(j),
+        s"P=1 pair $k (j=$j) missing from the P=2 set — superset violated")
+    assert(p2.size > p1.size,
+      s"passes=2 must recover pairs at window=2 on this corpus " +
+        s"(P=2 ${p2.size} vs P=1 ${p1.size})")
+    p2.values.foreach(j => assert(j >= 0.6, "multi-pass pair below threshold"))
+    val q1 = pairs(Dedup.dedupMinhashCappedOracleOf(docs, window = 2))
+    val q2 = pairs(Dedup.dedupMinhashCappedOracleOf(docs, window = 2, passes = 2))
+    for ((k, j) <- q1)
+      assert(q2.get(k).contains(j),
+        s"md5 twin: P=1 pair $k missing from the P=2 set — superset violated")
+    assert(q2.size >= q1.size)
+  }
+
   test("dedup_minhash finds high-jaccard pairs and verifies them exactly") {
     val rows = Dedup.dedupMinhash(spark, sfDir).collect()
     assert(rows.nonEmpty, "expected near-dup pairs in this self-similar corpus")
