@@ -133,12 +133,13 @@ object Recall {
         () => VectorSearch.ivfCandidates(spark, sfDir,
           probeMax = nProbes.toLong, numCentroids = nc, nprobe = np,
           replicas = r, kmeansIters = it, kmeansInit = init))
-    def lsh(name: String, tables: Int, bits: Int) =
+    def lsh(name: String, tables: Int, bits: Int, mp: Int = 0) =
       (s"ann_lsh $name",
         () => VectorSearch.annLsh(spark, sfDir, probeMax = nProbes.toLong,
-          tables = tables, bits = bits),
+          tables = tables, bits = bits, probeHamming = mp),
         () => VectorSearch.lshCandidates(spark, sfDir,
-          probeMax = nProbes.toLong, tables = tables, bits = bits))
+          probeMax = nProbes.toLong, tables = tables, bits = bits,
+          probeHamming = mp))
     // LSH scale rule under test (round-12 board #6): expected bucket
     // occupancy is n/2^bits, so holding the per-table scanned fraction
     // needs bits ~ log2(n) — bits-scaled = 4 + log2(scale) vs the
@@ -161,7 +162,18 @@ object Recall {
           (500 * math.sqrt(scale)).toInt, (18 * math.sqrt(scale)).toInt, it = 5),
         lsh("unscaled t=16 b=4", 16, 4),
         lsh(s"bits-scaled t=16 b=$bScaled", 16, bScaled),
-        lsh(s"bits-scaled t=32 b=$bScaled", 32, bScaled))
+        lsh(s"bits-scaled t=32 b=$bScaled", 32, bScaled),
+        // multi-probe (round 13): Hamming-1/2 neighbor buckets on the
+        // probe side. Design rule for the H2 grid: per-table probed
+        // fraction is (1 + b + C(b,2))/2^b, so holding scan ≈ 4% at
+        // t=8 needs b ≈ log2(n) + 7 — multiprobe exists precisely to
+        // let bits run PAST log2(n) (tiny buckets) while the Hamming
+        // ball recovers the collisions single-probe loses there.
+        lsh(s"multiprobe t=16 b=$bScaled h1", 16, bScaled, mp = 1),
+        lsh(s"multiprobe t=8 b=${bScaled + 3} h2", 8, bScaled + 3, mp = 2),
+        lsh(s"multiprobe t=8 b=${bScaled + 7} h2", 8, bScaled + 7, mp = 2),
+        lsh(s"multiprobe t=16 b=${bScaled + 7} h2", 16, bScaled + 7, mp = 2),
+        lsh(s"multiprobe t=8 b=${bScaled + 8} h2", 8, bScaled + 8, mp = 2))
     else Seq(
       lsh("tables=4", 4, 4),
       lsh("tables=8", 8, 4),
@@ -170,7 +182,10 @@ object Recall {
       ivf("k=500 np=12 it=5", 500, 12, it = 5),
       ivf("k=500 np=18 it=5", 500, 18, it = 5),
       ivf("k=500 np=20 it=5", 500, 20, it = 5))
-    sweeps.foreach { case (name, mk, cand) =>
+    // iterate on one family without re-fitting the other's quantizers
+    // (the ×100 IVF rows re-run a k=5000 k-means fit each)
+    val only = sys.env.get("SPARK_GRAFT_RECALL_ONLY") // substring filter
+    sweeps.filter(s => only.forall(s._1.contains)).foreach { case (name, mk, cand) =>
       val t0 = System.nanoTime()
       val got = sets(mk())
       val sec = (System.nanoTime() - t0) / 1e9

@@ -150,8 +150,10 @@ object VectorSearch {
     * the honest tradeoff of a coarse quantizer without residual codes).
     */
   def annLsh(spark: SparkSession, dir: String, probeMax: Long = 5L, k: Int = 10,
-             tables: Int = 16, bits: Int = 4, dim: Int = 64): DataFrame = {
-    val candidates = lshCandidates(spark, dir, probeMax, tables, bits, dim)
+             tables: Int = 16, bits: Int = 4, dim: Int = 64,
+             probeHamming: Int = 0): DataFrame = {
+    val candidates = lshCandidates(spark, dir, probeMax, tables, bits, dim,
+      probeHamming)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id"))
     candidates
       .withColumn("score", graft.GraftFunctions.cosine(col("embedding"), col("p_emb")))
@@ -169,7 +171,20 @@ object VectorSearch {
     * query's plan is unchanged.
     */
   def lshCandidates(spark: SparkSession, dir: String, probeMax: Long = 5L,
-                    tables: Int = 16, bits: Int = 4, dim: Int = 64): DataFrame = {
+                    tables: Int = 16, bits: Int = 4, dim: Int = 64,
+                    // MULTI-PROBE (round 13, the literature's standard
+                    // recall fix for hyperplane LSH at scale — Lv et al.
+                    // VLDB '07): probe the query's own bucket plus every
+                    // bucket within Hamming distance `probeHamming` of
+                    // it in EACH table. Only the PROBE side fans out
+                    // (1 + b + C(b,2) keys per table at distance 2) —
+                    // the corpus side's layout and shuffle volume are
+                    // untouched, so at 100 TB the cost is paid on the
+                    // handful of query rows, never the corpus. This is
+                    // what lets bits scale with log2(n) (small buckets)
+                    // without the single-probe recall collapse measured
+                    // in RECALL_x100_r12.txt.
+                    probeHamming: Int = 0): DataFrame = {
     val planes = hyperplanes(tables, bits, dim)
     val emb = Tables.embeddings(spark, dir)
 
@@ -181,9 +196,23 @@ object VectorSearch {
 
     val corpus = withBuckets(emb)
       .select(col("vec_id"), col("embedding"), posexplode(col("buckets")).as(Seq("tbl", "bkt")))
-    val probes = withBuckets(emb.filter(col("vec_id") < probeMax))
+    val probesBase = withBuckets(emb.filter(col("vec_id") < probeMax))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         posexplode(col("buckets")).as(Seq("tbl", "bkt")))
+    // XOR masks enumerating the Hamming ball around each probe's
+    // bucket key, precomputed driver-side (bits ≤ ~20, so ≤ ~211
+    // masks at distance 2); the explode replaces each probe-table row
+    // with its neighbor-key rows
+    val masks: Seq[Long] = Seq(0L) ++
+      (if (probeHamming >= 1) (0 until bits).map(j => 1L << j) else Nil) ++
+      (if (probeHamming >= 2)
+        for { i <- 0 until bits; j <- (i + 1) until bits }
+          yield (1L << i) | (1L << j)
+      else Nil)
+    val probes =
+      if (probeHamming <= 0) probesBase
+      else probesBase.withColumn("bkt",
+        explode(array(masks.map(m => col("bkt").bitwiseXOR(lit(m))): _*)))
 
     corpus
       .join(probes, Seq("tbl", "bkt"))
