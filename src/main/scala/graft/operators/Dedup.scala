@@ -109,9 +109,14 @@ object Dedup {
     * COVERAGE — docs whose only above-threshold partners sit further
     * than W away in bucket doc_id order are silently KEPT (never
     * wrongly dropped): 0.90 of the full family's clustered docs at
-    * W=8, 0.95 at W=32 (~2× runtime, still linear). Consumers that
-    * need the complete pair enumeration use [[dedupMinhashOf]] and pay
-    * its quadratic intra-cluster cost.
+    * W=8, 0.95 at W=32 (~2× runtime, still linear). COVERAGE LEVERS,
+    * measured head-to-head in CAPSWEEP_r13.txt: widening W beats
+    * adding `passes` 3-8× on runtime at equal coverage at both
+    * measured decades (×10: W=32 → 0.956 @ 19.8 s vs 3 passes of W=8
+    * → 0.955 @ 92.5 s), so the settings ladder is W=8 (0.90) → W=32
+    * (0.95) → compose passes only past W's ~0.956 plateau (W=16 P=2 →
+    * 0.965). Consumers that need the complete pair enumeration use
+    * [[dedupMinhashOf]] and pay its quadratic intra-cluster cost.
     */
   def dedupMinhashCappedOf(corpus: DataFrame,
                            bands: Int = 12, rowsPerBand: Int = 3,
