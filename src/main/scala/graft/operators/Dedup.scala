@@ -645,12 +645,34 @@ object Dedup {
       pos.zipWithIndex.map { case (p, i) =>
         shiftleft(shiftright(col("simhash"), p).bitwiseAND(lit(1L)), i)
       }.reduce(_ + _)
-    val keyed = sims.select(col("doc_id"), col("simhash"),
-      explode(array(positions.zipWithIndex.map { case (pos, t) =>
-        struct(lit(t).as("tbl"), keyOf(pos).as("k"))
-      }: _*)).as("tk"))
-      .select(col("doc_id"), col("simhash"),
-        col("tk.tbl").as("tbl"), col("tk.k").as("k"))
+    def keyedOver(src: DataFrame, tblPos: Seq[(Array[Int], Int)]): DataFrame =
+      src.select(col("doc_id"), col("simhash"),
+        explode(array(tblPos.map { case (pos, t) =>
+          struct(lit(t).as("tbl"), keyOf(pos).as("k"))
+        }: _*)).as("tk"))
+        .select(col("doc_id"), col("simhash"),
+          col("tk.tbl").as("tbl"), col("tk.k").as("k"))
+    // janino's 64KB method limit: the keyed projection unrolls
+    // tables·bitsPerTable shift/mask terms, and a wide-key config
+    // (w=20/t=64 = 1,280 terms, the decade-3 knob) pushed the
+    // whole-stage-codegen method past it — Spark silently fell back to
+    // interpreted evaluation (round-13 board #4). Past a term budget
+    // (384 = the default 24×16, measured compiling fine) the explode
+    // splits into per-batch projections UNIONed back together over a
+    // checkpointed sims (so the md5 token fold runs once, not once per
+    // batch); each batch's generated method stays small. The default
+    // config keeps its original single-projection plan bit-for-bit.
+    val termBudget = 384
+    val keyed =
+      if (tables * bitsPerTable <= termBudget)
+        keyedOver(sims, positions.toSeq.zipWithIndex)
+      else {
+        val simsC = sims.localCheckpoint()
+        positions.toSeq.zipWithIndex
+          .grouped(math.max(1, termBudget / bitsPerTable))
+          .map(keyedOver(simsC, _))
+          .reduce(_ unionByName _)
+      }
     val l = keyed.select(col("tbl"), col("k"), col("doc_id").as("a"), col("simhash").as("sh_a"))
     val r = keyed.select(col("tbl"), col("k"), col("doc_id").as("b"), col("simhash").as("sh_b"))
     // hamming verify before the pair dedup, as in simhashPairs

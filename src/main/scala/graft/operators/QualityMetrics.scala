@@ -108,6 +108,13 @@ object QualityMetrics {
       .select(col("qid"), col("e_norm")).distinct()
       .withColumn("e_is_glob", isGlob(col("e_norm")))
       .withColumn("e_rx", when(col("e_is_glob"), globToRegex(col("e_norm"))))
+      // Materialized (gold sets are ≤ a few rows per query by contract):
+      // e_rx stacks globToRegex's 8 regexp_replaces onto normalizePath's
+      // CASE tower, and inlining THAT into the broadcast join's match
+      // CASE was half of the janino 64KB blow-up (see corpusRanked's
+      // barrier note) — past the barrier the join compares plain
+      // columns.
+      .localCheckpoint()
     val nExp = exp.groupBy(col("qid")).agg(count(lit(1)).as("n_expected"))
 
     // Raw paths: top-k FIRST, then normalize, then drop empties —
@@ -225,6 +232,16 @@ object QualityMetrics {
         element_at(array(names.map(lit): _*),
           (pmod(col("doc_id"), lit(7)) + 1).cast("int"))))
       .select(col("qid"), col("rank"), col("raw_path"))
+      // Materialized (≤ 480 rows by the rank cap — bounded at ANY SF):
+      // downstream consumers re-derive expectations from this frame and
+      // normalize/glob-compile the path column, and without the barrier
+      // Catalyst inlines this projection's concat/element_at tower into
+      // every one of those expressions — the composed search_quality /
+      // quality_verdict projections grew past janino's 64KB method
+      // limit and silently dropped their stages to interpreted
+      // evaluation (round-13 board #4; the whole-stage-codegen
+      // fallback observed in every sbt/verify run).
+      .localCheckpoint()
   }
 
   /** The gold expectations, tuned so all three verdict grades appear:
