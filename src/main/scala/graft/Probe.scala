@@ -27,6 +27,17 @@ object Probe {
       // dedup_minhash_capped / corpus_pipeline_fast_capped were probe
       // targets in round 11; they are REGISTERED queries now (round 12)
       // and resolve through SparkEntry.queries below.
+      case "dedup_minhash_capped_b24" =>
+        // diagnostic twin for the multi-pass cost anomaly (round 13):
+        // SAME total band count as passes=2 (24 bands, one coefficient
+        // family, one signature array) — if this costs like passes=2,
+        // the band-count machinery is the driver; if it costs ~2× W=8,
+        // the per-pass signature columns / estimate payload are.
+        (s, d) => graft.operators.Dedup.dedupMinhashCappedOf(
+          graft.Tables.documents(s, d)
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text")),
+          bands = 24)
       case "dedup_minhash_capped_nosort" =>
         // pair-SINK form: the registered query minus the final
         // presentation orderBy — isolates the global-sort term at
