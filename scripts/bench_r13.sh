@@ -35,3 +35,13 @@ for s in $steps; do case $s in
      SPARK_GRAFT_BENCH_REPEATS=1 SPARK_GRAFT_BENCH_ONLY="$SCALESET" ;;
 esac; done
 echo "== $(date +%H:%M:%S) done =="
+# Steps 4-5 (post band-buckets JIT fix + SHUFFLE_HASH rank-join fix):
+# refreshed capped/multi scale points superseding the step-2/3 rows.
+for s in ${*:-}; do case $s in
+4) run BENCH_scale_x10b_r13.json 24g \
+     SPARK_GRAFT_SF_DIR=/root/repo/target/synth-corpus-x10 SPARK_GRAFT_CPUS=32 \
+     SPARK_GRAFT_BENCH_REPEATS=2 SPARK_GRAFT_BENCH_ONLY="dedup_minhash_capped,dedup_minhash_capped_multi,corpus_pipeline_fast_capped" ;;
+5) run BENCH_scale_x100b_r13.json 60g \
+     SPARK_GRAFT_SF_DIR=/root/repo/target/synth-corpus-x100 SPARK_GRAFT_CPUS=32 \
+     SPARK_GRAFT_BENCH_REPEATS=1 SPARK_GRAFT_BENCH_ONLY="dedup_minhash_capped,dedup_minhash_capped_multi,corpus_pipeline_fast_capped" ;;
+esac; done

@@ -150,6 +150,18 @@ object GraftFunctions {
       org.apache.spark.sql.graft.MinHashSignature(
         org.apache.spark.sql.graft.Bridge.expression(sh), a, b))
 
+  /** All `bands` LSH band-bucket keys of a MinHash signature in one
+    * constant-size loop — position b equals `hash(sig(b*rpb).cast(
+    * "long"), …)` (murmur3 fold, seed 42). Exists because the composed
+    * form's generated code grows with bands × rowsPerBand and crosses
+    * HotSpot's 8 KB JIT limit at scale-knob band counts (see
+    * MinHashBandBuckets' scaladoc). Column-API only.
+    */
+  def minhashBandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.MinHashBandBuckets(
+        org.apache.spark.sql.graft.Bridge.expression(sig), bands, rowsPerBand))
+
   /** Sorted distinct xxhash64 values of all character 3-grams in one
     * byte-level pass — equals `array_sort(array_distinct(transform(
     * sequence(1, greatest(length(t) - 2, 1)), i -> xxhash64(substr(t,

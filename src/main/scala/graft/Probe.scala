@@ -27,6 +27,33 @@ object Probe {
       // dedup_minhash_capped / corpus_pipeline_fast_capped were probe
       // targets in round 11; they are REGISTERED queries now (round 12)
       // and resolve through SparkEntry.queries below.
+      case "sig_inline_check" =>
+        // diagnostic (round 13): does the optimizer INLINE the
+        // signature expression into every bandsig array-index
+        // reference? Prints the optimized plan of the sig projection —
+        // graft_minhash_signature should appear ONCE.
+        (s, d) => {
+          import org.apache.spark.sql.functions._
+          val bands = sys.env.getOrElse("SPARK_GRAFT_SIG_BANDS", "24").toInt
+          val docs = graft.Tables.documents(s, d)
+            .select(col("doc_id"), graft.GraftFunctions.shingleHashes(col("text")).as("sh"))
+            .filter(size(col("sh")) > 0)
+          val c = graft.operators.Dedup.minhashCoeffs(bands * 3)
+          val sig = docs
+            .select(col("doc_id"), col("sh"),
+              graft.GraftFunctions.minhashSignature(
+                col("sh"), c.map(_._1), c.map(_._2)).as("sig_0"))
+            .withColumn("bandsig", array((0 until bands).map { bIdx =>
+              struct(lit(bIdx).as("band"),
+                hash((0 until 3).map(r =>
+                  col("sig_0")(bIdx * 3 + r).cast("long")): _*).as("bucket"))
+            }: _*))
+          val n = sig.queryExecution.optimizedPlan.toString
+            .sliding("graft_minhash_signature".length)
+            .count(_ == "graft_minhash_signature")
+          System.err.println(s"[siginline] bands=$bands graft_minhash_signature occurrences in optimized plan: $n")
+          sig.select(col("doc_id"))
+        }
       case "dedup_minhash_capped_b24" =>
         // diagnostic twin for the multi-pass cost anomaly (round 13):
         // SAME total band count as passes=2 (24 bands, one coefficient
@@ -70,14 +97,24 @@ object Probe {
           maxHamming = 7, tables = 64, bitsPerTable = 20)
       case _ => SparkEntry.queries(name)
     }
+    var lastQe: org.apache.spark.sql.execution.QueryExecution = null
     for (round <- 1 to 2) {
       val t0 = System.nanoTime()
       // toRdd forcing, as in Bench: Dataset.count() lets the optimizer
       // prune columns and eliminate verdict left-joins entirely.
-      val n = fn(spark, sfDir).queryExecution.toRdd.count()
+      lastQe = fn(spark, sfDir).queryExecution
+      val n = lastQe.toRdd.count()
       System.err.println(f"[probe] $name round $round: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     }
-    System.err.println(fn(spark, sfDir).queryExecution.executedPlan.toString.take(6000))
+    // SPARK_GRAFT_PROBE_FINAL_PLAN=1: print the POST-EXECUTION plan of
+    // the last round — AQE has resolved its query stages by then, so
+    // runtime join-strategy choices (broadcast vs SMJ flips, coalesced
+    // reads, skew splits) are visible, unlike the pre-execution print
+    // below which still shows AdaptiveSparkPlan placeholders.
+    if (sys.env.get("SPARK_GRAFT_PROBE_FINAL_PLAN").contains("1"))
+      System.err.println(lastQe.executedPlan.toString.take(40000))
+    else
+      System.err.println(fn(spark, sfDir).queryExecution.executedPlan.toString.take(6000))
     spark.stop()
   }
 }

@@ -78,8 +78,8 @@ object Dedup {
                      jaccardThreshold: Double = 0.6): DataFrame =
     minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
       t => graft.GraftFunctions.shingleHashes(t),
-      (sig, b, rpb) => hash((0 until rpb).map(r =>
-        sig(b * rpb + r).cast("long")): _*))
+      (sigName, nb, rpb) =>
+        graft.GraftFunctions.minhashBandBuckets(col(sigName), nb, rpb))
 
   /** Bucket-window-capped fast family (see minhashCore's bucketWindow
     * note): candidates LINEAR in bucket size, for the clustering
@@ -110,13 +110,18 @@ object Dedup {
     * than W away in bucket doc_id order are silently KEPT (never
     * wrongly dropped): 0.90 of the full family's clustered docs at
     * W=8, 0.95 at W=32 (~2× runtime, still linear). COVERAGE LEVERS,
-    * measured head-to-head in CAPSWEEP_r13.txt: widening W beats
-    * adding `passes` 3-8× on runtime at equal coverage at both
-    * measured decades (×10: W=32 → 0.956 @ 19.8 s vs 3 passes of W=8
-    * → 0.955 @ 92.5 s), so the settings ladder is W=8 (0.90) → W=32
-    * (0.95) → compose passes only past W's ~0.956 plateau (W=16 P=2 →
-    * 0.965). Consumers that need the complete pair enumeration use
-    * [[dedupMinhashOf]] and pay its quadratic intra-cluster cost.
+    * measured head-to-head in CAPSWEEP_r13.txt (post the band-buckets
+    * JIT fix — the first grid measured an interpreter artifact):
+    * MULTI-PASS WINS — at equal coverage ~0.955, W=8 passes=3 emits
+    * 40 % fewer verified pairs than W=32 (1.48M vs 2.46M at ×10,
+    * deterministic — pairs are what the downstream clustering
+    * shuffles) at half-or-par wall, because a new pass re-draws
+    * bucket composition while a wider window spends candidates inside
+    * the same doc_id ordering. Settings ladder: W=8 → 0.90, +passes=2
+    * → 0.94, +passes=3 → 0.955 (preferred over W=32), passes=4 or
+    * W=16 passes=2 → 0.965+. Consumers that need the complete pair
+    * enumeration use [[dedupMinhashOf]] and pay its quadratic
+    * intra-cluster cost.
     */
   def dedupMinhashCappedOf(corpus: DataFrame,
                            bands: Int = 12, rowsPerBand: Int = 3,
@@ -141,8 +146,8 @@ object Dedup {
                            passes: Int = 1): DataFrame =
     minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
       t => graft.GraftFunctions.shingleHashes(t),
-      (sig, b, rpb) => hash((0 until rpb).map(r =>
-        sig(b * rpb + r).cast("long")): _*),
+      (sigName, nb, rpb) =>
+        graft.GraftFunctions.minhashBandBuckets(col(sigName), nb, rpb),
       bucketWindow = window, ordered = ordered, passes = passes)
 
   /** Registered decade-3 form of the capped family over the documents
@@ -212,8 +217,13 @@ object Dedup {
       _ => expr(
         "array_sort(array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), " +
           "i -> CAST(conv(substr(md5(substr(text, i, 3)), 1, 15), 16, 10) AS BIGINT))))"),
-      (sig, b, rpb) => concat_ws(":", (0 until rpb).map(r =>
-        sig(b * rpb + r).cast("string")): _*),
+      // one HOF lambda regardless of band count (constant generated-code
+      // size; value-identical to the per-band concat_ws unroll)
+      (sigName, nb, rpb) => expr(
+        s"transform(sequence(0, ${nb - 1}), b -> concat_ws(':', " +
+          (0 until rpb).map(r =>
+            s"cast(element_at($sigName, b*$rpb+$r+1) as string)")
+            .mkString(", ") + "))"),
       bucketWindow = window, passes = passes)
 
   /** Oracle-portable twin of dedup_minhash (same recipe as
@@ -248,8 +258,13 @@ object Dedup {
       _ => expr(
         "array_sort(array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), " +
           "i -> CAST(conv(substr(md5(substr(text, i, 3)), 1, 15), 16, 10) AS BIGINT))))"),
-      (sig, b, rpb) => concat_ws(":", (0 until rpb).map(r =>
-        sig(b * rpb + r).cast("string")): _*))
+      // one HOF lambda regardless of band count (constant generated-code
+      // size; value-identical to the per-band concat_ws unroll)
+      (sigName, nb, rpb) => expr(
+        s"transform(sequence(0, ${nb - 1}), b -> concat_ws(':', " +
+          (0 until rpb).map(r =>
+            s"cast(element_at($sigName, b*$rpb+$r+1) as string)")
+            .mkString(", ") + "))"))
 
   /** Universal-hash coefficient table shared by both minhash variants
     * AND the generated DuckDB oracle — seed 7, a ∈ [1, p−1],
@@ -303,7 +318,13 @@ object Dedup {
                           bands: Int, rowsPerBand: Int,
                           jaccardThreshold: Double,
                           shingleHashesOf: Column => Column,
-                          bandBucket: (Column, Int, Int) => Column,
+                          // per-pass band-bucket ARRAY generator:
+                          // (signature column name, bands, rowsPerBand)
+                          // → array of `bands` bucket keys, position =
+                          // band index within the pass. MUST generate
+                          // constant-size code in `bands` (see the
+                          // buckets note below).
+                          bandBuckets: (String, Int, Int) => Column,
                           bucketWindow: Int = 0,
                           ordered: Boolean = true,
                           passes: Int = 1): DataFrame = {
@@ -391,15 +412,21 @@ object Dedup {
       graft.GraftFunctions.minhashSignature(
         col("sh"), c.map(_._1), c.map(_._2)).as(s"sig_$p")
     }
+    // Per-pass bucket ARRAYS (round 13) instead of an unrolled array
+    // of (band, bucket) structs: the unrolled form inlines
+    // bands × rowsPerBand murmur3 calls into ONE generated method,
+    // which crosses HotSpot's 8 KB DontCompileHugeMethods limit at
+    // scale-knob band counts (bands = 24, or any passes > 1) and drops
+    // the whole signature projection to the bytecode interpreter —
+    // measured 46× the stage CPU at ×10 (§6 round-13 forensic). The
+    // bucket arrays come from constant-code-size generators (the
+    // native loop for the murmur3 family, one HOF lambda for the
+    // portable tuple family), and flatten-concatenation makes the
+    // posexplode position the GLOBAL band id p·bands + bIdx directly.
     val sig = docs
       .select(col("doc_id") +: col("sh") +: sigCols: _*)
-      .withColumn("bandsig", array(
-        (0 until passes).flatMap { p =>
-          (0 until bands).map { bIdx =>
-            struct(lit(p * bands + bIdx).as("band"),
-              bandBucket(col(s"sig_$p"), bIdx, rowsPerBand).as("bucket"))
-          }
-        }: _*))
+      .withColumn("buckets", flatten(array(
+        (0 until passes).map(p => bandBuckets(s"sig_$p", bands, rowsPerBand)): _*)))
       .localCheckpoint() // signatures computed once, reused by 3 joins
 
     // Candidate generation shuffles ONLY (band, bucket, id); signature
@@ -408,8 +435,8 @@ object Dedup {
     // while it fits, and falls back to a shuffle join beyond that. A
     // forced broadcast here would ship the whole corpus's shingle
     // table to every executor at 100 TB.
-    val exploded = sig.select(col("doc_id"), explode(col("bandsig")).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bucket").as("bucket"))
+    val exploded = sig.select(col("doc_id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
 
     // The bucket self-join is skew-SALTED: a near-dup cluster of k docs
     // puts all k members in one (band, bucket) key, and the k² pair
@@ -442,9 +469,22 @@ object Dedup {
           .withColumn("d", explode(sequence(lit(1), lit(bucketWindow))))
           .select(col("band"), col("bucket"), col("doc_id").as("a"),
             (col("r") + col("d")).as("r2"))
+        // SHUFFLE_HASH hint, build on the un-exploded side (round 13):
+        // without it the planner BROADCASTS lft — its size estimate
+        // doesn't price the W-explode, but lft is a corpus-scale frame
+        // (W·bands·docs rows; 576M entries at ×100) whose hash
+        // relation is then built single-threaded on the driver —
+        // measured 8-10× the whole query's wall once bands double
+        // (§6 round-13 forensic), and a driver OOM at real cluster
+        // scale. The §4 bounded-by-construction broadcast rule says
+        // neither side of this join may ever broadcast; the hinted
+        // shuffled-hash join exchanges both sides on (band, bucket,
+        // r2) — skinny int/long rows — and builds W× less data per
+        // task, in parallel.
         lft.join(
             ranked.select(col("band"), col("bucket"),
-              col("doc_id").as("b"), col("r").as("r2")),
+              col("doc_id").as("b"), col("r").as("r2"))
+              .hint("shuffle_hash"),
             Seq("band", "bucket", "r2"))
           .select(least(col("a"), col("b")).as("a"),
             greatest(col("a"), col("b")).as("b"))

@@ -461,6 +461,8 @@ class PlanSpec extends SparkSpec {
       "graft_simhash_bits" -> F.simhashBits(expr("array(3L, -7L, 3L)")),
       "graft_minhash_signature" -> F.minhashSignature(
         expr("array(10L, 20L, 30L)"), Array(7L, 11L), Array(3L, 5L)),
+      "graft_minhash_band_buckets" -> F.minhashBandBuckets(
+        expr("array(10, 20, 30, 40)"), 2, 2),
       "graft_shingle_hashes" -> F.shingleHashes(lit("hello world")),
       "graft_gram_counts" -> F.gramCounts(lit("hello world")),
       "graft_int_array_match_count" -> F.intArrayMatchCount(
@@ -484,9 +486,10 @@ class PlanSpec extends SparkSpec {
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12, "cosine of identical vectors")
     assert(String.valueOf(row.get(1)) == "2", "sorted intersect count")
     assert(row.getSeq[Any](4).length == 2, "minhash signature positions")
-    assert(row.getSeq[Any](5).nonEmpty, "shingle hashes of 'hello world'")
-    assert(String.valueOf(row.get(7)) == "2", "int array match count")
-    assert(row.getSeq[String](8) == Seq("alpha", "beta"), "mmr selects both tags")
+    assert(row.getSeq[Any](5).length == 2, "band buckets, one per band")
+    assert(row.getSeq[Any](6).nonEmpty, "shingle hashes of 'hello world'")
+    assert(String.valueOf(row.get(8)) == "2", "int array match count")
+    assert(row.getSeq[String](9) == Seq("alpha", "beta"), "mmr selects both tags")
   }
 
   // Host-coverage half of the codegen lock: the seven expressions that

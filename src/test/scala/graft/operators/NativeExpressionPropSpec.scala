@@ -89,6 +89,27 @@ class NativeExpressionPropSpec extends SparkSpec {
     assert(e == c)
   }
 
+  test("minhash band buckets equal the composed per-band murmur3 unroll on random signatures") {
+    // The constant-code-size banding expression (round 13 — the
+    // composed unroll crossed HotSpot's 8KB JIT limit at scale-knob
+    // band counts) must stay bit-identical to hash(sig(i).cast(long)…)
+    // per band, across random (bands, rowsPerBand) shapes.
+    for ((bands, rpb) <- Seq((12, 3), (24, 3), (5, 2), (16, 4), (1, 1))) {
+      val sigGen = Gen.listOfN(bands * rpb, Arbitrary.arbitrary[Int])
+      val rows = sample(sigGen, 120).zipWithIndex.map { case (sig, i) => (i.toLong, sig) }
+      val df = rows.toDF("id", "sig")
+      val composed = array((0 until bands).map { b =>
+        hash((0 until rpb).map(r => col("sig")(b * rpb + r).cast("long")): _*)
+      }: _*)
+      val bad = df
+        .withColumn("n", GraftFunctions.minhashBandBuckets(col("sig"), bands, rpb))
+        .withColumn("c", composed)
+        .filter(col("n") =!= col("c"))
+        .collect()
+      assert(bad.isEmpty, s"bands=$bands rpb=$rpb first: ${bad.headOption}")
+    }
+  }
+
   test("sorted intersect count equals size(array_intersect) on random sorted sets") {
     val setGen = for {
       n <- Gen.chooseNum(0, 50)
