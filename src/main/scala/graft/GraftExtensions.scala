@@ -156,6 +156,12 @@ object GraftFunctions {
     * form's generated code grows with bands × rowsPerBand and crosses
     * HotSpot's 8 KB JIT limit at scale-knob band counts (see
     * MinHashBandBuckets' scaladoc). Column-API only.
+    *
+    * Precondition: `sig` must carry at least bands × rowsPerBand
+    * NON-NULL ints (minhashSignature's output always does). A shorter
+    * array throws IllegalArgumentException — unlike the composed
+    * GetArrayItem form's silent null — in both eval paths; null
+    * elements are undefined behavior and must not be passed.
     */
   def minhashBandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(

@@ -95,6 +95,49 @@ object Probe {
             .select(org.apache.spark.sql.functions.col("doc_id"),
               org.apache.spark.sql.functions.col("text")),
           maxHamming = 7, tables = 64, bitsPerTable = 20)
+      case "ann_lsh_multiprobe_hits" =>
+        // calibration dump for annLshMultiprobeCert's bound: the
+        // per-probe hit counts the cert thresholds on (round 14)
+        (s, d) => {
+          import org.apache.spark.sql.expressions.Window
+          import org.apache.spark.sql.functions._
+          val emb = graft.Tables.embeddings(s, d)
+          val probes = emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+          val exact = emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+            .withColumn("score", graft.GraftFunctions.cosine(col("embedding"), col("p_emb")))
+          val w = Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id"))
+          val kth = exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 10)
+            .select(col("probe_id"), col("score").as("kth_score"))
+          val ann = graft.operators.VectorSearch.annLsh(s, d, probeHamming = 2)
+          val hits = ann
+            .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), Seq("neighbor_id"))
+            .join(broadcast(probes), Seq("probe_id"))
+            .withColumn("score", graft.GraftFunctions.cosine(col("n_emb"), col("p_emb")))
+            .join(broadcast(kth), Seq("probe_id"))
+            .groupBy(col("probe_id"))
+            .agg(sum(when(col("score") >= col("kth_score") - 1e-9, 1).otherwise(0)).as("hits"))
+            .orderBy("probe_id")
+          hits.collect().foreach(r => System.err.println(
+            s"[certcal] multiprobe probe=${r.getLong(0)} hits=${r.getLong(1)}"))
+          hits
+        }
+      case "leiden_modularity" =>
+        // calibration dump for graphLeidenCert: both modularities
+        (s, d) => {
+          import org.apache.spark.sql.functions._
+          val e = graft.operators.Leiden.weightedEdges(s, d)
+          val und = e.select(col("src").as("u"), col("dst").as("v"), col("w"))
+            .union(e.select(col("dst"), col("src"), col("w")))
+            .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w")).localCheckpoint()
+          val qL = graft.operators.Leiden.modularityOf(und,
+            graft.operators.Leiden.graphLeiden(s, d)).collect()(0).getDouble(0)
+          val qP = graft.operators.Leiden.modularityOf(und,
+            graft.operators.GraphAlgorithms.communitiesEdges(
+              e.select(col("src"), col("dst")), 10, 1)).collect()(0).getDouble(0)
+          System.err.println(s"[certcal] q_leiden=$qL q_labelprop=$qP")
+          graft.operators.Leiden.graphLeidenCert(s, d)
+        }
       case _ => SparkEntry.queries(name)
     }
     var lastQe: org.apache.spark.sql.execution.QueryExecution = null

@@ -35,7 +35,8 @@ object SparkEntry {
   val instruments: Set[String] = Set(
     "dedup_minhash_oracle", "dedup_simhash_oracle", "dedup_clusters",
     "dedup_minhash_capped_oracle", "dedup_minhash_capped_multi_oracle",
-    "ann_lsh_cert", "ann_ivf_cert", "corpus_pipeline")
+    "ann_lsh_cert", "ann_ivf_cert", "ann_lsh_multiprobe_cert",
+    "graph_leiden_cert", "corpus_pipeline")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -58,6 +59,7 @@ object SparkEntry {
     "ann_ivf"             -> ((s, d) => VectorSearch.annIvf(s, d)),
     "ann_lsh_cert"        -> ((s, d) => VectorSearch.annLshCert(s, d)),
     "ann_ivf_cert"        -> ((s, d) => VectorSearch.annIvfCert(s, d)),
+    "ann_lsh_multiprobe_cert" -> ((s, d) => VectorSearch.annLshMultiprobeCert(s, d)),
     // Sparse / text search
     "bm25_topk"        -> ((s, d) => SparseSearch.bm25TopK(s, d)),
     "bm25_expanded"    -> ((s, d) => SparseSearch.bm25TopKExpanded(s, d)),
@@ -104,6 +106,7 @@ object SparkEntry {
     "code_comments"    -> ((s, d) => Comments.codeComments(s, d)),
     "doc_elaborates"   -> ((s, d) => Elaborates.docElaborates(s, d)),
     "doc_elaborates_adjacent" -> ((s, d) => Elaborates.docElaboratesAdjacent(s, d)),
+    "doc_elaborates_virtual" -> ((s, d) => Elaborates.docElaboratesVirtual(s, d)),
     "project_groups"   -> ((s, d) => Grouping.projectGroups(s, d)),
     "workspace_detect" -> ((s, d) => WorkspaceDetection.workspaceDetect(s, d)),
     "affinity_groups"  -> ((s, d) => Grouping.affinityGroups(s, d)),
@@ -173,6 +176,7 @@ object SparkEntry {
     "graph_communities" -> ((s, d) => GraphAlgorithms.communities(s, d)),
     "graph_betweenness" -> ((s, d) => GraphAlgorithms.betweenness(s, d)),
     "graph_leiden"      -> ((s, d) => Leiden.graphLeiden(s, d)),
+    "graph_leiden_cert" -> ((s, d) => Leiden.graphLeidenCert(s, d)),
     // Streaming + multimodal
     "streaming_window"    -> ((s, d) => graft.streaming.StreamOps.streamingWindowOnce(s, d)),
     "streaming_sessions"  -> ((s, d) => graft.streaming.StreamOps.sessionWindowOnce(s, d)),
@@ -1683,6 +1687,22 @@ object SparkEntry {
     // only hashes equal if the Spark side MEASURED the ANN achieving
     // the recall bound against its own brute-force scan.
     "ann_lsh_cert" ->
+      """WITH q AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.probe_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.p_emb::DOUBLE[]) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> q.probe_id),
+        |kth AS (
+        |  SELECT probe_id, score FROM (
+        |    SELECT probe_id, score,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rn
+        |    FROM s) WHERE rn = 10)
+        |SELECT probe_id, round(score, 6) AS true_kth_cos, true AS cert
+        |FROM kth ORDER BY probe_id""".stripMargin,
+    // Same certificate SQL for the multi-probe (probeHamming=2) LSH
+    // path — the brute-force k-th cosine is knob-independent; only the
+    // Spark-side measured `cert` depends on the probed variant.
+    "ann_lsh_multiprobe_cert" ->
       """WITH q AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 5),
         |s AS (
         |  SELECT q.probe_id, e.vec_id,
@@ -3668,6 +3688,21 @@ object SparkEntry {
           |JOIN covers b
           |  ON b.concept_id = a.concept_id AND b.ord = nx.next_ord
           |ORDER BY a.concept_id, shallow_id, deep_id""".stripMargin),
+    // VIRTUAL (concept-predicate) form of the same relation — the
+    // decade-3 query posture as a registered operator. The oracle is
+    // deliberately the FULL-enumeration shape with the concept WHERE
+    // clause: the virtual operator must be edge-identical to
+    // materialize-then-filter, while computing only the queried slice.
+    "doc_elaborates_virtual" ->
+      (elaboratesCoversCte + "\n" +
+        """SELECT '__global__' AS tenant_id, a.concept_id,
+          |  a.source_node_id AS shallow_id, b.source_node_id AS deep_id,
+          |  'elaborates' AS edge_type, 'elaborates_task' AS source_file
+          |FROM covers a
+          |JOIN covers b
+          |  ON b.concept_id = a.concept_id AND a.ord < b.ord
+          |WHERE a.concept_id IN ('concept-7', 'concept-23', 'concept-42')
+          |ORDER BY a.concept_id, shallow_id, deep_id""".stripMargin),
     // CodeComment + comment-EXPLAINS twin (comments.rs): gaps-and-islands
     // comment runs, prefix stripping, the extract_symbol_name CASE chain
     // (including its return-early keyword arms), the 5-candidate-line
@@ -4480,6 +4515,69 @@ object SparkEntry {
         |  FROM final)
         |SELECT node AS node_id, community FROM sized WHERE csize >= 2
         |ORDER BY node_id""".stripMargin,
+    // Leiden QUALITY certificate (round-14 board #7) — the ANN-cert
+    // posture for the one remaining spec-only rows-only entry: the
+    // oracle recomputes the PORTABLE half (the weighted order graph's
+    // total weight and the modularity of the exactly-reproducible
+    // label-prop membership, min-size filter dropped so every node
+    // keeps a community) and pins cert = true — which only
+    // hash-matches if Spark MEASURED modularity(leiden) >=
+    // modularity(label-prop) on the same weighted graph.
+    "graph_leiden_cert" ->
+      """WITH RECURSIVE
+        |we AS (
+        |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+        |    SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst, l_orderkey
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |  GROUP BY 1, 2),
+        |wund AS (SELECT u, v, sum(w) AS w FROM (
+        |  SELECT src AS u, dst AS v, w FROM we
+        |  UNION ALL SELECT dst, src, w FROM we) GROUP BY 1, 2),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM we UNION ALL SELECT dst, src FROM we)),
+        |nodes AS (SELECT DISTINCT a AS node FROM und),
+        |lab AS (
+        |  SELECT 0 AS iter, node,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 15),
+        |        j -> (strpos('0123456789abcdef', substr(md5(node), CAST(j AS INTEGER), 1)) - 1)::BIGINT)),
+        |      (acc, x) -> acc * 16 + x) AS label
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT nxt.iter, nxt.node, nxt.label FROM (
+        |    WITH cur AS (SELECT iter, node, label FROM lab),
+        |    votes AS (
+        |      SELECT u.a AS node, c.label FROM und u JOIN cur c ON c.node = u.b
+        |      UNION ALL SELECT node, label FROM cur),
+        |    counted AS (SELECT node, label, count(*) AS cnt FROM votes GROUP BY 1, 2),
+        |    picked AS (
+        |      SELECT node, label FROM counted
+        |      QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1),
+        |    it AS (SELECT max(iter) AS i FROM cur)
+        |    SELECT it.i + 1 AS iter, picked.node, picked.label
+        |    FROM picked CROSS JOIN it WHERE it.i < 10) nxt
+        |),
+        |memb AS (
+        |  SELECT node, min(node) OVER (PARTITION BY label) AS community
+        |  FROM lab WHERE iter = 10),
+        |two_m AS (SELECT sum(w) AS tm FROM wund),
+        |win AS (
+        |  SELECT coalesce(sum(u.w), 0.0) AS w_in
+        |  FROM wund u
+        |  JOIN memb ma ON ma.node = u.u
+        |  JOIN memb mb ON mb.node = u.v
+        |  WHERE ma.community = mb.community),
+        |str AS (SELECT u, sum(w) AS k FROM wund GROUP BY 1),
+        |tot AS (
+        |  SELECT m.community, sum(s.k) AS tot
+        |  FROM str s JOIN memb m ON m.node = s.u GROUP BY 1),
+        |sq AS (
+        |  SELECT coalesce(sum((tot.tot / two_m.tm) * (tot.tot / two_m.tm)), 0.0) AS sq
+        |  FROM tot CROSS JOIN two_m)
+        |SELECT CAST(two_m.tm / 2 AS BIGINT) AS total_w,
+        |  round(win.w_in / two_m.tm - sq.sq, 6) AS labelprop_modularity,
+        |  true AS cert
+        |FROM two_m CROSS JOIN win CROSS JOIN sq""".stripMargin,
     // Brandes betweenness as recursive CTEs (round-8 board #4 —
     // upgraded from rows-only): forward pass = walk counts per level
     // (a walk of length dist(s,v) IS a shortest path, so the count at

@@ -518,6 +518,13 @@ object Dedup {
     // averaging across families would let an unlucky family veto a
     // pair another family correctly surfaced. Each per-pass count is
     // the same allocation-free expression over that pass's own array.
+    // COST (accepted): joining all P arrays onto every candidate
+    // multiplies this exchange's payload by P even though each pair
+    // came from one pass. The alternative — carry the originating
+    // pass id and ship only that pass's signature — would halve the
+    // P=2 payload but break the superset-of-single-pass property the
+    // max-over-passes contract provides; switch only if a bench
+    // forensic ever shows this exchange dominating.
     val estCols = (0 until passes).map(p =>
       graft.GraftFunctions.intArrayMatchCount(
         col(s"sig_${p}_a"), col(s"sig_${p}_b")).cast("double") / nSig)

@@ -72,6 +72,88 @@ object Leiden {
                   broadcastByteBudget: Long = 256L << 20): DataFrame =
     leidenEdges(spark, weightedEdges(spark, dir), config, broadcastByteBudget)
 
+  /** Weighted modularity of a membership over a SYMMETRIC weighted
+    * edge list `und(u, v, w)` (each undirected edge present in both
+    * directions, self-loops absent):
+    * Q = w_in/2m − Σ_c (tot_c/2m)², with 2m = Σ w over the symmetric
+    * list, w_in = Σ w over same-community entries of that list (the
+    * double-counting cancels against the 2m normalizer), tot_c = Σ of
+    * member strengths. Nodes missing from `membership` count as their
+    * own singleton community (the filter-tolerant convention). Pure
+    * aggregate work: two edge-list joins against the membership map,
+    * three scalar aggregates — no quadratic term at any scale.
+    */
+  def modularityOf(und: DataFrame, membership: DataFrame): DataFrame = {
+    val nodes = und.select(col("u").as("node_id")).distinct()
+    val full = nodes.join(membership.select(col("node_id"), col("community")),
+        Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("community"), col("node_id")).as("community"))
+    val cu = full.select(col("node_id").as("u"), col("community").as("cu"))
+    val cv = full.select(col("node_id").as("v"), col("community").as("cv"))
+    val twoM = und.agg(sum(col("w")).as("two_m"))
+    val wIn = und.join(cu, Seq("u")).join(cv, Seq("v"))
+      .filter(col("cu") === col("cv"))
+      .agg(coalesce(sum(col("w")), lit(0.0)).as("w_in"))
+    val strength = und.groupBy(col("u")).agg(sum(col("w")).as("k"))
+    // squared via multiplication, not pow(x, 2): Math.pow is not
+    // guaranteed bit-equal to x*x, and the oracle twin multiplies
+    val sqSum = strength.join(cu, Seq("u"))
+      .groupBy(col("cu")).agg(sum(col("k")).as("tot"))
+      .crossJoin(twoM)
+      .agg(coalesce(sum((col("tot") / col("two_m")) * (col("tot") / col("two_m"))),
+        lit(0.0)).as("sq"))
+    wIn.crossJoin(twoM).crossJoin(sqSum)
+      .select((col("w_in") / col("two_m") - col("sq")).as("modularity"))
+  }
+
+  /** graph_leiden_cert query: the quality certificate that lets the
+    * driver's DuckDB gate SEE Leiden (round-14 board #7 — previously
+    * the only rows-only entry adjudicated on spec vectors alone). Same
+    * posture as the ANN recall certs: the seeded/iterative Leiden
+    * internals stay Spark-side; the oracle recomputes the PORTABLE
+    * half — the weighted order graph's total weight and the modularity
+    * of the exactly-reproducible label-propagation membership (the
+    * graph_communities recursive CTE with the min-size filter dropped,
+    * so singletons stay their own community on both engines) — and
+    * pins `cert = true`, which only hash-matches if the Spark side
+    * MEASURED Leiden's modularity meeting the bound on this corpus.
+    *
+    * Calibration (round 14): the order graph is BIPARTITE
+    * (suppliers↔customers), and synchronous label-prop degenerates on
+    * it to the two-sided split — zero intra-community weight and equal
+    * side strengths, so q_labelprop = −0.5 EXACTLY at every SF (the
+    * exactness is itself a strong cross-engine pin: it requires the
+    * oracle's label-prop fixpoint and modularity arithmetic to agree
+    * bit-for-bit). Because that baseline is degenerate, beating it is
+    * necessary but weak — the cert therefore ALSO demands
+    * `q_leiden > 0`: Leiden must find genuinely assortative structure
+    * (measured 0.0174 at sf0.01, 0.0098 at sf0.1 — low absolute
+    * modularity is expected of a dense near-bipartite graph; positive
+    * is the meaningful line Leiden clears and both baselines do not).
+    */
+  def graphLeidenCert(spark: SparkSession, dir: String): DataFrame = {
+    val e = weightedEdges(spark, dir)
+    val und = e.filter(col("src") =!= col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .union(e.filter(col("src") =!= col("dst"))
+        .select(col("dst"), col("src"), col("w")))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    val qLeiden = modularityOf(und, graphLeiden(spark, dir))
+      .select(col("modularity").as("q_leiden"))
+    val qLp = modularityOf(und,
+        GraphAlgorithms.communitiesEdges(
+          e.select(col("src"), col("dst")), iterations = 10, minSize = 1))
+      .select(col("modularity").as("q_labelprop"))
+    val totalW = und.agg((sum(col("w")) / 2).cast("long").as("total_w"))
+    totalW.crossJoin(qLp).crossJoin(qLeiden)
+      .select(col("total_w"),
+        round(col("q_labelprop"), 6).as("labelprop_modularity"),
+        (col("q_leiden") >= col("q_labelprop") - 1e-6 &&
+          col("q_leiden") > 0).as("cert"))
+  }
+
   /** Leiden over any (src, dst, w) weighted edge DataFrame. `buckets`
     * only affects the over-budget frontier path.
     *

@@ -290,6 +290,85 @@ object Elaborates {
         lit("elaborates_task").as("source_file"))
   }
 
+  /** VIRTUAL query form of the ELABORATES relation — the decade-3
+    * posture (SURVEY §4) as a registered operator: at 100 TB neither
+    * materialization survives (per-(concept, level) membership grows
+    * linearly with the corpus over a BOUNDED concept axis, so the edge
+    * set is quadratic in corpus density — BENCH_scale_x100_r13 records
+    * both forms as deaths BY OUTPUT CONTRACT). A deployment therefore
+    * stores only the linear COVERS_TOPIC frame (or its depth-adjacent
+    * edge set) and answers elaborates queries PER CONCEPT, on demand.
+    *
+    * This operator is that query: given the queried concept ids, it
+    *   1. prunes covers to those concepts FIRST (the predicate sits on
+    *      the equi-join key, so Catalyst pushes it into the scan —
+    *      everything downstream is sized by the QUERIED concepts, not
+    *      the corpus);
+    *   2. rebuilds the adjacent generator's per-concept DEPTH CHAIN
+    *      (distinct present ordinals → lead());
+    *   3. closes that chain transitively — the ≤5-ordinal axis closes
+    *      in ≤4 hop-extension rounds, all on a frame of at most
+    *      |concepts| × 10 rows. Closing at the LEVEL axis instead of
+    *      over node edges is what makes on-demand closure cheap: the
+    *      node-level closure of the adjacent edges reaches each
+    *      (shallow, deep) pair once PER INTERMEDIATE PATH, so a naive
+    *      edge closure needs a distinct over a super-quadratic frame,
+    *      while the chain closure bridges each closed level pair with
+    *      one join (ElaboratesSpec locks closure(adjacent) == full;
+    *      the virtual spec locks this == full filtered to concepts);
+    *   4. joins shallow membership × closed level pairs (broadcast) ×
+    *      deep membership, SALTED: a concept-predicate query
+    *      concentrates all work on ≤|concepts| join keys, so the deep
+    *      side takes a hash(deep_id) salt and the shallow side
+    *      replicates across the salt axis — the per-concept quadratic
+    *      output spreads over saltBuckets × levels tasks instead of
+    *      one straggler per concept.
+    */
+  def elaboratesVirtualOf(covers: DataFrame, concepts: Seq[String],
+                          saltBuckets: Int = 32): DataFrame = {
+    val filtered = covers
+      .filter(col("concept_id").isin(concepts: _*))
+      .withColumn("ord", depthOrdinal(col("depth")))
+      .filter(col("ord").isNotNull)
+    // the stored adjacent relation's level chain for the queried concepts
+    val chain = filtered.select(col("concept_id"), col("ord")).distinct()
+      .withColumn("next_ord",
+        lead(col("ord"), 1).over(
+          Window.partitionBy("concept_id").orderBy("ord")))
+      .filter(col("next_ord").isNotNull)
+      .select(col("concept_id").as("c"), col("ord").as("hop_lo"),
+        col("next_ord").as("hop_hi"))
+    // on-demand transitive closure of the chain: 5 depth ordinals →
+    // path length ≤ 4 → 3 hop-extension rounds reach every pair.
+    // The hop side joins under RENAMED columns — a closed("c") ===
+    // chain("c") self-join silently resolves both sides to one column
+    // (Spark's trivially-true-predicate trap) and would close across
+    // concepts.
+    val hop = chain.select(col("c").as("hop_c"), col("hop_lo"), col("hop_hi"))
+    var closed = chain.select(col("c"), col("hop_lo").as("lo"), col("hop_hi").as("hi"))
+    for (_ <- 1 to 3) {
+      closed = closed.unionByName(
+        closed.join(hop, col("c") === col("hop_c") && col("hi") === col("hop_lo"))
+          .select(col("c"), col("lo"), col("hop_hi").as("hi"))
+      ).distinct()
+    }
+    val levelPairs = closed
+      .select(col("c").as("concept_id"), col("lo"), col("hi"))
+    val shallow = filtered.select(col("concept_id"),
+      col("source_node_id").as("shallow_id"), col("ord").as("lo"))
+    val deep = filtered.select(col("concept_id"),
+      col("source_node_id").as("deep_id"), col("ord").as("hi"),
+      pmod(xxhash64(col("source_node_id")), lit(saltBuckets)).cast("int").as("salt"))
+    shallow
+      .join(broadcast(levelPairs), Seq("concept_id", "lo"))
+      .withColumn("salt", explode(lit((0 until saltBuckets).toArray)))
+      .join(deep, Seq("concept_id", "hi", "salt"))
+      .select(lit("__global__").as("tenant_id"), col("concept_id"),
+        col("shallow_id"), col("deep_id"),
+        lit("elaborates").as("edge_type"),
+        lit("elaborates_task").as("source_file"))
+  }
+
   /** The COVERS_TOPIC frame both elaborates queries derive from: each
     * doc_sections row covers a deterministic concept (doc_id % 60) at
     * ITS OWN estimated depth, so the depth mix (reference overviews,
@@ -326,6 +405,24 @@ object Elaborates {
     */
   def docElaboratesAdjacent(spark: SparkSession, dir: String): DataFrame =
     elaboratesAdjacentOf(coversFrame(spark, dir))
+      .orderBy(col("concept_id"), col("shallow_id"), col("deep_id"))
+
+  /** The registered virtual query's concept predicate: 3 of the
+    * corpus's 60 concept lanes (1/20 of the axis — a realistic
+    * "elaborates for THESE topics" ask). */
+  val VirtualConcepts: Seq[String] = Seq("concept-7", "concept-23", "concept-42")
+
+  /** doc_elaborates_virtual query: the concept-predicate virtual form
+    * — edge-identical to `docElaborates` restricted to
+    * [[VirtualConcepts]] (the oracle is the full-enumeration CTE with
+    * that WHERE clause), but computed from the pruned covers scan via
+    * the closed level chain, so the work is sized by the queried
+    * concepts and spread across the salt axis. This is the ONLY
+    * elaborates form that completes at decade 3, where both
+    * materializations are recorded deaths (BENCH_scale_x100_r13).
+    */
+  def docElaboratesVirtual(spark: SparkSession, dir: String): DataFrame =
+    elaboratesVirtualOf(coversFrame(spark, dir), VirtualConcepts)
       .orderBy(col("concept_id"), col("shallow_id"), col("deep_id"))
 }
 

@@ -399,6 +399,21 @@ object VectorSearch {
   def annIvfCert(spark: SparkSession, dir: String): DataFrame =
     annCertificate(spark, dir, annIvf(spark, dir), minHits = annIvfMinHits)
 
+  /** ann_lsh_multiprobe_cert query (round-14 board #4): the recall
+    * certificate for the DOCUMENTED no-training knob — the README's
+    * selection table tells users without a training pass to run
+    * probeHamming=2, and until this row no correctness gate exercised
+    * that path. Same certificate as ann_lsh_cert over the SAME probe
+    * panel; the bound can sit a step higher because the Hamming-ball
+    * candidate set is a SUPERSET of the single-probe set, and top-k by
+    * exact cosine over a superset can only raise per-probe hits
+    * (displacement requires a score above the true k-th, which itself
+    * counts as a hit) — VectorSearchSpec pins the dominance.
+    */
+  def annLshMultiprobeCert(spark: SparkSession, dir: String): DataFrame =
+    annCertificate(spark, dir, annLsh(spark, dir, probeHamming = 2),
+      minHits = annLshMultiprobeMinHits)
+
   /** Measured-with-headroom certificate bounds (hits out of k=10).
     * Calibration (this corpus, seeds fixed; dev dump with the hits
     * column exposed): LSH per-probe hits = 9,9,10,9,9 at sf0.01 and
@@ -408,4 +423,14 @@ object VectorSearch {
     */
   private val annLshMinHits = 6
   private val annIvfMinHits = 4
+
+  /** Multi-probe bound: candidate-superset dominance guarantees
+    * per-probe hits ≥ the single-probe run's (9,9,10,9,9 at sf0.01;
+    * 10,9,8,10,9 at sf0.1), so the single-probe floor carries over;
+    * measured multiprobe hits are 10,10,10,10,10 at BOTH SFs
+    * (`graft.Probe ann_lsh_multiprobe_hits`, round 14). Bound =
+    * measured min − 2, same headroom convention as the other certs —
+    * and strictly above the single-probe bound, certifying the recall
+    * IMPROVEMENT the README's knob guidance promises. */
+  private val annLshMultiprobeMinHits = 8
 }

@@ -243,14 +243,30 @@ object StreamOps {
     * numbered segment (`seg-NNNNN.txt`, one data-file path per line) —
     * what the reference's watch daemon would emit per landed batch.
     */
+  /** The sealed-segment name contract, shared by the writer, the
+    * compactor, and the index computation: ONLY `seg-<digits>.txt`
+    * counts. A stray file in the manifest dir (a partial write, a
+    * temp/hidden file, a non-numeric `seg-x.txt`) is excluded from
+    * both the merge set and the max-index scan instead of crashing
+    * compaction with NumberFormatException or silently merging
+    * foreign lines into the manifest.
+    */
+  private val SegmentName = """seg-(\d+)\.txt""".r
+
+  /** Sealed segments of `manifestDir` with their parsed indices,
+    * name-sorted (zero-padded names sort numerically). */
+  private def sealedSegments(manifestDir: java.io.File): Array[(java.io.File, Int)] =
+    Option(manifestDir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case SegmentName(idx) => Some((f, idx.toInt))
+        case _                => None
+      })
+      .sortBy(_._1.getName)
+
   def appendManifestSegment(manifestDir: java.io.File,
                             paths: Seq[String]): java.io.File = {
     manifestDir.mkdirs()
-    val next = Option(manifestDir.listFiles()).getOrElse(Array.empty)
-      .map(_.getName)
-      .collect { case n if n.startsWith("seg-") && n.endsWith(".txt") =>
-        n.stripPrefix("seg-").stripSuffix(".txt").toInt }
-      .foldLeft(-1)(math.max) + 1
+    val next = sealedSegments(manifestDir).map(_._2).foldLeft(-1)(math.max) + 1
     val f = new java.io.File(manifestDir, f"seg-$next%05d.txt")
     java.nio.file.Files.writeString(f.toPath, paths.mkString("", "\n", "\n"))
     f
@@ -281,9 +297,8 @@ object StreamOps {
     * start AND new-segment delivery on a resumed checkpoint.
     */
   def compactManifest(manifestDir: java.io.File): java.io.File = {
-    val segs = Option(manifestDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("seg-") && f.getName.endsWith(".txt"))
-      .sortBy(_.getName)
+    val indexed = sealedSegments(manifestDir)
+    val segs = indexed.map(_._1)
     val seen = scala.collection.mutable.LinkedHashSet[String]()
     segs.foreach { f =>
       java.nio.file.Files.readAllLines(f.toPath).forEach { l =>
@@ -293,9 +308,7 @@ object StreamOps {
     // next index from the inputs BEFORE deleting them — the high-water
     // mark lives in the compacted segment's own name, so numbering
     // never rewinds no matter how many compaction cycles run
-    val next = segs.map(_.getName)
-      .map(n => n.stripPrefix("seg-").stripSuffix(".txt").toInt)
-      .foldLeft(-1)(math.max) + 1
+    val next = indexed.map(_._2).foldLeft(-1)(math.max) + 1
     val out = new java.io.File(manifestDir, f"seg-$next%05d.txt")
     java.nio.file.Files.writeString(out.toPath,
       seen.mkString("", "\n", "\n"))

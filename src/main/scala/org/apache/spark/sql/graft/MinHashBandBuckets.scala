@@ -39,8 +39,23 @@ case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
 
   override def prettyName: String = "graft_minhash_band_buckets"
 
+  /** Precondition (enforced in BOTH eval paths, same message): the
+    * signature must carry at least bands × rowsPerBand NON-NULL ints.
+    * The composed GetArrayItem form this replaces yields null on a
+    * short array; as a public GraftFunctions API a silent null would
+    * hide a mis-sized signature, so this fails loud instead. Null
+    * elements are rejected by the non-null requirement on the doc —
+    * minhashSignature (the only internal producer) never emits them.
+    */
+  private def requireLength(n: Int): Unit =
+    if (n < bands * rowsPerBand)
+      throw new IllegalArgumentException(
+        s"graft_minhash_band_buckets: signature has $n elements, " +
+          s"needs bands*rowsPerBand = ${bands * rowsPerBand}")
+
   override protected def nullSafeEval(input: Any): Any = {
     val sig = input.asInstanceOf[ArrayData]
+    requireLength(sig.numElements())
     val out = new Array[Int](bands)
     var b = 0
     while (b < bands) {
@@ -65,6 +80,11 @@ case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
       val h = ctx.freshName("h")
       val out = ctx.freshName("out")
       s"""
+         |if ($sig.numElements() < ${bands * rowsPerBand}) {
+         |  throw new IllegalArgumentException(
+         |    "graft_minhash_band_buckets: signature has " + $sig.numElements() +
+         |    " elements, needs bands*rowsPerBand = ${bands * rowsPerBand}");
+         |}
          |int[] $out = new int[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
          |  int $h = 42;

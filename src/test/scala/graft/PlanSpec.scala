@@ -218,6 +218,22 @@ class PlanSpec extends SparkSpec {
       "shallow x deep pairing must join on the concept id:\n" + p.take(2000))
   }
 
+  test("doc_elaborates_virtual prunes the corpus scan by the concept predicate") {
+    // The decade-3 contract: the concept IN-list is a function of
+    // doc_id alone, so it must push through the section window and
+    // land in the parquet scan's DataFilters — the virtual query
+    // reads (and sectionizes) only the queried concepts' documents.
+    val p = plan("doc_elaborates_virtual")
+    assert(!p.contains("CartesianProduct"),
+      "virtual pairing must join on (concept_id, level, salt):\n" + p.take(2000))
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scanLine.contains("concept-7"),
+      "concept predicate must reach the scan's DataFilters:\n" + scanLine.take(2000))
+    // the salt axis must be live: deep-side spread over explode(0..S)
+    assert(p.contains("Generate explode"),
+      "salt replication must survive optimization:\n" + p.take(2000))
+  }
+
   test("doc_references is pure projection work — no join at all") {
     val p = plan("doc_references")
     assert(!p.contains("Join"), "link extraction + normalization is join-free:\n" + p.take(1500))

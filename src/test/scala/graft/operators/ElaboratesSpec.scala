@@ -142,4 +142,63 @@ class ElaboratesSpec extends SparkSpec {
       ("ref", "c1", "reference")))
     assert(adj == Set(("q", "m"), ("m", "ref")))
   }
+
+  private def virtualOf(records: Seq[(String, String, String)],
+                        concepts: Seq[String],
+                        salts: Int = 4): Set[(String, String, String)] =
+    Elaborates.elaboratesVirtualOf(
+      records.toDF("source_node_id", "concept_id", "depth"), concepts, salts)
+      .collect()
+      .map(r => (r.getAs[String]("concept_id"),
+        r.getAs[String]("shallow_id"), r.getAs[String]("deep_id")))
+      .toSet
+
+  // The decade-3 query form: edge-identical to materialize-then-filter
+  // on every fixture the closure lock uses — including the ordinal-gap
+  // fixture (the chain closure must bridge 0→1→4 to reach the 0→4
+  // pair) and multi-node levels (every shallow×deep pair exactly once,
+  // no duplicate per intermediate path). Also pins: no duplicates from
+  // the salt replication, and untouched concepts contribute nothing.
+  test("elaborates: virtual concept-predicate form == full set filtered") {
+    val fixtures = Seq(
+      Seq(("q", "c1", "qualitative"), ("i", "c1", "introductory"),
+        ("r", "c1", "reference")),
+      Seq(("q-a", "c1", "qualitative"), ("q-b", "c1", "qualitative"),
+        ("m-a", "c1", "intermediate"), ("r-a", "c1", "rigorous"),
+        ("r-b", "c1", "rigorous"),
+        ("x", "c2", "introductory"), ("y", "c2", "reference")),
+      Seq(("s", "c1", "qualitative"), ("d", "c1", "reference"),
+        ("bad", "c1", "unknown-depth")))
+    for (fx <- fixtures; concepts <- Seq(Seq("c1"), Seq("c2"), Seq("c1", "c2"))) {
+      val fullRows = Elaborates.elaboratesOf(
+        fx.toDF("source_node_id", "concept_id", "depth"))
+        .collect()
+        .map(r => (r.getAs[String]("concept_id"),
+          r.getAs[String]("shallow_id"), r.getAs[String]("deep_id")))
+      val expected = fullRows.filter(t => concepts.contains(t._1)).toSet
+      // duplicate check needs the multiset: collect vs set sizes
+      val virtRows = Elaborates.elaboratesVirtualOf(
+        fx.toDF("source_node_id", "concept_id", "depth"), concepts, 4)
+        .collect()
+      assert(virtRows.length == expected.size,
+        s"virtual emitted duplicates or dropped pairs for $fx / $concepts")
+      assert(virtualOf(fx, concepts) == expected, s"virtual != filtered full for $fx / $concepts")
+    }
+  }
+
+  // the virtual edge rows carry the exact reference edge shape
+  test("elaborates: virtual form keeps the reference edge shape") {
+    val out = Elaborates.elaboratesVirtualOf(Seq(
+      ("intro-node", "concept-1", "introductory"),
+      ("rigorous-node", "concept-1", "rigorous"))
+      .toDF("source_node_id", "concept_id", "depth"), Seq("concept-1"), 4)
+      .collect()
+    assert(out.length == 1)
+    val e = out.head
+    assert(e.getAs[String]("shallow_id") == "intro-node")
+    assert(e.getAs[String]("deep_id") == "rigorous-node")
+    assert(e.getAs[String]("edge_type") == "elaborates")
+    assert(e.getAs[String]("tenant_id") == "__global__")
+    assert(e.getAs[String]("source_file") == "elaborates_task")
+  }
 }

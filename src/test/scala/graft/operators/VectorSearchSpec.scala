@@ -75,6 +75,41 @@ class VectorSearchSpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall@10 = $mean (per-probe: $recalls)")
   }
 
+  test("multi-probe LSH candidates are a superset, per-probe recall never drops") {
+    // The property annLshMultiprobeCert's bound leans on: the Hamming
+    // ball around each probe key contains the key itself, so the
+    // probed candidate set contains the single-probe set, and top-k by
+    // exact cosine over a superset can only raise per-probe recall.
+    val single = VectorSearch.lshCandidates(spark, sfDir, probeMax = 5L)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = VectorSearch.lshCandidates(spark, sfDir, probeMax = 5L,
+      probeHamming = 2)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(probed),
+      s"single-probe candidates must survive probing: missing ${(single -- probed).take(3)}")
+    assert(probed.size > single.size,
+      "probeHamming=2 must actually widen the candidate set on this corpus")
+
+    def recalls(ph: Int): Map[Long, Double] = {
+      val got = VectorSearch.annLsh(spark, sfDir, probeMax = 5L, k = 10,
+        probeHamming = ph)
+        .collect().groupBy(_.getLong(0))
+        .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+      (0L until 5L).map { p =>
+        val truth = bruteTopK(p, 10).toSet
+        p -> (truth intersect got.getOrElse(p, Set.empty)).size.toDouble / truth.size
+      }.toMap
+    }
+    val r0 = recalls(0)
+    val r2 = recalls(2)
+    (0L until 5L).foreach { p =>
+      assert(r2(p) >= r0(p) - 1e-9,
+        s"probe $p: multiprobe recall ${r2(p)} below single-probe ${r0(p)}")
+    }
+  }
+
   test("recommend excludes the example points") {
     val ids = VectorSearch.recommend(spark, sfDir).collect().map(_.getLong(0)).toSet
     assert((ids intersect Set(1L, 2L, 3L, 4L, 5L)).isEmpty)
