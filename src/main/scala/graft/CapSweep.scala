@@ -46,8 +46,17 @@ object CapSweep {
     // (W, passes) grid — the round-13 question: does a second
     // independent band-seed pass at W=8 recover coverage faster than
     // widening the window to 16/32 at equal-or-less runtime?
-    for ((w, passes) <- Seq((1, 1), (2, 1), (4, 1), (8, 1), (16, 1), (32, 1),
-                            (8, 2), (8, 3), (8, 4), (16, 2))) {
+    // SPARK_GRAFT_CAPSWEEP_GRID="8:1,8:2,..." overrides (round 14: the
+    // ×100 run sweeps only the README ladder rows — the full-family
+    // reference alone costs most of the decade-3 budget).
+    val grid = sys.env.get("SPARK_GRAFT_CAPSWEEP_GRID") match {
+      case Some(s) => s.split(",").toSeq.map { wp =>
+        val Array(w, p) = wp.split(":"); (w.trim.toInt, p.trim.toInt)
+      }
+      case None => Seq((1, 1), (2, 1), (4, 1), (8, 1), (16, 1), (32, 1),
+        (8, 2), (8, 3), (8, 4), (16, 2))
+    }
+    for ((w, passes) <- grid) {
       val t1 = System.nanoTime()
       val p = pairsOf(w, passes).localCheckpoint()
       val n = p.count()

@@ -86,6 +86,18 @@ object Probe {
               .localCheckpoint(),
             pairFamily = graft.operators.Dedup.dedupMinhashCappedOracleOf(_, _, _, _))
         }
+      case "doc_elaborates_virtual_nosort" =>
+        // sink form of the virtual elaborates query (no presentation
+        // sort) — isolates the global-sort term at decade 3
+        (s, d) => graft.operators.Elaborates.docElaboratesVirtual(s, d, ordered = false)
+      case "dedup_minhash_capped_p3" =>
+        // the README ladder's 0.955-coverage setting (W=8, passes=3) —
+        // a documented knob the JIT audit must cover (round 14)
+        (s, d) => graft.operators.Dedup.dedupMinhashCappedOf(
+          graft.Tables.documents(s, d)
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text")),
+          passes = 3)
       case "dedup_simhash_lsh_wide" =>
         // the decade-3 key-width point: w=20/t=64 cuts the candidate
         // tail 6x (64/2^20 vs 24/2^16) at analytic h=7 worst-case

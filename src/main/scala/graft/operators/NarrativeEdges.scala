@@ -421,9 +421,17 @@ object Elaborates {
     * elaborates form that completes at decade 3, where both
     * materializations are recorded deaths (BENCH_scale_x100_r13).
     */
-  def docElaboratesVirtual(spark: SparkSession, dir: String): DataFrame =
-    elaboratesVirtualOf(coversFrame(spark, dir), VirtualConcepts)
-      .orderBy(col("concept_id"), col("shallow_id"), col("deep_id"))
+  def docElaboratesVirtual(spark: SparkSession, dir: String,
+                           ordered: Boolean = true): DataFrame = {
+    val edges = elaboratesVirtualOf(coversFrame(spark, dir), VirtualConcepts)
+    // ordered=false is the SINK form (the dedupMinhashCappedOf
+    // precedent): at decade 3 the presentation sort is a global range
+    // exchange over the full queried-slice output — callers writing to
+    // a partitioned sink should skip it.
+    if (ordered)
+      edges.orderBy(col("concept_id"), col("shallow_id"), col("deep_id"))
+    else edges
+  }
 }
 
 /** REFERENCES_DOC edges from markdown cross-references
