@@ -35,13 +35,24 @@ object CapSweep {
       Dedup.dedupClustersOf(p.select(col("a"), col("b")), prio)
         .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
 
-    // full family once (W=0): the reference point
+    // Reference point: the full family (W=0) by default. At decade 3
+    // the full pair set is disk-infeasible BY ITS OWN OUTPUT (the ×100
+    // attempt filled >60 GB of spill before its first count — recorded
+    // in CAPSWEEP_r14.txt), so SPARK_GRAFT_CAPSWEEP_REF="W:P" swaps in
+    // a capped anchor (W=32) and the grid reads as coverage RELATIVE
+    // to that anchor — cross-calibrated against the absolute ladder at
+    // the decades where both references exist.
+    val (refW, refP) = sys.env.get("SPARK_GRAFT_CAPSWEEP_REF") match {
+      case Some(s) => val Array(w, p) = s.split(":"); (w.trim.toInt, p.trim.toInt)
+      case None => (0, 1)
+    }
+    val refLabel = if (refW == 0) "full" else s"W=$refW P=$refP"
     val t0 = System.nanoTime()
-    val fullPairs = pairsOf(0).localCheckpoint()
+    val fullPairs = pairsOf(refW, refP).localCheckpoint()
     val fullN = fullPairs.count()
     val fullSec = (System.nanoTime() - t0) / 1e9
     val kf = keepsOf(fullPairs)
-    println(f"[capsweep] W=full  pairs=$fullN%8d  recovered=1.000  keep_agree=1.000  ($fullSec%.1fs)  docs_clustered=${kf.size}")
+    println(f"[capsweep] ref=$refLabel  pairs=$fullN%8d  recovered=1.000  keep_agree=1.000  ($fullSec%.1fs)  docs_clustered=${kf.size}")
 
     // (W, passes) grid — the round-13 question: does a second
     // independent band-seed pass at W=8 recover coverage faster than
