@@ -238,6 +238,25 @@ object OracleProps {
     }
 
 
+    // ---- family 9: the virtual-elaborates concept predicate (round
+    // 14) — random concept subsets × random salt-bucket counts. The
+    // generated twin is the FULL enumeration filtered to the same
+    // subset, so the property certifies BOTH halves of the virtual
+    // form: the level-axis closure reaches exactly the ord< pairs, and
+    // the salt replication is output-invisible at ANY bucket count
+    // (salts=1 degenerates to the unsalted join; large salts stress
+    // the explode/dedupe-free path).
+    for (i <- 0 until 3) {
+      val n = 1 + rng.nextInt(4)
+      val concepts = rng.shuffle((0 until 60).toList).take(n)
+        .map(c => s"concept-$c")
+      val salts = 1 + rng.nextInt(64)
+      dump(s"prop_elaborates_virtual_$i",
+        graft.operators.Elaborates.docElaboratesVirtualFor(
+          spark, sfDir, concepts, salts),
+        SparkEntry.elaboratesVirtualOracleSqlFor(concepts))
+    }
+
     Verify.writeOracleJson(outDir, oracles.toMap)
     spark.stop()
   }

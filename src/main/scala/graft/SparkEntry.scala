@@ -1467,6 +1467,23 @@ object SparkEntry {
     * concept_id, ord)`. Kept as ONE val so the full and adjacent
     * oracle shapes can never drift from each other's depth axis.
     */
+  /** Generated oracle for the virtual (concept-predicate) ELABORATES
+    * form: the FULL-enumeration CTE with the concept WHERE list
+    * regenerated from the same subset the Spark side queries — the
+    * OracleProps family-9 axis (random subsets × random salt buckets;
+    * the salt axis must be output-invisible, which is exactly what the
+    * twin certifies). */
+  private[graft] def elaboratesVirtualOracleSqlFor(concepts: Seq[String]): String =
+    elaboratesCoversCte + "\n" +
+      s"""SELECT '__global__' AS tenant_id, a.concept_id,
+         |  a.source_node_id AS shallow_id, b.source_node_id AS deep_id,
+         |  'elaborates' AS edge_type, 'elaborates_task' AS source_file
+         |FROM covers a
+         |JOIN covers b
+         |  ON b.concept_id = a.concept_id AND a.ord < b.ord
+         |WHERE a.concept_id IN (${concepts.map(c => s"'$c'").mkString(", ")})
+         |ORDER BY a.concept_id, shallow_id, deep_id""".stripMargin
+
   private val elaboratesCoversCte: String =
     """WITH c AS (
       |  SELECT doc_id,
@@ -3694,15 +3711,8 @@ object SparkEntry {
     // clause: the virtual operator must be edge-identical to
     // materialize-then-filter, while computing only the queried slice.
     "doc_elaborates_virtual" ->
-      (elaboratesCoversCte + "\n" +
-        """SELECT '__global__' AS tenant_id, a.concept_id,
-          |  a.source_node_id AS shallow_id, b.source_node_id AS deep_id,
-          |  'elaborates' AS edge_type, 'elaborates_task' AS source_file
-          |FROM covers a
-          |JOIN covers b
-          |  ON b.concept_id = a.concept_id AND a.ord < b.ord
-          |WHERE a.concept_id IN ('concept-7', 'concept-23', 'concept-42')
-          |ORDER BY a.concept_id, shallow_id, deep_id""".stripMargin),
+      elaboratesVirtualOracleSqlFor(
+        graft.operators.Elaborates.VirtualConcepts),
     // CodeComment + comment-EXPLAINS twin (comments.rs): gaps-and-islands
     // comment runs, prefix stripping, the extract_symbol_name CASE chain
     // (including its return-early keyword arms), the 5-candidate-line

@@ -133,14 +133,17 @@ object Leiden {
     * is the meaningful line Leiden clears and both baselines do not).
     */
   def graphLeidenCert(spark: SparkSession, dir: String): DataFrame = {
-    val e = weightedEdges(spark, dir)
+    // one weighted-edge derivation feeds Leiden, the baseline, and
+    // both modularity passes (graphLeiden(spark, dir) would re-join
+    // lineitem×orders a second time)
+    val e = weightedEdges(spark, dir).localCheckpoint()
     val und = e.filter(col("src") =!= col("dst"))
       .select(col("src").as("u"), col("dst").as("v"), col("w"))
       .union(e.filter(col("src") =!= col("dst"))
         .select(col("dst"), col("src"), col("w")))
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
       .localCheckpoint()
-    val qLeiden = modularityOf(und, graphLeiden(spark, dir))
+    val qLeiden = modularityOf(und, leidenEdges(spark, e, Config()))
       .select(col("modularity").as("q_leiden"))
     val qLp = modularityOf(und,
         GraphAlgorithms.communitiesEdges(

@@ -422,8 +422,17 @@ object Elaborates {
     * materializations are recorded deaths (BENCH_scale_x100_r13).
     */
   def docElaboratesVirtual(spark: SparkSession, dir: String,
-                           ordered: Boolean = true): DataFrame = {
-    val edges = elaboratesVirtualOf(coversFrame(spark, dir), VirtualConcepts)
+                           ordered: Boolean = true): DataFrame =
+    docElaboratesVirtualFor(spark, dir, VirtualConcepts, ordered = ordered)
+
+  /** Parameterized form — the OracleProps randomization axis (round
+    * 14, family 9): any concept subset, any salt-bucket count; the
+    * generated DuckDB twin regenerates the WHERE list from the same
+    * subset. */
+  def docElaboratesVirtualFor(spark: SparkSession, dir: String,
+                              concepts: Seq[String], saltBuckets: Int = 32,
+                              ordered: Boolean = true): DataFrame = {
+    val edges = elaboratesVirtualOf(coversFrame(spark, dir), concepts, saltBuckets)
     // ordered=false is the SINK form (the dedupMinhashCappedOf
     // precedent): at decade 3 the presentation sort is a global range
     // exchange over the full queried-slice output — callers writing to
