@@ -87,4 +87,32 @@ class LeidenSpec extends SparkSpec {
         s"community label $comm must be its smallest member")
     }
   }
+
+  // modularityOf against the textbook hand value: two unit triangles
+  // joined by one bridge edge, split at the bridge -> Q = 5/14
+  // (w_in/2m = 12/14, both community strengths 7/14 squared sum 1/2).
+  test("modularityOf: hand-computed Q on two bridged triangles") {
+    val edges = Seq(("a","b",1.0),("b","c",1.0),("a","c",1.0),
+      ("d","e",1.0),("e","f",1.0),("d","f",1.0),("c","d",1.0))
+    val und = edges.flatMap { case (u,v,w) => Seq((u,v,w),(v,u,w)) }
+      .toDF("u","v","w")
+    val mem = Seq(("a","A"),("b","A"),("c","A"),("d","B"),("e","B"),("f","B"))
+      .toDF("node_id","community")
+    val q = Leiden.modularityOf(und, mem).collect()(0).getDouble(0)
+    assert(math.abs(q - 5.0/14.0) < 1e-12, s"expected 5/14, got $q")
+
+    // filter-tolerant singleton default: an EMPTY membership means
+    // every node is its own community -> w_in = 0, Q = -sum (k/2m)^2
+    // = -(4*(2/14)^2 + 2*(3/14)^2) = -34/196
+    val qEmpty = Leiden.modularityOf(und,
+      Seq.empty[(String, String)].toDF("node_id","community"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(qEmpty - (-34.0/196.0)) < 1e-12, s"expected -34/196, got $qEmpty")
+
+    // one-community degenerate: Q = 1 - 1 = 0
+    val qOne = Leiden.modularityOf(und,
+      Seq("a","b","c","d","e","f").map((_, "X")).toDF("node_id","community"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(qOne) < 1e-12, s"expected 0, got $qOne")
+  }
 }
