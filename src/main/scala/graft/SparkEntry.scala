@@ -1467,23 +1467,6 @@ object SparkEntry {
     * concept_id, ord)`. Kept as ONE val so the full and adjacent
     * oracle shapes can never drift from each other's depth axis.
     */
-  /** Generated oracle for the virtual (concept-predicate) ELABORATES
-    * form: the FULL-enumeration CTE with the concept WHERE list
-    * regenerated from the same subset the Spark side queries — the
-    * OracleProps family-9 axis (random subsets × random salt buckets;
-    * the salt axis must be output-invisible, which is exactly what the
-    * twin certifies). */
-  private[graft] def elaboratesVirtualOracleSqlFor(concepts: Seq[String]): String =
-    elaboratesCoversCte + "\n" +
-      s"""SELECT '__global__' AS tenant_id, a.concept_id,
-         |  a.source_node_id AS shallow_id, b.source_node_id AS deep_id,
-         |  'elaborates' AS edge_type, 'elaborates_task' AS source_file
-         |FROM covers a
-         |JOIN covers b
-         |  ON b.concept_id = a.concept_id AND a.ord < b.ord
-         |WHERE a.concept_id IN (${concepts.map(c => s"'$c'").mkString(", ")})
-         |ORDER BY a.concept_id, shallow_id, deep_id""".stripMargin
-
   private val elaboratesCoversCte: String =
     """WITH c AS (
       |  SELECT doc_id,
@@ -1535,6 +1518,23 @@ object SparkEntry {
       |         WHEN chars < 200 AND tech < 0.1 THEN 0
       |         ELSE 1 END AS ord
       |  FROM f)""".stripMargin
+
+  /** Generated oracle for the virtual (concept-predicate) ELABORATES
+    * form: the FULL-enumeration CTE with the concept WHERE list
+    * regenerated from the same subset the Spark side queries — the
+    * OracleProps family-9 axis (random subsets × random salt buckets;
+    * the salt axis must be output-invisible, which is exactly what the
+    * twin certifies). */
+  private[graft] def elaboratesVirtualOracleSqlFor(concepts: Seq[String]): String =
+    elaboratesCoversCte + "\n" +
+      s"""SELECT '__global__' AS tenant_id, a.concept_id,
+         |  a.source_node_id AS shallow_id, b.source_node_id AS deep_id,
+         |  'elaborates' AS edge_type, 'elaborates_task' AS source_file
+         |FROM covers a
+         |JOIN covers b
+         |  ON b.concept_id = a.concept_id AND a.ord < b.ord
+         |WHERE a.concept_id IN (${concepts.map(c => s"'$c'").mkString(", ")})
+         |ORDER BY a.concept_id, shallow_id, deep_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "line_diff" ->

@@ -150,6 +150,19 @@ object Leiden {
           e.select(col("src"), col("dst")), iterations = 10, minSize = 1))
       .select(col("modularity").as("q_labelprop"))
     val totalW = und.agg((sum(col("w")) / 2).cast("long").as("total_w"))
+    // EXACT-REPRESENTABILITY DEPENDENCY (round-14 advice): hashing
+    // round(q_labelprop, 6) against DuckDB's independently-summed
+    // double is safe on THIS graph only because the bipartite
+    // degeneracy makes every term exactly representable (w_in = 0,
+    // tot_c = integer strengths, 2m = integer) so q_labelprop is
+    // EXACTLY -0.5 on both engines at every SF — no summation-order
+    // sensitivity exists to round away. On a non-degenerate graph,
+    // differing summation order could flip the 6th decimal; a caller
+    // adapting this cert to another graph should move the modularity
+    // to a Spark-side inequality input (like q_leiden) and hash only
+    // total_w + cert. The modularity ARITHMETIC itself is
+    // property-randomized cross-engine by OracleProps' modularity
+    // family over random weighted graphs (round 15).
     totalW.crossJoin(qLp).crossJoin(qLeiden)
       .select(col("total_w"),
         round(col("q_labelprop"), 6).as("labelprop_modularity"),

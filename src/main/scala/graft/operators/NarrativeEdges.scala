@@ -338,19 +338,30 @@ object Elaborates {
       .filter(col("next_ord").isNotNull)
       .select(col("concept_id").as("c"), col("ord").as("hop_lo"),
         col("next_ord").as("hop_hi"))
-    // on-demand transitive closure of the chain: 5 depth ordinals →
-    // path length ≤ 4 → 3 hop-extension rounds reach every pair.
+    // on-demand transitive closure of the chain, iterated to a
+    // FIXPOINT (round-14 advice): a fixed round count silently
+    // under-closes if depthOrdinal ever grows a 6th arm, so extend by
+    // one hop until the closed count stops growing instead. The frame
+    // is ≤ |concepts| × levels² rows, localCheckpoint'd so each round
+    // is a millisecond-scale local job (and the covers scan runs once
+    // for the chain, not once per round).
     // The hop side joins under RENAMED columns — a closed("c") ===
     // chain("c") self-join silently resolves both sides to one column
     // (Spark's trivially-true-predicate trap) and would close across
     // concepts.
     val hop = chain.select(col("c").as("hop_c"), col("hop_lo"), col("hop_hi"))
-    var closed = chain.select(col("c"), col("hop_lo").as("lo"), col("hop_hi").as("hi"))
-    for (_ <- 1 to 3) {
+      .localCheckpoint()
+    var closed = hop
+      .select(col("hop_c").as("c"), col("hop_lo").as("lo"), col("hop_hi").as("hi"))
+    var prevCount = -1L
+    var closedCount = closed.count()
+    while (closedCount > prevCount) {
+      prevCount = closedCount
       closed = closed.unionByName(
         closed.join(hop, col("c") === col("hop_c") && col("hi") === col("hop_lo"))
           .select(col("c"), col("lo"), col("hop_hi").as("hi"))
-      ).distinct()
+      ).distinct().localCheckpoint()
+      closedCount = closed.count()
     }
     val levelPairs = closed
       .select(col("c").as("concept_id"), col("lo"), col("hi"))

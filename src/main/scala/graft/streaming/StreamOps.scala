@@ -254,14 +254,17 @@ object StreamOps {
   private val SegmentName = """seg-(\d+)\.txt""".r
 
   /** Sealed segments of `manifestDir` with their parsed indices,
-    * name-sorted (zero-padded names sort numerically). */
+    * sorted by the PARSED index (round-14 advice: a lexicographic
+    * name sort flips append order once indices reach 6 digits —
+    * seg-100000 would sort before seg-99999 and perturb the
+    * compacted manifest's first-occurrence dedup order). */
   private def sealedSegments(manifestDir: java.io.File): Array[(java.io.File, Int)] =
     Option(manifestDir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
         case SegmentName(idx) => Some((f, idx.toInt))
         case _                => None
       })
-      .sortBy(_._1.getName)
+      .sortBy(_._2)
 
   def appendManifestSegment(manifestDir: java.io.File,
                             paths: Seq[String]): java.io.File = {
