@@ -87,6 +87,7 @@ object SparkEntry {
     "structural_tags"  -> ((s, d) => StructuralTags.structuralTags(s, d)),
     "keyword_baskets"  -> ((s, d) => KeywordTags.keywordBaskets(s, d)),
     "tag_hierarchy"    -> ((s, d) => TagHierarchy.tagHierarchy(s, d)),
+    "tag_hierarchy_cert" -> ((s, d) => TagHierarchy.tagHierarchyCert(s, d)),
     "tag_affinity"     -> ((s, d) => Grouping.tagAffinity(s, d)),
     "git_org_groups"   -> ((s, d) => Grouping.gitOrgGroups(s, d)),
     "project_ids"      -> ((s, d) => ProjectIds.projectIds(s, d)),
@@ -2349,6 +2350,54 @@ object SparkEntry {
          |  SELECT doc_id, unnest(selected) AS tag, unnest(generate_series(1, len(selected))) AS ti
          |  FROM folded WHERE len(selected) > 0)
          |ORDER BY doc_id, tag_rank""".stripMargin,
+    // tag_hierarchy QUALITY certificate (round-15 board #1): the oracle
+    // recomputes the full LEVEL-3 partition independently — MMR tag
+    // assignment (the proven keyword pipeline CTE), incidence cosines
+    // (bit-stable: exact-integer dot / sqrt(int)·sqrt(int), same three
+    // IEEE roundings both engines), and the reference's greedy
+    // single-linkage merge replayed as an iterative recursive CTE over
+    // the collision subgraph (one seed claimed per round, min unassigned
+    // tag = next seed — exactly mergeDuplicates' sorted iteration
+    // order) — then pins cert = true, which only hash-matches if Spark
+    // MEASURED the emitted hierarchy's quality invariants (labels
+    // centroid-closest, average-linkage termination at levels 2/1,
+    // greedy soundness, doc-count sums). Thresholds are the cert's
+    // exercising values (0.3) — see TagHierarchy.tagHierarchyCert.
+    "tag_hierarchy_cert" ->
+      s"""${keywordPipelineCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |asg AS (SELECT doc_id, unnest(selected) AS tag FROM folded WHERE len(selected) > 0),
+         |tagdf AS (SELECT tag, count(*) AS n FROM asg GROUP BY 1),
+         |inter AS (
+         |  SELECT x.tag AS a, y.tag AS b, count(*) AS k
+         |  FROM asg x JOIN asg y ON x.doc_id = y.doc_id AND x.tag < y.tag
+         |  GROUP BY 1, 2),
+         |thr AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, CAST(k AS DOUBLE) / (sqrt(CAST(da.n AS DOUBLE)) * sqrt(CAST(db.n AS DOUBLE))) AS c
+         |    FROM inter JOIN tagdf da ON da.tag = a JOIN tagdf db ON db.tag = b)
+         |  WHERE c > 0.3),
+         |coll AS (SELECT DISTINCT tag FROM (SELECT a AS tag FROM thr UNION ALL SELECT b FROM thr)),
+         |greedy AS (
+         |  SELECT 0 AS iter, tag, CAST(NULL AS VARCHAR) AS seed FROM coll
+         |  UNION ALL
+         |  SELECT nxt.iter, nxt.tag, nxt.seed FROM (
+         |    WITH cur AS (SELECT iter, tag, seed FROM greedy),
+         |    s AS (SELECT min(tag) AS stag FROM cur WHERE seed IS NULL),
+         |    it AS (SELECT max(iter) AS i FROM cur)
+         |    SELECT it.i + 1 AS iter, c.tag,
+         |      CASE WHEN c.seed IS NOT NULL THEN c.seed
+         |           WHEN c.tag = s.stag THEN s.stag
+         |           WHEN t.a IS NOT NULL THEN s.stag
+         |           ELSE NULL END AS seed
+         |    FROM cur c CROSS JOIN s CROSS JOIN it
+         |    LEFT JOIN thr t ON (t.a = s.stag AND t.b = c.tag) OR (t.a = c.tag AND t.b = s.stag)
+         |    WHERE s.stag IS NOT NULL) nxt),
+         |fin AS (SELECT tag, seed FROM greedy WHERE iter = (SELECT max(iter) FROM greedy)),
+         |memb AS (
+         |  SELECT d.tag, coalesce(f.seed, d.tag) AS seed, d.n
+         |  FROM tagdf d LEFT JOIN fin f ON f.tag = d.tag)
+         |SELECT seed, count(*) AS n_members, CAST(sum(n) AS BIGINT) AS doc_count, true AS cert
+         |FROM memb GROUP BY seed ORDER BY seed""".stripMargin,
     "structural_tags" ->
       """SELECT doc_id, 'language:' || lang AS tag
         |FROM documents ORDER BY doc_id, tag""".stripMargin,

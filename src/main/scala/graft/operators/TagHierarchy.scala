@@ -165,6 +165,174 @@ object TagHierarchy {
   def tagHierarchy(spark: SparkSession, dir: String): DataFrame =
     tagHierarchyOf(spark, KeywordTags.keywordTags(spark, dir))
 
+  /** tag_hierarchy_cert query (round-15 board #1 — the graph_leiden_cert
+    * posture for the last non-multimodal rows-only entry): one row per
+    * LEVEL-3 cluster of the emitted hierarchy, `(seed, n_members,
+    * doc_count, cert)`, where seed = the cluster's minimum member tag.
+    *
+    * Cross-engine pin: the DuckDB oracle recomputes the ENTIRE level-3
+    * partition independently — the keyword-pipeline tag assignment, the
+    * incidence cosines, and the reference's greedy single-linkage merge
+    * replayed as an iterative recursive CTE (one seed claimed per
+    * round, restricted to the collision subgraph) — so the hash pins
+    * cluster membership, sizes, and summed doc counts, not just
+    * counts. The incidence cosine is bit-stable across engines:
+    * dot = |docs_a ∩ docs_b| (an exact integer double), norms are
+    * sqrt of exact integers, and both engines evaluate
+    * `k / (sqrt(n_a) · sqrt(n_b))` with the same three IEEE roundings,
+    * so every `> threshold` merge decision is identical — the same
+    * exact-representability argument as graph_leiden_cert's −0.5, but
+    * holding on EVERY corpus because incidence vectors are 0/1.
+    *
+    * `cert` is the Spark-MEASURED quality contract the oracle pins to
+    * `true` (it cannot replay the FP-order-sensitive parts —
+    * centroid cosines — bit-stably): one hierarchy row per vocabulary
+    * tag; per-cluster level-2/level-1/doc_count consistency; every
+    * non-seed member within `mergeThreshold` of its seed; greedy
+    * soundness (distinct seeds pairwise ≤ threshold, no member
+    * claimable by an earlier seed); doc counts = Σ member incidence
+    * counts; labels centroid-closest at every level (±1e-9 FP
+    * tolerance); and the average-linkage TERMINATION invariant at
+    * levels 2 and 1 — every pair of surviving clusters' average
+    * cross-centroid similarity sits below its threshold (the exact
+    * stop condition of clustering.rs:83's loop).
+    *
+    * EXERCISING THRESHOLDS: at the reference defaults (0.85/0.70/0.50)
+    * this corpus's MMR vocabulary is degenerate — the max incidence
+    * cosine is 0.58 at sf0.1, so no level-3 merge ever fires and the
+    * cert would certify nothing (the ann_lsh_cert hard-probe
+    * precedent). The registered cert therefore runs the same machinery
+    * at (0.3, 0.15, 0.05), where the corpus produces real multi-member
+    * clusters and real level-2/1 merges at every test SF; the
+    * reference-default behavior stays covered by TagHierarchySpec's
+    * reference test vectors.
+    *
+    * Scale posture: an INSTRUMENT (like graph_leiden_cert) — the
+    * invariant audit collects the vocabulary driver-side exactly as the
+    * operator's compact path does, and is priced in the instrument
+    * band, not the operator band.
+    */
+  def tagHierarchyCert(spark: SparkSession, dir: String,
+                       mergeThreshold: Double = 0.3,
+                       level2Threshold: Double = 0.15,
+                       level1Threshold: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val asg = KeywordTags.keywordTags(spark, dir)
+      .select(col("doc_id"), col("tag")).localCheckpoint()
+    val emitted = tagHierarchyOf(spark, asg, mergeThreshold = mergeThreshold,
+        level2Threshold = level2Threshold, level1Threshold = level1Threshold)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+      .toSeq
+    val vocab = asg.groupBy(col("tag"))
+      .agg(collect_set(col("doc_id")).as("docs"), count(lit(1)).as("doc_count"))
+      .orderBy(col("tag"))
+      .collect()
+      .map(r => TagVec(r.getString(0),
+        r.getSeq[Long](1).map(d => d.toInt -> 1.0).toMap, r.getLong(2)))
+      .toIndexedSeq
+    val cert = hierarchyInvariants(vocab, emitted,
+      mergeThreshold, level2Threshold, level1Threshold)
+    emitted.groupBy(_._2).toSeq
+      .map { case (_, ms) => (ms.map(_._1).min, ms.size.toLong, ms.head._5, cert) }
+      .sortBy(_._1)
+      .toDF("seed", "n_members", "doc_count", "cert")
+  }
+
+  /** The Spark-measured half of [[tagHierarchyCert]]: every portable
+    * quality invariant of an emitted hierarchy `(tag, canonical,
+    * level2, level1, doc_count)` against the vocabulary it was built
+    * from. Package-visible so the spec can feed it deliberately
+    * broken hierarchies.
+    */
+  private[operators] def hierarchyInvariants(
+      vocab: IndexedSeq[TagVec],
+      rows: Seq[(String, String, String, String, Long)],
+      mergeThreshold: Double, level2Threshold: Double,
+      level1Threshold: Double): Boolean = {
+    val eps = 1e-9
+    val vecOf = vocab.map(t => t.phrase -> t.vector).toMap
+    val dfOf = vocab.map(t => t.phrase -> t.docCount).toMap
+
+    val oneRowPerTag = rows.size == vocab.size &&
+      rows.map(_._1).sorted == vocab.map(_.phrase).toList.sorted
+
+    if (!oneRowPerTag) return false
+    val clusters = rows.groupBy(_._2).toSeq.sortBy(_._1)
+    val consistent = clusters.forall { case (canon, ms) =>
+      ms.map(_._3).distinct.size == 1 && ms.map(_._4).distinct.size == 1 &&
+        ms.map(_._5).distinct.size == 1 && ms.exists(_._1 == canon)
+    }
+    if (!consistent) return false
+
+    val memberSets = clusters.map { case (canon, ms) =>
+      (canon, ms.map(_._1).sorted.toIndexedSeq, ms.head._5)
+    }
+    val seeds = memberSets.map(_._2.min).sorted
+    // greedy single-linkage soundness: members within threshold of
+    // their seed; seeds pairwise independent; no member claimable by
+    // an EARLIER seed (all three follow from mergeDuplicates'
+    // iteration order and would each catch a membership corruption)
+    val memberOverThr = memberSets.forall { case (_, ms, _) =>
+      val s = ms.min
+      ms.filter(_ != s).forall(m => cosine(vecOf(s), vecOf(m)) > mergeThreshold)
+    }
+    val seedsIndependent = seeds.combinations(2).forall {
+      case Seq(a, b) => cosine(vecOf(a), vecOf(b)) <= mergeThreshold
+    }
+    val noEarlierClaim = memberSets.forall { case (_, ms, _) =>
+      val s = ms.min
+      ms.filter(_ != s).forall(m =>
+        seeds.takeWhile(_ < s).forall(s2 =>
+          cosine(vecOf(s2), vecOf(m)) <= mergeThreshold))
+    }
+    val docCountsOk = memberSets.forall { case (_, ms, dc) =>
+      ms.map(dfOf).sum == dc
+    }
+    // labels centroid-closest (±eps: centroid cosines sum non-integer
+    // doubles, so recomputation order may differ by ulps)
+    val labelsOk3 = memberSets.forall { case (canon, ms, _) =>
+      val c = centroid(ms.map(vecOf))
+      cosine(vecOf(canon), c) >= ms.map(m => cosine(vecOf(m), c)).max - eps
+    }
+
+    // level-2/1: average-linkage termination + centroid-closest labels
+    val cent3 = memberSets.map { case (canon, ms, _) =>
+      canon -> centroid(ms.map(vecOf))
+    }.toMap
+    val level2Groups = rows.map(r => (r._2, r._3)).distinct.groupBy(_._2).toSeq
+      .map { case (l2, cs) => (l2, cs.map(_._1).sorted) }.sortBy(_._1)
+    val l2Term = level2Groups.combinations(2).forall {
+      case Seq((_, as), (_, bs)) =>
+        val sims = for (a <- as; b <- bs) yield cosine(cent3(a), cent3(b))
+        sims.sum / sims.size < level2Threshold + eps
+    }
+    val l2Labels = level2Groups.forall { case (l2, cs) =>
+      val c2 = centroid(cs.map(cent3))
+      cs.contains(l2) &&
+        cosine(cent3(l2), c2) >= cs.map(c => cosine(cent3(c), c2)).max - eps
+    }
+    val cent2 = level2Groups.map { case (l2, cs) =>
+      l2 -> centroid(cs.map(cent3))
+    }.toMap
+    val level1Groups = rows.map(r => (r._3, r._4)).distinct.groupBy(_._2).toSeq
+      .map { case (l1, l2s) => (l1, l2s.map(_._1).sorted) }.sortBy(_._1)
+    val l1Term = level1Groups.combinations(2).forall {
+      case Seq((_, as), (_, bs)) =>
+        val sims = for (a <- as; b <- bs) yield cosine(cent2(a), cent2(b))
+        sims.sum / sims.size < level1Threshold + eps
+    }
+    val l1Labels = level1Groups.forall { case (l1, l2s) =>
+      val c1 = centroid(l2s.map(cent2))
+      l2s.contains(l1) &&
+        cosine(cent2(l1), c1) >= l2s.map(x => cosine(cent2(x), c1)).max - eps
+    }
+
+    memberOverThr && seedsIndependent && noEarlierClaim && docCountsOk &&
+      labelsOk3 && l2Term && l2Labels && l1Term && l1Labels
+  }
+
   // Encoder-visible row shapes for the bucketed path (codegen'd
   // (de)serializers cannot access private members).
   case class TagDocs(bucket: Int, phrase: String, docs: Seq[Long], docCount: Long)

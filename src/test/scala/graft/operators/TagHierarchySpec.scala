@@ -118,4 +118,63 @@ class TagHierarchySpec extends SparkSpec {
       assert(perTag.contains(r._2) && perTag.contains(r._3) && perTag.contains(r._4))
     }
   }
+
+  // round-15 board #1: the cert's Spark-measured invariant audit must
+  // accept a genuinely-built hierarchy and reject each corruption class.
+  test("hierarchyInvariants: true on a built hierarchy, false on every corruption class") {
+    val tags = IndexedSeq(
+      TagVec("rust async", dense(0.9, 0.1, 0, 0, 0, 0), 3),
+      TagVec("tokio runtime", dense(0.85, 0.15, 0, 0, 0, 0), 2),
+      TagVec("database query", dense(0, 0, 0.9, 0.1, 0, 0), 4),
+      TagVec("sql storage", dense(0, 0, 0.85, 0.15, 0, 0), 1),
+      TagVec("grpc service", dense(0, 0, 0, 0, 0.9, 0.1), 2),
+      TagVec("rest api", dense(0, 0, 0, 0, 0.1, 0.9), 3))
+    val rows = buildHierarchy(tags)
+    assert(hierarchyInvariants(tags, rows, 0.85, 0.70, 0.50),
+      "a genuinely-built hierarchy must pass its own invariants")
+
+    // (a) dropped row
+    assert(!hierarchyInvariants(tags, rows.tail, 0.85, 0.70, 0.50))
+    // (b) doc_count corrupted consistently across a cluster
+    val rustCanon = rows.find(_._1 == "rust async").get._2
+    val badDc = rows.map(r => if (r._2 == rustCanon) r.copy(_5 = r._5 + 1) else r)
+    assert(!hierarchyInvariants(tags, badDc, 0.85, 0.70, 0.50))
+    // (c) member moved into a cluster it is nowhere near: rewrite
+    // "grpc service" onto the rust cluster (all parent columns too, so
+    // the consistency check passes and the SIMILARITY check must catch
+    // it)
+    val rustRow = rows.find(_._1 == "rust async").get
+    val badMove = rows.map(r =>
+      if (r._1 == "grpc service")
+        (r._1, rustRow._2, rustRow._3, rustRow._4, rustRow._5)
+      else r)
+    assert(!hierarchyInvariants(tags, badMove, 0.85, 0.70, 0.50))
+    // (d) label swapped to a non-centroid-closest member: relabel the
+    // merged rust cluster by its OTHER member
+    val other = rows.filter(r => r._2 == rustCanon && r._1 != rustCanon)
+      .map(_._1).head
+    val badLabel = rows.map(r =>
+      if (r._2 == rustCanon)
+        (r._1, other,
+          if (r._3 == rustCanon) other else r._3,
+          if (r._4 == rustCanon) other else r._4, r._5)
+      else r)
+    assert(!hierarchyInvariants(tags, badLabel, 0.85, 0.70, 0.50))
+  }
+
+  test("tag_hierarchy_cert: per-cluster rows, cert = true, membership partitions the vocabulary") {
+    val out = TagHierarchy.tagHierarchyCert(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty, "cert must emit one row per level-3 cluster")
+    assert(out.forall(_._4), "the measured quality contract must hold")
+    val vocabSize = KeywordTags.keywordTags(spark, sfDir)
+      .select("tag").distinct().count()
+    assert(out.map(_._2).sum == vocabSize,
+      "cluster sizes must partition the vocabulary")
+    assert(out.map(_._1).distinct.length == out.length, "seeds are unique")
+    // the exercising thresholds must actually exercise: at least one
+    // multi-member cluster at every test SF (measured: 5 at sf0.01,
+    // 2 at sf0.1; sf0.001 pinned here)
+    assert(out.exists(_._2 > 1), "at least one real merge must fire")
+  }
 }
