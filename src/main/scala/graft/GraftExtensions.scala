@@ -168,6 +168,20 @@ object GraftFunctions {
       org.apache.spark.sql.graft.MinHashBandBuckets(
         org.apache.spark.sql.graft.Bridge.expression(sig), bands, rowsPerBand))
 
+  /** All `tables` sampled-bit LSH keys of a simhash in one
+    * constant-size loop — position t equals
+    * `Σ_i shiftleft(shiftright(sh, pos(t)(i)).bitwiseAND(1), i)`.
+    * Exists because the composed form's generated method grows with
+    * tables × bitsPerTable and sits 7× over HotSpot's silent 8 KB JIT
+    * limit at the DEFAULT knobs (see SimHashLshKeys' scaladoc).
+    * Column-API only: the position table is a plain constructor
+    * parameter.
+    */
+  def simhashLshKeys(sh: Column, positions: Array[Array[Int]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.SimHashLshKeys(
+        org.apache.spark.sql.graft.Bridge.expression(sh), positions))
+
   /** Sorted distinct xxhash64 values of all character 3-grams in one
     * byte-level pass — equals `array_sort(array_distinct(transform(
     * sequence(1, greatest(length(t) - 2, 1)), i -> xxhash64(substr(t,

@@ -19,9 +19,18 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Dev-only probe targets that are deliberately NOT registered
-    // queries (straggler baselines for before/after measurements).
-    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame = name match {
+    val fn = targetFn(name)
+    run(spark, name, sfDir, fn)
+  }
+
+  /** Resolve a probe target: dev-only diagnostics/knob variants first
+    * (deliberately NOT registered queries — straggler baselines and
+    * knob points for before/after measurements), then the registered
+    * query map. Exposed so JitBytecodeLockSpec audits the SAME target
+    * list the JIT audit script drives — coverage can't drift.
+    */
+  def targetFn(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    name match {
       case "skew_join_unsalted" =>
         (s, d) => graft.operators.SkewJoin.skewJoinUnsalted(s, d)
       // dedup_minhash_capped / corpus_pipeline_fast_capped were probe
@@ -152,6 +161,9 @@ object Probe {
         }
       case _ => SparkEntry.queries(name)
     }
+
+  private def run(spark: SparkSession, name: String, sfDir: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
     var lastQe: org.apache.spark.sql.execution.QueryExecution = null
     for (round <- 1 to 2) {
       val t0 = System.nanoTime()

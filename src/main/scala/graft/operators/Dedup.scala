@@ -686,40 +686,23 @@ object Dedup {
         expr("transform(toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"))
         .as("simhash"))
     val positions = simhashLshPositions(tables, bitsPerTable)
-    // per-table sampled-bit key: Σ bit(pos_i) << i — 16 shift/mask ops
-    // per table, all codegen'd in the scan projection
-    def keyOf(pos: Array[Int]): Column =
-      pos.zipWithIndex.map { case (p, i) =>
-        shiftleft(shiftright(col("simhash"), p).bitwiseAND(lit(1L)), i)
-      }.reduce(_ + _)
-    def keyedOver(src: DataFrame, tblPos: Seq[(Array[Int], Int)]): DataFrame =
-      src.select(col("doc_id"), col("simhash"),
-        explode(array(tblPos.map { case (pos, t) =>
-          struct(lit(t).as("tbl"), keyOf(pos).as("k"))
-        }: _*)).as("tk"))
-        .select(col("doc_id"), col("simhash"),
-          col("tk.tbl").as("tbl"), col("tk.k").as("k"))
-    // janino's 64KB method limit: the keyed projection unrolls
-    // tables·bitsPerTable shift/mask terms, and a wide-key config
-    // (w=20/t=64 = 1,280 terms, the decade-3 knob) pushed the
-    // whole-stage-codegen method past it — Spark silently fell back to
-    // interpreted evaluation (round-13 board #4). Past a term budget
-    // (384 = the default 24×16, measured compiling fine) the explode
-    // splits into per-batch projections UNIONed back together over a
-    // checkpointed sims (so the md5 token fold runs once, not once per
-    // batch); each batch's generated method stays small. The default
-    // config keeps its original single-projection plan bit-for-bit.
-    val termBudget = 384
-    val keyed =
-      if (tables * bitsPerTable <= termBudget)
-        keyedOver(sims, positions.toSeq.zipWithIndex)
-      else {
-        val simsC = sims.localCheckpoint()
-        positions.toSeq.zipWithIndex
-          .grouped(math.max(1, termBudget / bitsPerTable))
-          .map(keyedOver(simsC, _))
-          .reduce(_ unionByName _)
-      }
+    // Per-table sampled-bit keys via the NATIVE SimHashLshKeys loop
+    // (round 15, board #2). History of this projection: the unrolled
+    // shift/mask form blew janino's 64 KB class limit at wide knobs
+    // (round 13), and the round-13 term-budget batching fix (384 terms
+    // per projection, sized against janino) still generated a 57,701 B
+    // method at the DEFAULT 24×16 — 7× over HotSpot's SILENT 8 KB
+    // DontCompileHugeMethods cliff, i.e. interpreted forever at
+    // decade-3 row counts (caught by JitBytecodeLockSpec; it escaped
+    // the r14 PrintCompilation audit because sf0.1 partitions stay
+    // under the OSR backedge threshold). The native loop's generated
+    // code is constant-size at ANY (tables, bitsPerTable) — no
+    // batching, no checkpoint, one fused projection; bit-identical
+    // keys (exact integer arithmetic over disjoint bits), so the
+    // generated DuckDB oracle is unaffected.
+    val keyed = sims.select(col("doc_id"), col("simhash"),
+      posexplode(graft.GraftFunctions.simhashLshKeys(col("simhash"), positions))
+        .as(Seq("tbl", "k")))
     val l = keyed.select(col("tbl"), col("k"), col("doc_id").as("a"), col("simhash").as("sh_a"))
     val r = keyed.select(col("tbl"), col("k"), col("doc_id").as("b"), col("simhash").as("sh_b"))
     // hamming verify before the pair dedup, as in simhashPairs

@@ -110,6 +110,34 @@ class NativeExpressionPropSpec extends SparkSpec {
     }
   }
 
+  test("simhash LSH keys equal the composed shift/mask unroll on random simhashes") {
+    // The constant-code-size key expression (round 15 — the unrolled
+    // form generated a 57,701 B method at the DEFAULT 24×16, 7× over
+    // HotSpot's silent 8KB JIT limit) must stay bit-identical to
+    // Σ_i shiftleft(shiftright(sh, pos(t)(i)) & 1, i) per table,
+    // across random position tables and knob shapes.
+    for ((tables, bits) <- Seq((24, 16), (64, 20), (3, 1), (1, 60), (7, 5))) {
+      val positions = {
+        val r = new scala.util.Random(tables * 100 + bits)
+        Array.fill(tables)(r.shuffle((0 until 60).toList).take(bits).sorted.toArray)
+      }
+      val rows = sample(Arbitrary.arbitrary[Long], 150)
+        .zipWithIndex.map { case (sh, i) => (i.toLong, sh) }
+      val df = rows.toDF("id", "sh")
+      val composed = array(positions.map { pos =>
+        pos.zipWithIndex.map { case (p, i) =>
+          shiftleft(shiftright(col("sh"), p).bitwiseAND(lit(1L)), i)
+        }.reduce(_ + _)
+      }.toSeq: _*)
+      val bad = df
+        .withColumn("n", GraftFunctions.simhashLshKeys(col("sh"), positions))
+        .withColumn("c", composed)
+        .filter(col("n") =!= col("c"))
+        .collect()
+      assert(bad.isEmpty, s"tables=$tables bits=$bits first: ${bad.headOption}")
+    }
+  }
+
   test("sorted intersect count equals size(array_intersect) on random sorted sets") {
     val setGen = for {
       n <- Gen.chooseNum(0, 50)
