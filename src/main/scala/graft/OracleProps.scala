@@ -257,6 +257,34 @@ object OracleProps {
         SparkEntry.elaboratesVirtualOracleSqlFor(concepts))
     }
 
+    // ---- family 10: modularityOf's arithmetic (round 15, board #5) —
+    // random small weighted graphs × random partial memberships. The
+    // hashed columns are the EXACT RATIONAL (q_num, q_den) = the
+    // summation-order-immune form of Q (the round-14 advice class
+    // designed out up front: no double crosses the engine boundary);
+    // DuckDB re-derives both integers from the embedded graph, and
+    // cert = true pins that Spark's REAL modularityOf double pipeline
+    // matched the rational within 1e-12. Left-out nodes exercise the
+    // singleton-default membership arm on both engines.
+    for (i <- 0 until 3) {
+      val n = 6 + rng.nextInt(10)
+      val edges0 = for {
+        a <- 0 until n
+        b <- a + 1 until n
+        if rng.nextDouble() < 0.45
+      } yield (s"n$a", s"n$b", 1L + rng.nextInt(9))
+      val edges = if (edges0.isEmpty) Seq(("n0", "n1", 1L)) else edges0
+      val nComm = 2 + rng.nextInt(4)
+      val memb0 = (0 until n).flatMap { a =>
+        if (rng.nextDouble() < 0.85) Some(s"n$a" -> s"c${rng.nextInt(nComm)}")
+        else None // exercised: nodes defaulting to singleton communities
+      }
+      val memb = if (memb0.isEmpty) Seq("n0" -> "c0") else memb0
+      dump(s"prop_modularity_$i",
+        Leiden.modularityRationalCertOf(spark, edges, memb),
+        Leiden.modularityRationalOracleFor(edges, memb))
+    }
+
     Verify.writeOracleJson(outDir, oracles.toMap)
     spark.stop()
   }

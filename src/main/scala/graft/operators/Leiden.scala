@@ -170,6 +170,88 @@ object Leiden {
           col("q_leiden") > 0).as("cert"))
   }
 
+  /** OracleProps family-10 cert (round-15 board #5): property-test
+    * [[modularityOf]]'s ARITHMETIC on a random small weighted graph
+    * with a GIVEN membership — the axis graph_leiden_cert pins only at
+    * the bipartite −0.5 degeneracy and LeidenSpec's hand graphs.
+    *
+    * FP-robust design (the round-14 advice on summation-order
+    * sensitivity, applied up front): with integer weights, Q is the
+    * exact rational (w_in·2m − Σ tot_c²) / (2m)², so the HASHED
+    * columns are the BIGINT numerator/denominator — bit-exact on any
+    * engine, no rounding boundary to flip. The DuckDB twin recomputes
+    * both integers from the same embedded graph + membership
+    * (independently deriving w_in, strengths, community totals — the
+    * full formula structure) and pins `cert = true`, which only
+    * matches if the Spark-side MEASURED [[modularityOf]] double
+    * (the real operator pipeline, joins + aggregates) agrees with the
+    * exact rational within 1e-12. Nodes absent from `membership`
+    * exercise the singleton-default coalesce arm on both engines.
+    */
+  def modularityRationalCertOf(spark: SparkSession,
+                               edges: Seq[(String, String, Long)],
+                               membership: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    require(edges.nonEmpty, "modularity cert needs at least one edge")
+    // exact rational in Scala longs (arithmetic on exact integers)
+    val memb = membership.toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val commOf = nodes.map(nd => nd -> memb.getOrElse(nd, nd)).toMap
+    val twoM = 2L * edges.map(_._3).sum
+    val wIn = 2L * edges.filter(e => commOf(e._1) == commOf(e._2)).map(_._3).sum
+    val strength = nodes.map(nd =>
+      nd -> edges.collect {
+        case (a, b, w) if a == nd || b == nd => w
+      }.sum).toMap
+    val tot = strength.groupBy { case (nd, _) => commOf(nd) }
+      .map { case (_, ks) => ks.values.sum }
+    val qNum = wIn * twoM - tot.map(t => t * t).sum
+    val qDen = twoM * twoM
+    // the real operator pipeline, measured against the rational
+    val und = edges.toDF("u", "v", "w")
+      .select(col("u"), col("v"), col("w").cast("double"))
+    val undSym = und.unionByName(
+      und.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val membDf = membership.toDF("node_id", "community")
+    val q = modularityOf(undSym, membDf).collect()(0).getDouble(0)
+    val cert = math.abs(q - qNum.toDouble / qDen.toDouble) <= 1e-12
+    Seq((qNum, qDen, cert)).toDF("q_num", "q_den", "cert")
+  }
+
+  /** Generated DuckDB twin of [[modularityRationalCertOf]]: the same
+    * graph + membership embedded as VALUES, the same integer formula
+    * recomputed independently (symmetric list, singleton-default
+    * membership, strengths, community totals), cert pinned true. */
+  def modularityRationalOracleFor(edges: Seq[(String, String, Long)],
+                                  membership: Seq[(String, String)]): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val eVals = edges.map { case (u, v, w) => s"(${q(u)}, ${q(v)}, $w)" }.mkString(", ")
+    val mVals = membership.map { case (n, c) => s"(${q(n)}, ${q(c)})" }.mkString(", ")
+    s"""WITH e(u, v, w) AS (VALUES $eVals),
+       |memb(node, community) AS (VALUES $mVals),
+       |und AS (SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e),
+       |nodes AS (SELECT DISTINCT u AS node FROM und),
+       |fullm AS (
+       |  SELECT n.node, coalesce(m.community, n.node) AS community
+       |  FROM nodes n LEFT JOIN memb m ON m.node = n.node),
+       |two_m AS (SELECT CAST(sum(w) AS BIGINT) AS tm FROM und),
+       |win AS (
+       |  SELECT CAST(coalesce(sum(u.w), 0) AS BIGINT) AS w_in
+       |  FROM und u
+       |  JOIN fullm a ON a.node = u.u
+       |  JOIN fullm b ON b.node = u.v
+       |  WHERE a.community = b.community),
+       |str AS (SELECT u, CAST(sum(w) AS BIGINT) AS k FROM und GROUP BY 1),
+       |tot AS (
+       |  SELECT f.community, CAST(sum(s.k) AS BIGINT) AS t
+       |  FROM str s JOIN fullm f ON f.node = s.u GROUP BY 1),
+       |sq AS (SELECT CAST(coalesce(sum(t * t), 0) AS BIGINT) AS s FROM tot)
+       |SELECT CAST(win.w_in * two_m.tm - sq.s AS BIGINT) AS q_num,
+       |  CAST(two_m.tm * two_m.tm AS BIGINT) AS q_den,
+       |  true AS cert
+       |FROM win CROSS JOIN two_m CROSS JOIN sq""".stripMargin
+  }
+
   /** Leiden over any (src, dst, w) weighted edge DataFrame. `buckets`
     * only affects the over-budget frontier path.
     *
