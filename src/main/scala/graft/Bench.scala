@@ -71,8 +71,15 @@ object Bench {
     // individual queries (regression bisection without a full run).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Names in BENCH_ONLY that are NOT registered queries resolve
+    // through Probe's dev-target map (round 15): probe-only forms
+    // (sink/nosort twins, knob variants) get protocol-grade repeats-N
+    // medians in the same artifact layout as registered rows.
+    val probeExtras = only.toSeq.flatten
+      .filterNot(SparkEntry.queries.contains).sorted
+      .map(n => n -> Probe.targetFn(n))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) } ++ probeExtras
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()

@@ -201,4 +201,16 @@ class ElaboratesSpec extends SparkSpec {
     assert(e.getAs[String]("tenant_id") == "__global__")
     assert(e.getAs[String]("source_file") == "elaborates_task")
   }
+
+  // round-15 board #7: the sink (nosort) form the README routes 100 TB
+  // writers to must be the SAME edge set as the registered sorted form
+  // — the presentation sort is the ONLY difference.
+  test("elaborates: virtual sorted and sink (nosort) forms are the same edge set") {
+    val sorted = Elaborates.docElaboratesVirtual(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val sink = Elaborates.docElaboratesVirtual(spark, sfDir, ordered = false)
+      .collect().map(_.toSeq)
+    assert(sink.length == sorted.size, "sink form must not duplicate or drop edges")
+    assert(sink.toSet == sorted, "sink form must emit exactly the sorted form's edges")
+  }
 }
