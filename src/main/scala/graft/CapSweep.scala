@@ -23,14 +23,65 @@ object CapSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text")).localCheckpoint()
+    // Density-matched CLUSTER subsample (round-15 board #3, the
+    // absolute-anchor path): with SPARK_GRAFT_CAPSWEEP_CLUSTER_SAMPLE=K,
+    // keep only documents whose BASE near-dup cluster (connected
+    // component of the full family at the unscaled base dir, mapped
+    // through the ScaleUp doc_id stride) hashes ≡ 0 (mod K) — every
+    // kept cluster keeps ALL its replicas across all shards, so cluster
+    // sizes and the intra-group bucket crowding that drives W-cap
+    // coverage loss stay decade-exact, while the full family's pair
+    // set shrinks ~K× to materializable size. Cross-GROUP co-bucketing
+    // (moderately-similar docs of different base clusters) thins by
+    // (1 − 1/K); the estimator is therefore VALIDATED at the decades
+    // where the true absolute is computable (sf0.1, ×10) before the
+    // ×100 number is carried as the anchor.
+    val clusterSample =
+      sys.env.getOrElse("SPARK_GRAFT_CAPSWEEP_CLUSTER_SAMPLE", "1").toInt
+    val docsAll = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val docs = (if (clusterSample <= 1) docsAll else {
+      val baseDir =
+        sys.env.getOrElse("SPARK_GRAFT_CAPSWEEP_BASE_DIR", "/root/testdata/sf0.1")
+      println(s"[capsweep] cluster subsample: mod=$clusterSample base=$baseDir")
+      val baseDocs = Tables.documents(spark, baseDir)
+        .select(col("doc_id"), col("text"))
+      val basePrio = baseDocs.select(col("doc_id"),
+        length(col("text")).cast("long").as("keep_rank"))
+      val roots = Dedup.dedupClustersOf(
+          Dedup.dedupMinhashOf(baseDocs).select(col("a"), col("b")), basePrio)
+        .select(col("doc_id").as("base_id"), col("cluster_id").as("root"))
+      docsAll
+        .withColumn("base_id", col("doc_id") % 10000)
+        .join(broadcast(roots), Seq("base_id"), "left")
+        .withColumn("root", coalesce(col("root"), col("base_id")))
+        .filter(pmod(xxhash64(col("root")), lit(clusterSample)) === 0)
+        .select(col("doc_id"), col("text"))
+    }).localCheckpoint()
+    if (clusterSample > 1)
+      println(s"[capsweep] subsample docs=${docs.count()} of ${docsAll.count()}")
     val prio = docs.select(col("doc_id"),
       length(col("text")).cast("long").as("keep_rank")).localCheckpoint()
 
+    // Density-matched bucket subsample (round-15 board #3): with
+    // SPARK_GRAFT_CAPSWEEP_BUCKET_MOD=K > 1, both the reference and the
+    // grid keep only band buckets with hash ≡ 0 (mod K). Retained
+    // buckets keep their FULL member lists — decade-exact occupancy,
+    // the quantity that drives W-cap coverage loss — while the pair
+    // family shrinks ~K×, making the decade-3 FULL family
+    // materializable for an ABSOLUTE anchor. Validate the estimator at
+    // the decades where the true absolute exists (sampled ≈ unsampled
+    // at sf0.1/×10), then carry the ×100 sampled number as the anchor.
+    // Multi-bucket rescue shrinks on BOTH sides of the ratio, slightly
+    // conservatively for the capped side (more buckets = more chances
+    // at a within-W slot), so the anchor reads as a mild lower bound.
+    val bucketMod = sys.env.getOrElse("SPARK_GRAFT_CAPSWEEP_BUCKET_MOD", "1").toInt
+    if (bucketMod > 1)
+      println(s"[capsweep] density-matched bucket subsample: mod=$bucketMod")
     def pairsOf(w: Int, passes: Int = 1) =
-      if (w <= 0) Dedup.dedupMinhashOf(docs)
-      else Dedup.dedupMinhashCappedOf(docs, window = w, passes = passes)
+      if (w <= 0) Dedup.dedupMinhashOf(docs, bucketSampleMod = bucketMod)
+      else Dedup.dedupMinhashCappedOf(docs, window = w, passes = passes,
+        bucketSampleMod = bucketMod)
     def keepsOf(p: org.apache.spark.sql.DataFrame): Map[Long, Int] =
       Dedup.dedupClustersOf(p.select(col("a"), col("b")), prio)
         .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap

@@ -72,14 +72,26 @@ object Dedup {
     dedupMinhashOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       bands, rowsPerBand, jaccardThreshold)
 
-  /** §3 `*Of` form of dedup_minhash over a (doc_id, text) frame. */
+  /** §3 `*Of` form of dedup_minhash over a (doc_id, text) frame.
+    *
+    * `bucketSampleMod` is a MEASUREMENT knob (CapSweep only, default 1
+    * = off, never set by a registered query): keep only band buckets
+    * with hash ≡ 0 (mod K). Per-retained-bucket occupancy — the
+    * quantity that drives the capped family's coverage loss — is
+    * EXACTLY the full corpus's (density-matched), while the pair
+    * family shrinks ~K×, which is what makes the full family's
+    * decade-3 pair set materializable for an ABSOLUTE coverage anchor
+    * (round-15 board #3; CAPSWEEP_r14 could only impute it).
+    */
   def dedupMinhashOf(corpus: DataFrame,
                      bands: Int = 12, rowsPerBand: Int = 3,
-                     jaccardThreshold: Double = 0.6): DataFrame =
+                     jaccardThreshold: Double = 0.6,
+                     bucketSampleMod: Int = 1): DataFrame =
     minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
       t => graft.GraftFunctions.shingleHashes(t),
       (sigName, nb, rpb) =>
-        graft.GraftFunctions.minhashBandBuckets(col(sigName), nb, rpb))
+        graft.GraftFunctions.minhashBandBuckets(col(sigName), nb, rpb),
+      bucketSampleMod = bucketSampleMod)
 
   /** Bucket-window-capped fast family (see minhashCore's bucketWindow
     * note): candidates LINEAR in bucket size, for the clustering
@@ -143,12 +155,16 @@ object Dedup {
                            // (see minhashCore's multi-pass note and
                            // the measured coverage-vs-passes curve in
                            // CAPSWEEP_r13.txt / SURVEY §4)
-                           passes: Int = 1): DataFrame =
+                           passes: Int = 1,
+                           // CapSweep-only density-matched sampling
+                           // knob — see dedupMinhashOf's scaladoc
+                           bucketSampleMod: Int = 1): DataFrame =
     minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
       t => graft.GraftFunctions.shingleHashes(t),
       (sigName, nb, rpb) =>
         graft.GraftFunctions.minhashBandBuckets(col(sigName), nb, rpb),
-      bucketWindow = window, ordered = ordered, passes = passes)
+      bucketWindow = window, ordered = ordered, passes = passes,
+      bucketSampleMod = bucketSampleMod)
 
   /** Registered decade-3 form of the capped family over the documents
     * table (W = 8, the measured one-box default). Rows-only posture,
@@ -327,7 +343,10 @@ object Dedup {
                           bandBuckets: (String, Int, Int) => Column,
                           bucketWindow: Int = 0,
                           ordered: Boolean = true,
-                          passes: Int = 1): DataFrame = {
+                          passes: Int = 1,
+                          // keep band buckets with xxhash64 ≡ 0 (mod K)
+                          // — CapSweep's density-matched subsample
+                          bucketSampleMod: Int = 1): DataFrame = {
     // Exact-dup pre-pass — the reference's ingest-time content-hash
     // dedup (src/rust/common/src/hashing.rs) composed in front of the
     // near-dup path: shingling, signatures, banding, and verification
@@ -435,8 +454,16 @@ object Dedup {
     // while it fits, and falls back to a shuffle join beyond that. A
     // forced broadcast here would ship the whole corpus's shingle
     // table to every executor at 100 TB.
-    val exploded = sig.select(col("doc_id"),
+    val explodedAll = sig.select(col("doc_id"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
+    // Density-matched bucket subsample (measurement only): dropping
+    // whole (band, bucket) keys leaves every RETAINED bucket's member
+    // list — and so the per-bucket candidate mechanics the W cap acts
+    // on — bit-identical to the unsampled run's.
+    val exploded =
+      if (bucketSampleMod <= 1) explodedAll
+      else explodedAll.filter(
+        pmod(xxhash64(col("band"), col("bucket")), lit(bucketSampleMod)) === 0)
 
     // The bucket self-join is skew-SALTED: a near-dup cluster of k docs
     // puts all k members in one (band, bucket) key, and the k² pair
