@@ -79,6 +79,7 @@ object ManifestScaleProbe {
       def measure(phase: String, appendFrom: Int): Unit = {
         discovery.clear()
         spark.streams.addListener(listener)
+        val tStart = System.nanoTime()
         val q = spark.readStream
           .option("maxFilesPerTrigger", "1")
           .text(manifestDir.getAbsolutePath)
@@ -89,6 +90,16 @@ object ManifestScaleProbe {
           }
           .trigger(Trigger.ProcessingTime(0))
           .start()
+        // Restart recovery (offset-WAL replay + seen-map rebuild from
+        // the file-source metadata log) grows with segment count and
+        // can exceed the sample window — wait it out and REPORT it:
+        // it is the restart-cost term of the same scaling story.
+        val initDeadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+        while (discovery.isEmpty && q.exception.isEmpty &&
+               System.nanoTime() < initDeadline) Thread.sleep(200)
+        println(f"[manifest] n=$n%7d phase=$phase%-12s first_progress_after=" +
+          f"${(System.nanoTime() - tStart) / 1e9}%.1fs")
+        discovery.clear()
         // sample idle + delivering triggers; a few fresh appends land
         // mid-window so the seen-map filter runs against real news
         (0 until 4).foreach { k =>
@@ -96,7 +107,7 @@ object ManifestScaleProbe {
           graft.streaming.StreamOps.appendManifestSegment(
             manifestDir, Seq(s"/data/new-$phase-$k.parquet"))
         }
-        Thread.sleep(3000)
+        Thread.sleep(4000)
         q.exception.foreach(e => System.err.println(s"[manifest] QUERY FAILED: $e"))
         System.err.println(s"[manifest] recentProgress=${q.recentProgress.length} " +
           s"status=${q.status.message}")
