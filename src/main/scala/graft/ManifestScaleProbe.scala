@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+import org.apache.spark.sql.streaming.Trigger
 
 /** Dev tool (round-15 board #6): the manifest SOURCE's per-trigger
   * discovery term at decade-3 segment counts, measured — LISTING_r12
@@ -14,12 +14,19 @@ import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
   *     per-append dir scan is O(N²) for a bulk build) in a fresh
   *     manifest dir, plus a durable checkpoint;
   *  2. catch up in ONE AvailableNow trigger (maxFilesPerTrigger = N);
-  *  3. run a ProcessingTime(0) stream on the same checkpoint and
-  *     sample per-trigger `durationMs.latestOffset` — the exact
-  *     discovery wall: FileStreamSource lists the manifest dir and
-  *     filters against its seen-files map every trigger, whether or
-  *     not anything is new. A few fresh segments are appended during
-  *     the window so both idle and delivering triggers are sampled;
+  *  3. run a ProcessingTime(0) stream on the same checkpoint and read
+  *     per-trigger `durationMs.latestOffset` out of the query's own
+  *     `recentProgress` ring — the exact discovery wall:
+  *     FileStreamSource lists the manifest dir and filters against its
+  *     seen-files map every trigger, whether or not anything is new.
+  *     (Read directly from the query object, NOT via a
+  *     StreamingQueryListener — measured here: listener delivery
+  *     silently missed every event for a full 600 s window while the
+  *     ring buffer filled normally.) The stream-restart recovery wall
+  *     (offset-WAL replay + seen-map rebuild, which grows with N) is
+  *     waited out and reported separately as first_progress_after. A
+  *     few fresh segments are appended during the window so idle and
+  *     delivering triggers are both sampled;
   *  4. compact the manifest to ONE segment and re-sample — the
   *     post-compaction floor.
   *
@@ -37,7 +44,7 @@ object ManifestScaleProbe {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      // idle triggers emit progress (and so a latestOffset duration —
+      // idle triggers record progress (and so a latestOffset duration —
       // the pure-discovery sample) at this cadence; the 10s default
       // yields zero idle samples inside the probe's ~10s window
       .config("spark.sql.streaming.noDataProgressEventInterval", "500")
@@ -49,6 +56,9 @@ object ManifestScaleProbe {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
+
+    val countBatch = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                      _: Long) => { batch.count(); () }
 
     for (n <- counts) {
       val work = new java.io.File(s"target/manifest-scale-$n")
@@ -64,42 +74,25 @@ object ManifestScaleProbe {
       System.err.println(
         f"[manifest] built $n segments (${(System.nanoTime() - t0) / 1e9}%.1fs)")
 
-      val discovery = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
-      val listener = new StreamingQueryListener {
-        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-          val d = e.progress.durationMs
-          val lo = Option(d.get("latestOffset")).map(_.toLong)
-            .orElse(Option(d.get("getOffset")).map(_.toLong)).getOrElse(-1L)
-          discovery.add((lo, e.progress.numInputRows))
-        }
-      }
-
-      def measure(phase: String, appendFrom: Int): Unit = {
-        discovery.clear()
-        spark.streams.addListener(listener)
+      def measure(phase: String): Unit = {
         val tStart = System.nanoTime()
         val q = spark.readStream
           .option("maxFilesPerTrigger", "1")
           .text(manifestDir.getAbsolutePath)
           .writeStream
           .option("checkpointLocation", ckpt.getAbsolutePath)
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            batch.count(); ()
-          }
+          .foreachBatch(countBatch)
           .trigger(Trigger.ProcessingTime(0))
           .start()
         // Restart recovery (offset-WAL replay + seen-map rebuild from
         // the file-source metadata log) grows with segment count and
-        // can exceed the sample window — wait it out and REPORT it:
-        // it is the restart-cost term of the same scaling story.
-        val initDeadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
-        while (discovery.isEmpty && q.exception.isEmpty &&
+        // can dwarf the sample window — wait it out and REPORT it: it
+        // is the restart-cost term of the same scaling story.
+        val initDeadline = System.nanoTime() + 900L * 1000 * 1000 * 1000
+        while (q.recentProgress.isEmpty && q.exception.isEmpty &&
                System.nanoTime() < initDeadline) Thread.sleep(200)
-        println(f"[manifest] n=$n%7d phase=$phase%-12s first_progress_after=" +
-          f"${(System.nanoTime() - tStart) / 1e9}%.1fs")
-        discovery.clear()
+        val initS = (System.nanoTime() - tStart) / 1e9
+        val skip = q.recentProgress.length // init-phase entries: not sampled
         // sample idle + delivering triggers; a few fresh appends land
         // mid-window so the seen-map filter runs against real news
         (0 until 4).foreach { k =>
@@ -108,41 +101,43 @@ object ManifestScaleProbe {
             manifestDir, Seq(s"/data/new-$phase-$k.parquet"))
         }
         Thread.sleep(4000)
+        val progresses = q.recentProgress.drop(skip)
         q.exception.foreach(e => System.err.println(s"[manifest] QUERY FAILED: $e"))
-        System.err.println(s"[manifest] recentProgress=${q.recentProgress.length} " +
-          s"status=${q.status.message}")
         q.stop(); q.awaitTermination()
-        spark.streams.removeListener(listener)
-        import scala.jdk.CollectionConverters._
-        val ds = discovery.asScala.toSeq.map(_._1).filter(_ >= 0).sorted
+        val ds = progresses.toSeq
+          .flatMap(p => Option(p.durationMs.get("latestOffset")).map(_.toLong))
+          .filter(_ >= 0).sorted
+        val delivered = progresses.count(_.numInputRows > 0)
         val segsOnDisk = Option(manifestDir.listFiles()).map(_.length).getOrElse(0)
         if (ds.nonEmpty)
-          println(f"[manifest] n=$n%7d phase=$phase%-12s segs_on_disk=$segsOnDisk%7d " +
-            f"triggers=${ds.size}%3d discovery_ms med=${ds(ds.size / 2)}%6d " +
+          println(f"[manifest] n=$n%7d phase=$phase%-10s segs_on_disk=$segsOnDisk%7d " +
+            f"restart_recovery=$initS%6.1fs triggers=${ds.size}%3d " +
+            f"(delivering=$delivered) discovery_ms med=${ds(ds.size / 2)}%6d " +
             f"p90=${ds((ds.size * 9) / 10)}%6d max=${ds.last}%6d")
         else
-          println(s"[manifest] n=$n phase=$phase NO SAMPLES")
+          println(f"[manifest] n=$n phase=$phase NO SAMPLES " +
+            f"(restart_recovery=$initS%6.1fs)")
       }
 
       // catch-up: one big trigger consumes the backlog so the steady
       // state starts with the seen-map fully loaded
+      val tCatch = System.nanoTime()
       val catchup = spark.readStream
         .option("maxFilesPerTrigger", n.toString)
         .text(manifestDir.getAbsolutePath)
         .writeStream
         .option("checkpointLocation", ckpt.getAbsolutePath)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.count(); ()
-        }
+        .foreachBatch(countBatch)
         .trigger(Trigger.AvailableNow())
         .start()
       catchup.awaitTermination()
+      println(f"[manifest] n=$n catchup wall=${(System.nanoTime() - tCatch) / 1e9}%.1fs")
 
-      measure("steady", 0)
+      measure("steady")
       val t1 = System.nanoTime()
       graft.streaming.StreamOps.compactManifest(manifestDir)
       println(f"[manifest] n=$n compaction wall=${(System.nanoTime() - t1) / 1e9}%.2fs")
-      measure("compacted", 1)
+      measure("compacted")
       rm(work)
     }
     spark.stop()
