@@ -77,7 +77,7 @@ object CorpusPipeline {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("text"))
         .localCheckpoint(),
-      pairFamily = Dedup.dedupMinhashOf(_, _, _, _))
+      pairFamily = Dedup.dedupMinhashOf(_, _, _, _, ordered = false))
 
   /** The DECADE-3 production composition: identical stages with the
     * W=8 bucket-window-capped pair family
@@ -99,7 +99,7 @@ object CorpusPipeline {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("text"))
         .localCheckpoint(),
-      pairFamily = Dedup.dedupMinhashCappedOf(_, _, _, _))
+      pairFamily = Dedup.dedupMinhashCappedOf(_, _, _, _, ordered = false))
 
   /** §3 `*Of` form over any (doc_id, source, text) frame (callers pass
     * a cached/checkpointed frame; the standalone entry pins it). Docs
@@ -127,9 +127,16 @@ object CorpusPipeline {
                        // production path. Both return the same schema
                        // (shared minhashCore), so everything downstream
                        // — clustering, packing, sampling, the ledger —
-                       // is family-agnostic.
+                       // is family-agnostic. All families run ordered =
+                       // false (round 15): the pipeline's consumers
+                       // (dedupClustersOf's component shuffle, the
+                       // doc_id ledger joins) re-key the pair set, so
+                       // the mid-plan global pair sort the checkpoint
+                       // would otherwise materialize is pure cost —
+                       // the ledger is a set-function of the pairs and
+                       // stays bit-identical (CorpusPipelineSpec).
                        pairFamily: (DataFrame, Int, Int, Double) => DataFrame =
-                         Dedup.dedupMinhashOracleOf(_, _, _, _)): DataFrame = {
+                         Dedup.dedupMinhashOracleOf(_, _, _, _, ordered = false)): DataFrame = {
     val eval = corpus.filter(col("doc_id") < evalMax)
     val cand = corpus.filter(col("doc_id") >= evalMax)
 

@@ -86,12 +86,18 @@ object Dedup {
   def dedupMinhashOf(corpus: DataFrame,
                      bands: Int = 12, rowsPerBand: Int = 3,
                      jaccardThreshold: Double = 0.6,
-                     bucketSampleMod: Int = 1): DataFrame =
+                     bucketSampleMod: Int = 1,
+                     // pair-SINK mode (round 15): composition consumers
+                     // (corpus pipelines, clustering) re-shuffle the
+                     // pair set on their own keys — the global sort is
+                     // pure cost there, mid-plan where the registry's
+                     // top-sort strip cannot reach
+                     ordered: Boolean = true): DataFrame =
     minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
       t => graft.GraftFunctions.shingleHashes(t),
       (sigName, nb, rpb) =>
         graft.GraftFunctions.minhashBandBuckets(col(sigName), nb, rpb),
-      bucketSampleMod = bucketSampleMod)
+      bucketSampleMod = bucketSampleMod, ordered = ordered)
 
   /** Bucket-window-capped fast family (see minhashCore's bucketWindow
     * note): candidates LINEAR in bucket size, for the clustering
@@ -228,7 +234,8 @@ object Dedup {
                                  bands: Int = 12, rowsPerBand: Int = 3,
                                  jaccardThreshold: Double = 0.6,
                                  window: Int = 8,
-                                 passes: Int = 1): DataFrame =
+                                 passes: Int = 1,
+                                 ordered: Boolean = true): DataFrame =
     minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
       _ => expr(
         "array_sort(array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), " +
@@ -240,7 +247,7 @@ object Dedup {
           (0 until rpb).map(r =>
             s"cast(element_at($sigName, b*$rpb+$r+1) as string)")
             .mkString(", ") + "))"),
-      bucketWindow = window, passes = passes)
+      bucketWindow = window, passes = passes, ordered = ordered)
 
   /** Oracle-portable twin of dedup_minhash (same recipe as
     * [[dedupSimhashOracle]], registered because it measured UNDER the
@@ -266,7 +273,8 @@ object Dedup {
   /** §3 `*Of` form of dedup_minhash_oracle. */
   def dedupMinhashOracleOf(corpus: DataFrame,
                            bands: Int = 12, rowsPerBand: Int = 3,
-                           jaccardThreshold: Double = 0.6): DataFrame =
+                           jaccardThreshold: Double = 0.6,
+                           ordered: Boolean = true): DataFrame =
     minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
       // applies to the core's `text` column (the Column param is fixed
       // to col("text") at the single call site; a SQL-text expr keeps
@@ -280,7 +288,8 @@ object Dedup {
         s"transform(sequence(0, ${nb - 1}), b -> concat_ws(':', " +
           (0 until rpb).map(r =>
             s"cast(element_at($sigName, b*$rpb+$r+1) as string)")
-            .mkString(", ") + "))"))
+            .mkString(", ") + "))"),
+      ordered = ordered)
 
   /** Universal-hash coefficient table shared by both minhash variants
     * AND the generated DuckDB oracle — seed 7, a ∈ [1, p−1],
@@ -866,7 +875,12 @@ object Dedup {
                     jaccardThreshold: Double = 0.6): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     dedupClustersOf(
-      dedupMinhashOracleOf(docs, bands, rowsPerBand, jaccardThreshold),
+      // ordered = false (round 15): the component derivation re-shuffles
+      // the pair set on its own keys — a mid-plan global pair sort here
+      // is pure cost at every scale (clusters/keeps are set-functions of
+      // the pairs, so the output is bit-identical; DedupSpec pins it)
+      dedupMinhashOracleOf(docs, bands, rowsPerBand, jaccardThreshold,
+        ordered = false),
       docs.select(col("doc_id"), length(col("text")).cast("long").as("keep_rank")))
   }
 

@@ -15,6 +15,27 @@ object Bridge extends org.apache.spark.internal.Logging {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The same DataFrame minus a trailing GLOBAL Sort, when one is the
+    * plan's top node (round-15 optimization; see
+    * [[graft.SparkEntry.queries]] for the contract argument). A
+    * presentation `orderBy` whose output feeds nothing is a removable
+    * exchange — a full range-partition shuffle + sort of the final
+    * result. Only the TOP node is matched and only when `global =
+    * true`: top-k plans (`orderBy().limit()`) carry a Limit above
+    * their Sort and pass through unchanged, as do window orderings,
+    * `sortWithinPartitions` (global = false), and every mid-plan sort.
+    * Row-set identity of stripped vs unstripped plans is pinned by
+    * SortStripSpec.
+    */
+  def stripTopSort(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, true, child, _) =>
+        org.apache.spark.sql.classic.Dataset.ofRows(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          child)
+      case _ => df
+    }
+
   /** `localCheckpoint` that does NOT inherit the origin plan's
     * statistics.
     *
