@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/driver contract requires graft.Bench's single JSON metric
+// line to reach stdout VERBATIM at the start of a line. sbt's default
+// output strategy for forked runs (LoggedOutput) re-logs every stdout
+// line as "[info] ..." — a line-oriented JSON parser then never sees
+// `{"metric":...}` at line start (every driver BENCH_r*.json since
+// round 1 carries `parsed: null`). StdoutOutput hands the forked JVM
+// sbt's raw stdout/stderr instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
