@@ -25,7 +25,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val outDir = Paths.get("plans/r15")
+    val outDir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r16"))
     Files.createDirectories(outDir)
     for (name <- names) {
       try {

@@ -50,11 +50,23 @@ import graft.Tables
 object CorpusPipeline {
 
   def corpusPipeline(spark: SparkSession, dir: String): DataFrame =
-    corpusPipelineOf(
-      // the single corpus scan, pinned
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text"))
-        .localCheckpoint())
+    corpusPipelineOf(pinnedCorpus(spark, dir))
+
+  /** The single corpus scan, pinned — at explicit session width
+    * (round 16): localCheckpoint FREEZES the upstream layout (the
+    * minhashCore lesson), and a small parquet file scans as ONE split,
+    * so without the repartition every text-heavy stage hanging off the
+    * pinned frame (boilerplate line explode, quality gates, decontam
+    * grams, BPE token counts) runs single-wide. Work per row is orders
+    * of magnitude heavier than its bytes; spread it once at the pin.
+    */
+  private def pinnedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val shufP = spark.sessionState.conf.numShufflePartitions
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(shufP, col("doc_id"))
+      .localCheckpoint()
+  }
 
   /** The PRODUCTION composition — identical stages, but the near-dup
     * pair family is the xxhash64 fast path ([[Dedup.dedupMinhashOf]]:
@@ -73,10 +85,7 @@ object CorpusPipeline {
     * self-invariants re-checked on the fast path's own keeps.
     */
   def corpusPipelineFast(spark: SparkSession, dir: String): DataFrame =
-    corpusPipelineOf(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text"))
-        .localCheckpoint(),
+    corpusPipelineOf(pinnedCorpus(spark, dir),
       pairFamily = Dedup.dedupMinhashOf(_, _, _, _, ordered = false))
 
   /** The DECADE-3 production composition: identical stages with the
@@ -95,10 +104,7 @@ object CorpusPipeline {
     * not an identity).
     */
   def corpusPipelineFastCapped(spark: SparkSession, dir: String): DataFrame =
-    corpusPipelineOf(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text"))
-        .localCheckpoint(),
+    corpusPipelineOf(pinnedCorpus(spark, dir),
       pairFamily = Dedup.dedupMinhashCappedOf(_, _, _, _, ordered = false))
 
   /** §3 `*Of` form over any (doc_id, source, text) frame (callers pass
@@ -142,8 +148,16 @@ object CorpusPipeline {
 
     // Stage 1 — boilerplate rewrite. Pinned: five downstream stages
     // read it; without the checkpoint each would re-run the
-    // (source, line)-frequency shuffle.
+    // (source, line)-frequency shuffle. Explicit width BEFORE the pin
+    // (round 16): AQE coalesces the rewrite join's output on compressed
+    // bytes — a few MB of cleaned text reads as ~one advisory-sized
+    // partition — and the checkpoint freezes that layout for every
+    // text-heavy consumer (gates, decontam grams, shingles, BPE token
+    // counts). An explicit partition count is exempt from AQE
+    // coalescing by contract.
+    val shufP = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val cleaned = t("cleaned")(Boilerplate.cleanedTextOf(cand, dfThreshold)
+      .repartition(shufP, col("doc_id"))
       .localCheckpoint())
 
     // Stage 2 — parallel quality gates on the cleaned text.

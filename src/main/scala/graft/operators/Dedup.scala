@@ -625,7 +625,15 @@ object Dedup {
     */
   def dedupSimhash(spark: SparkSession, dir: String,
                    maxHamming: Int = 7): DataFrame = {
+    // Same explicit width as the oracle/LSH twins (round 16 — this
+    // variant was the one member of the family missing it): the
+    // tokenize + per-token-hash simhash projection otherwise inherits
+    // the scan's split count — a single-row-group parquet file runs
+    // the whole corpus's token hashing on ONE task (measured 2.7 of
+    // its 2.9 s wall on one core at sf0.1).
+    val shufP = spark.sessionState.conf.numShufflePartitions
     val docs = Tables.documents(spark, dir)
+      .repartition(shufP, col("doc_id"))
       .select(col("doc_id"), tokenizeSimple(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
 

@@ -240,9 +240,22 @@ object Elaborates {
   /** ELABORATES edges over a COVERS_TOPIC frame (source_node_id,
     * concept_id, depth). */
   def elaboratesOf(covers: DataFrame): DataFrame = {
+    // Pinned at explicit width (round 16): shallow and deep are BOTH
+    // derived from this frame, and without the checkpoint the whole
+    // covers derivation (the docSections parse chain) runs once per
+    // join arm — the broadcast side cannot reuse the other arm's
+    // exchange (measured: two full scan→Generate→Window chains in the
+    // plan). The explicit repartition spreads the pair-generation join
+    // across the session width: AQE otherwise coalesces the tiny
+    // byte-sized covers frame to ~one partition and the join's
+    // quadratic-per-concept output runs single-task (measured 3.6 of
+    // 4.1 s wall on one core at sf0.1).
+    val shufP = covers.sparkSession.sessionState.conf.numShufflePartitions
     val withOrd = covers
       .withColumn("ord", depthOrdinal(col("depth")))
       .filter(col("ord").isNotNull)
+      .repartition(shufP, col("concept_id"))
+      .localCheckpoint()
     val shallow = withOrd.select(col("concept_id"),
       col("source_node_id").as("shallow_id"), col("ord").as("shallow_ord"))
     val deep = withOrd.select(col("concept_id"),
@@ -270,9 +283,15 @@ object Elaborates {
     */
   def elaboratesAdjacentOf(covers: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Pinned at explicit width — same rationale as elaboratesOf, one
+    // stronger: THREE arms (nextLevel, shallow, deep) derive from this
+    // frame, so the unpinned plan ran the covers derivation three times.
+    val shufP = covers.sparkSession.sessionState.conf.numShufflePartitions
     val withOrd = covers
       .withColumn("ord", depthOrdinal(col("depth")))
       .filter(col("ord").isNotNull)
+      .repartition(shufP, col("concept_id"))
+      .localCheckpoint()
     val nextLevel = withOrd.select(col("concept_id"), col("ord")).distinct()
       .withColumn("next_ord",
         lead(col("ord"), 1).over(

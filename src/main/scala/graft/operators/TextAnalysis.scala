@@ -56,8 +56,15 @@ object TextAnalysis {
   /** Content fingerprints: md5 digest plus a 31-base rolling polynomial
     * hash mod 1e9+7 (exact integer math, engine-stable).
     */
-  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    // Explicit width before the per-character rolling-hash projection
+    // (round 16, the minhashCore pattern): the single-row-group corpus
+    // file scans as one split, so the whole hash pass ran on ONE task
+    // (measured 1.7 of its 1.7 s wall single-core at sf0.1). Work per
+    // row ≫ its bytes; spread first.
+    val shufP = spark.sessionState.conf.numShufflePartitions
     Tables.documents(spark, dir)
+      .repartition(shufP, col("doc_id"))
       .select(
         col("doc_id"),
         md5(col("text")).as("content_md5"),
@@ -65,6 +72,7 @@ object TextAnalysis {
                   transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))),
                   0L, (acc, c) -> pmod(acc * 31 + c, 1000000007L))""").as("rolling_hash"))
       .orderBy(col("doc_id"))
+  }
 
   /** Language ID via character-trigram profiles: build a top-trigram
     * profile per language from a labelled sample (broadcast), score
@@ -75,7 +83,11 @@ object TextAnalysis {
     * linguistic accuracy).
     */
   def langId(spark: SparkSession, dir: String, topGrams: Int = 40): DataFrame = {
+    // Explicit width before the per-character gram-count projection
+    // (round 16): same single-split-scan hazard as docFingerprint.
+    val shufP = spark.sessionState.conf.numShufflePartitions
     val docs = Tables.documents(spark, dir)
+      .repartition(shufP, col("doc_id"))
     // Per-doc gram counts from the graft_gram_counts expression — the
     // aggregation happens inside the scan projection, so only DISTINCT
     // grams per document leave the scan (the previous explode + groupBy
