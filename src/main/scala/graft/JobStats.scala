@@ -28,8 +28,32 @@ object JobStats {
     val tasks = new AtomicInteger
     val taskTime = new AtomicLong; val cpuTime = new AtomicLong
     val shufRead = new AtomicLong; val shufWrite = new AtomicLong
+    // Per-job breakdown (round 16): wall per job id + the submission
+    // GAP since the previous job ended — a large gap is DRIVER-side
+    // work (planning, collect processing, checkpoint bookkeeping), a
+    // large dur is cluster work. Enabled by SPARK_GRAFT_JOBSTATS_PERJOB.
+    val perJob = sys.env.contains("SPARK_GRAFT_JOBSTATS_PERJOB")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val lastEnd = new AtomicLong(0L)
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (perJob) {
+          val now = System.nanoTime()
+          jobStart.put(j.jobId, now)
+          val gap = if (lastEnd.get() == 0) 0.0 else (now - lastEnd.get()) / 1e9
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          System.err.println(f"[job] start id=${j.jobId}%-4d gap=$gap%6.3f  $desc")
+        }
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (perJob) {
+          val now = System.nanoTime()
+          lastEnd.set(now)
+          val dur = Option(jobStart.get(j.jobId)).map(s => (now - s) / 1e9).getOrElse(-1.0)
+          System.err.println(f"[job] end   id=${j.jobId}%-4d dur=$dur%6.3f")
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -40,6 +64,34 @@ object JobStats {
           cpuTime.addAndGet(m.executorCpuTime / 1000000L)
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    // In-process main-thread sampler (round 16; external attach is
+    // unavailable in the sandbox): every 50 ms record main's top
+    // catalyst/graft frame; a frequency table of these is a poor man's
+    // flame graph for the driver-side gaps. SPARK_GRAFT_JOBSTATS_SAMPLE.
+    val sampleCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    if (sys.env.contains("SPARK_GRAFT_JOBSTATS_SAMPLE")) {
+      val mainThread = Thread.currentThread()
+      val t = new Thread(() => {
+        while (true) {
+          val st = mainThread.getStackTrace
+          val frame = st.find(f =>
+              f.getClassName.contains("catalyst") || f.getClassName.contains("graft") ||
+              f.getClassName.startsWith("org.apache.spark.sql.execution"))
+            .map(f => f.getClassName + "." + f.getMethodName)
+            .getOrElse(st.headOption.map(f => f.getClassName + "." + f.getMethodName).getOrElse("?"))
+          sampleCounts.merge(frame, 1, (a: Integer, b: Integer) => a + b)
+          Thread.sleep(50)
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        sampleCounts.asScala.toSeq.sortBy(-_._2).take(25).foreach { case (f, c) =>
+          System.err.println(f"[sample] $c%5d  $f")
         }
       }
     }
@@ -66,7 +118,23 @@ object JobStats {
       Seq(taskTime, cpuTime, shufRead, shufWrite).foreach(_.set(0L))
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
+      try {
+        val qe = fn(spark, sfDir).queryExecution
+        qe.toRdd.count()
+        // Catalyst phase walls (analysis/optimization/planning) of the
+        // FINAL query execution — construction-time eager actions'
+        // planning is not attributed here, but a large number on the
+        // final plan pinpoints driver-side planning cost (§7.3).
+        if (perJob) {
+          qe.tracker.phases.foreach { case (p, s) =>
+            System.err.println(f"[phase] $name $p ${(s.endTimeMs - s.startTimeMs) / 1e3}%.3f s")
+          }
+          qe.tracker.topRulesByTime(8).foreach { case (rule, summary) =>
+            System.err.println(f"[rule] $name ${summary.totalTimeNs / 1e9}%.3f s " +
+              f"invocations=${summary.numInvocations} effective=${summary.numEffectiveInvocations} $rule")
+          }
+        }
+      } catch { case _: Throwable => () }
       val wall = (System.nanoTime() - t0) / 1e9
       // drain listener events before reading the counters (the bus is
       // private; a short settle sleep is enough for a dev tool)

@@ -10,8 +10,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cache here; operators decide.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet footer SCHEMAS memoized per path (round 16): without a
+    * catalog, every `spark.read.parquet` re-infers the schema by
+    * reading the footer on the driver at query-construction time —
+    * sampled at 1-2 s per bench query spread across its table loads
+    * (SchemaMergeUtils.mergeSchemasInParallel on the main thread).
+    * This memo is METADATA only — the exact metastore behaviour a real
+    * deployment gets from its catalog — and never caches rows; every
+    * query still scans the parquet data itself.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private[graft] def cachedSchema(spark: SparkSession, path: String) =
+    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    spark.read.schema(cachedSchema(spark, path)).parquet(path)
+  }
 
   /** The events table's `ts` encoding has shifted across testdata
     * generations — TIMESTAMP(NANOS) (which Spark only reads as long via
@@ -42,7 +59,7 @@ object Tables {
     * with the streaming reader's explicit schema. */
   def eventsTsType(spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    cachedSchema(spark, s"$dir/events.parquet")("ts").dataType
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -193,7 +193,17 @@ object ComponentDetection {
               .otherwise(npmObject)))
       .filter(col("filename").isNotNull)
       .select(col("tenant_id"), col("filename"), col("content"))
-    val comps = detectComponentsOf(manifests, files)
+    // Pinned (round 16): the component table is tenant-axis tiny
+    // (workspace members per project), but its DERIVATION — the
+    // withColumn manifest-parser chains — collapses into a deeply
+    // nested expression tree that Catalyst re-walks on every optimizer
+    // pass and every AQE stage re-optimization (measured: 1.4-1.8 s of
+    // pure driver `optimization` phase per execution, 0.67 s of it in
+    // PruneFilters with ZERO effective rewrites, on 0.5 task-seconds
+    // of actual cluster work). Checkpointing the ~400-row table
+    // optimizes the parser once and leaves the final plan a
+    // files ⋈ broadcast(ExistingRDD) join.
+    val comps = detectComponentsOf(manifests, files).localCheckpoint()
     assignComponents(files, comps).orderBy(col("doc_id"))
   }
 }
