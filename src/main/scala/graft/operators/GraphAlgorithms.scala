@@ -49,22 +49,40 @@ object GraphAlgorithms {
     * should run graph algorithms on `spark.newSession()` (same shared
     * SparkContext, isolated SQL conf).
     */
-  def withGraphSizedShuffle[T](spark: SparkSession, rowsPerIteration: Long)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    val sized = math.max(8L, rowsPerIteration / 200000L).min(prev.toLong)
-    spark.conf.set(key, sized.toString)
-    try f finally spark.conf.set(key, prev)
-  }
+  def withGraphSizedShuffle[T](spark: SparkSession, rowsPerIteration: Long)(f: => T): T =
+    // Exclusive (round 16): callers may now run graph algorithms from
+    // worker threads (graphLeidenCert overlaps Leiden with the
+    // label-prop baseline), and two concurrent mutators of the
+    // session-global setting could restore each other's SIZED value as
+    // the "previous" one, leaving the session reduced. The lock
+    // serializes only the over-budget distributed loops; compact-path
+    // callers never enter here.
+    shuffleSizingLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      val sized = math.max(8L, rowsPerIteration / 200000L).min(prev.toLong)
+      spark.conf.set(key, sized.toString)
+      try f finally spark.conf.set(key, prev)
+    }
 
-  /** Distinct supplier→customer edges via shared orders. */
+  private val shuffleSizingLock = new Object
+
+  /** Distinct supplier→customer edges via shared orders.
+    *
+    * The distinct runs on the INTEGER key pair and the namespaced
+    * string ids are concatenated after (round 16, guide §2.3 — shuffle
+    * narrower types): the prefixed concat is injective, so
+    * distinct-then-concat equals concat-then-distinct row-for-row
+    * while the exchange carries two longs instead of two strings.
+    */
   def edges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey"))
+      .distinct()
       .select(concat(lit("s"), col("l_suppkey")).as("src"),
         concat(lit("c"), col("o_custkey")).as("dst"))
-      .distinct()
   }
 
   /** Degree centrality — exact integer degrees per node. */

@@ -57,13 +57,17 @@ object Leiden {
   def weightedEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    // distinct + count on the integer keys, namespaced ids concatenated
+    // after the aggregation (round 16, guide §2.3): the prefixed concat
+    // is injective so the grouping is unchanged, and both exchanges
+    // carry longs instead of strings.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("c"), col("o_custkey")).as("dst"),
-        col("l_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey"), col("l_orderkey"))
       .distinct()
-      .groupBy(col("src"), col("dst"))
+      .groupBy(col("l_suppkey"), col("o_custkey"))
       .agg(count(lit(1)).cast("double").as("w"))
+      .select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst"), col("w"))
   }
 
   /** graph_leiden query: Leiden over the order graph. */
@@ -143,12 +147,25 @@ object Leiden {
         .select(col("dst"), col("src"), col("w")))
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
       .localCheckpoint()
-    val qLeiden = modularityOf(und, leidenEdges(spark, e, Config()))
-      .select(col("modularity").as("q_leiden"))
-    val qLp = modularityOf(und,
-        GraphAlgorithms.communitiesEdges(
-          e.select(col("src"), col("dst")), iterations = 10, minSize = 1))
-      .select(col("modularity").as("q_labelprop"))
+    // The two memberships are INDEPENDENT (Leiden's sequential driver
+    // loop vs the label-prop baseline's compact rounds) and each ends
+    // in its own driver compute over the same pinned frames — built
+    // sequentially the cert paid sum-of-chains (round 16, guide §2.6):
+    // overlap them on two threads; `leidenUnd` additionally reuses the
+    // symmetrized frame above instead of re-deriving it from `e`.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val (qLeiden, qLp) = try {
+      val fLeiden = Future(modularityOf(und, leidenUnd(spark, und, Config()))
+        .select(col("modularity").as("q_leiden")).localCheckpoint())
+      val fLp = Future(modularityOf(und,
+          GraphAlgorithms.communitiesEdges(
+            e.select(col("src"), col("dst")), iterations = 10, minSize = 1))
+        .select(col("modularity").as("q_labelprop")).localCheckpoint())
+      (Await.result(fLeiden, Duration.Inf), Await.result(fLp, Duration.Inf))
+    } finally pool.shutdown()
     val totalW = und.agg((sum(col("w")) / 2).cast("long").as("total_w"))
     // EXACT-REPRESENTABILITY DEPENDENCY (round-14 advice): hashing
     // round(q_labelprop, 6) against DuckDB's independently-summed
@@ -273,6 +290,17 @@ object Leiden {
         .select(col("dst"), col("src"), col("w")))
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
       .localCheckpoint()
+    leidenUnd(spark, und, config, broadcastByteBudget, buckets)
+  }
+
+  /** Leiden over an already-symmetrized, weight-summed, self-loop-free
+    * (u, v, w) frame — the [[leidenEdges]] tail, exposed so callers
+    * that already hold the symmetric frame (graphLeidenCert computes
+    * it for the modularity passes) don't re-derive it.
+    */
+  def leidenUnd(spark: SparkSession, und: DataFrame, config: Config,
+                broadcastByteBudget: Long = 256L << 20,
+                buckets: Int = 8): DataFrame = {
     val adjDf = und.groupBy(col("u"))
       .agg(sort_array(collect_list(struct(col("v"), col("w")))).as("nbrs"))
       .localCheckpoint()
