@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import org.apache.spark.sql.graft.{CosineSimilarity, GramCounts, IntArrayMatchCount, ShingleHashes, SimHash64, SimHashBits, SortedIntersectCount}
+import org.apache.spark.sql.graft.{CosineSimilarity, GramCounts, IntArrayMatchCount, Md5NibbleHashes, Md5NibbleShingleHashes, ShingleHashes, SimHash64, SimHashBits, SortedIntersectCount}
 
 /** Session extension entry point: register graft's native expressions.
   *
@@ -49,6 +49,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       IntArrayMatchCount.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IntArrayMatchCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_shingle_hashes"),
+      Md5NibbleShingleHashes.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5NibbleShingleHashes(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_hashes"),
+      Md5NibbleHashes.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5NibbleHashes(children(0))))
   }
 }
 
@@ -200,6 +210,27 @@ object GraftFunctions {
   def gramCounts(text: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       GramCounts(org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** Sorted distinct md5-nibble 60-bit values of all character 3-grams
+    * in one pass — equals `array_sort(array_distinct(transform(
+    * sequence(1, greatest(length(t) - 2, 1)), i ->
+    * CAST(conv(substr(md5(substr(t, i, 3)), 1, 15), 16, 10) AS
+    * BIGINT))))` including the short-string corner (see
+    * Md5NibbleShingleHashes' scaladoc).
+    */
+  def md5ShingleHashes(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.Md5NibbleShingleHashes(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** Element-wise md5-nibble 60-bit values of a string array — equals
+    * `transform(toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS
+    * BIGINT))` with null elements mapping to null.
+    */
+  def md5Hashes(toks: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.Md5NibbleHashes(
+        org.apache.spark.sql.graft.Bridge.expression(toks)))
 
   /** Positions where two int arrays agree (over the shorter length) —
     * equals `size(filter(zip_with(a, b, _ === _), m => m))` on

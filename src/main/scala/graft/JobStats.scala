@@ -74,15 +74,39 @@ object JobStats {
     val sampleCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     if (sys.env.contains("SPARK_GRAFT_JOBSTATS_SAMPLE")) {
       val mainThread = Thread.currentThread()
+      val execMode = sys.env.get("SPARK_GRAFT_JOBSTATS_SAMPLE").contains("exec")
       val t = new Thread(() => {
         while (true) {
-          val st = mainThread.getStackTrace
-          val frame = st.find(f =>
-              f.getClassName.contains("catalyst") || f.getClassName.contains("graft") ||
-              f.getClassName.startsWith("org.apache.spark.sql.execution"))
-            .map(f => f.getClassName + "." + f.getMethodName)
-            .getOrElse(st.headOption.map(f => f.getClassName + "." + f.getMethodName).getOrElse("?"))
-          sampleCounts.merge(frame, 1, (a: Integer, b: Integer) => a + b)
+          if (execMode) {
+            // Executor-side poor man's profiler: one sample per RUNNING
+            // task thread per tick, attributed to the topmost
+            // interesting frame (generated code, graft expressions,
+            // catalyst eval, shuffle machinery).
+            import scala.jdk.CollectionConverters._
+            Thread.getAllStackTraces.asScala.foreach { case (th, st) =>
+              if (th.getName.startsWith("Executor task launch") &&
+                  th.getState == Thread.State.RUNNABLE && st.nonEmpty) {
+                val frame = st.find(f =>
+                    f.getClassName.contains("graft") ||
+                    f.getClassName.contains("generated") ||
+                    f.getClassName.contains("catalyst") ||
+                    f.getClassName.contains("unsafe") ||
+                    f.getClassName.contains("shuffle") ||
+                    f.getClassName.contains("parquet"))
+                  .map(f => f.getClassName + "." + f.getMethodName)
+                  .getOrElse(st.head.getClassName + "." + st.head.getMethodName)
+                sampleCounts.merge(frame, 1, (a: Integer, b: Integer) => a + b)
+              }
+            }
+          } else {
+            val st = mainThread.getStackTrace
+            val frame = st.find(f =>
+                f.getClassName.contains("catalyst") || f.getClassName.contains("graft") ||
+                f.getClassName.startsWith("org.apache.spark.sql.execution"))
+              .map(f => f.getClassName + "." + f.getMethodName)
+              .getOrElse(st.headOption.map(f => f.getClassName + "." + f.getMethodName).getOrElse("?"))
+            sampleCounts.merge(frame, 1, (a: Integer, b: Integer) => a + b)
+          }
           Thread.sleep(50)
         }
       })

@@ -237,9 +237,13 @@ object Dedup {
                                  passes: Int = 1,
                                  ordered: Boolean = true): DataFrame =
     minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
-      _ => expr(
-        "array_sort(array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), " +
-          "i -> CAST(conv(substr(md5(substr(text, i, 3)), 1, 15), 16, 10) AS BIGINT))))"),
+      // native one-pass md5-nibble shingle stage (round 16) — the
+      // composed transform allocated a hex string + substring + radix
+      // parse per gram and was the family's dominant CPU (executor
+      // sampling); Md5NibbleShingleHashes is bit-identical
+      // (NativeExpressionPropSpec) and the generated DuckDB oracle
+      // recomputes md5 itself, so the cert is unaffected
+      _ => graft.GraftFunctions.md5ShingleHashes(col("text")),
       // one HOF lambda regardless of band count (constant generated-code
       // size; value-identical to the per-band concat_ws unroll)
       (sigName, nb, rpb) => expr(
@@ -276,12 +280,9 @@ object Dedup {
                            jaccardThreshold: Double = 0.6,
                            ordered: Boolean = true): DataFrame =
     minhashCore(corpus, bands, rowsPerBand, jaccardThreshold,
-      // applies to the core's `text` column (the Column param is fixed
-      // to col("text") at the single call site; a SQL-text expr keeps
-      // the md5 call shared across the 15 nibble extractions)
-      _ => expr(
-        "array_sort(array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), " +
-          "i -> CAST(conv(substr(md5(substr(text, i, 3)), 1, 15), 16, 10) AS BIGINT))))"),
+      // native one-pass md5-nibble shingle stage (round 16; see the
+      // capped twin above — bit-identical, oracle unaffected)
+      _ => graft.GraftFunctions.md5ShingleHashes(col("text")),
       // one HOF lambda regardless of band count (constant generated-code
       // size; value-identical to the per-band concat_ws unroll)
       (sigName, nb, rpb) => expr(
@@ -675,7 +676,10 @@ object Dedup {
       .filter(size(col("toks")) > 0)
     val sims = docs.select(col("doc_id"),
       graft.GraftFunctions.simhashBits(
-        expr("transform(toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+        // native element-wise md5-nibble token hashes (round 16) —
+        // bit-identical to the composed transform, no hex-string
+        // allocation per token (NativeExpressionPropSpec pins equality)
+        graft.GraftFunctions.md5Hashes(col("toks")))
         .as("simhash"))
     simhashPairs(sims, maxHamming)
   }
@@ -727,7 +731,8 @@ object Dedup {
       .filter(size(col("toks")) > 0)
     val sims = docs.select(col("doc_id"),
       graft.GraftFunctions.simhashBits(
-        expr("transform(toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+        // native md5-nibble token hashes (round 16; see the oracle twin)
+        graft.GraftFunctions.md5Hashes(col("toks")))
         .as("simhash"))
     val positions = simhashLshPositions(tables, bitsPerTable)
     // Per-table sampled-bit keys via the NATIVE SimHashLshKeys loop

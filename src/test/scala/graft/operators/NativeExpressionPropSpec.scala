@@ -40,6 +40,46 @@ class NativeExpressionPropSpec extends SparkSpec {
     assert(bad.isEmpty, s"first: ${bad.headOption}")
   }
 
+  test("graft_md5_shingle_hashes equals the composed column on random unicode text") {
+    val charGen = Gen.frequency(
+      (6, Gen.alphaNumChar),
+      (2, Gen.oneOf(' ', '\t', 'ß', 'é', 'α', 'β', '中', '文')),
+      (1, Gen.oneOf('é', 'α', '中')))
+    val textGen = for {
+      len <- Gen.chooseNum(0, 40)
+      cs <- Gen.listOfN(len, charGen)
+    } yield cs.mkString
+    val texts = sample(textGen, 300) ++
+      Seq("", "a", "ab", "abc", "ααα", "中文字", "aaaaaa", "a🙂b", "🙂😃xy")
+    val composed = expr(
+      "array_sort(array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), " +
+        "i -> CAST(conv(substr(md5(substr(text, i, 3)), 1, 15), 16, 10) AS BIGINT))))")
+    val bad = texts.toDF("text")
+      .select(col("text"), GraftFunctions.md5ShingleHashes(col("text")).as("e"), composed.as("c"))
+      .filter(not(col("e") <=> col("c")))
+      .collect()
+    assert(bad.isEmpty, s"first: ${bad.headOption}")
+  }
+
+  test("graft_md5_hashes equals the composed transform on random token arrays") {
+    val tokGen = Gen.frequency(
+      (5, Gen.identifier.map(_.take(8))),
+      (2, Gen.oneOf("α", "中文", "x", "", "the")),
+      (1, Gen.const("dup")))
+    val docGen = for {
+      n <- Gen.chooseNum(0, 30)
+      ts <- Gen.listOfN(n, tokGen)
+    } yield ts
+    val docs = sample(docGen, 200).zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+    val composed = expr(
+      "transform(toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))")
+    val bad = docs.toDF("doc_id", "toks")
+      .select(col("doc_id"), GraftFunctions.md5Hashes(col("toks")).as("e"), composed.as("c"))
+      .filter(not(col("e") <=> col("c")))
+      .collect()
+    assert(bad.isEmpty, s"first: ${bad.headOption}")
+  }
+
   test("graft_simhash64 equals the aggregation form on random token arrays") {
     val tokGen = Gen.frequency(
       (5, Gen.identifier.map(_.take(8))),
