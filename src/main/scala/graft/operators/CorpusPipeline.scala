@@ -60,13 +60,10 @@ object CorpusPipeline {
     * grams, BPE token counts) runs single-wide. Work per row is orders
     * of magnitude heavier than its bytes; spread it once at the pin.
     */
-  private def pinnedCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val shufP = spark.sessionState.conf.numShufflePartitions
+  private def pinnedCorpus(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
-      .repartition(shufP, col("doc_id"))
       .localCheckpoint()
-  }
 
   /** The PRODUCTION composition — identical stages, but the near-dup
     * pair family is the xxhash64 fast path ([[Dedup.dedupMinhashOf]]:
@@ -148,16 +145,13 @@ object CorpusPipeline {
 
     // Stage 1 — boilerplate rewrite. Pinned: five downstream stages
     // read it; without the checkpoint each would re-run the
-    // (source, line)-frequency shuffle. Explicit width BEFORE the pin
-    // (round 16): AQE coalesces the rewrite join's output on compressed
-    // bytes — a few MB of cleaned text reads as ~one advisory-sized
-    // partition — and the checkpoint freezes that layout for every
-    // text-heavy consumer (gates, decontam grams, shingles, BPE token
-    // counts). An explicit partition count is exempt from AQE
-    // coalescing by contract.
-    val shufP = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    // (source, line)-frequency shuffle. (Round 16 measured explicit
+    // repartition-before-pin here and on the corpus pin — the A/B at
+    // sf0.1 showed the added full-text exchanges cost more than the
+    // width bought: capped pipeline 10.6 -> 13.5 s with both pins
+    // repartitioned; reverted. The per-row-heavy stages downstream
+    // already parallelize off the rewrite join's own shuffle.)
     val cleaned = t("cleaned")(Boilerplate.cleanedTextOf(cand, dfThreshold)
-      .repartition(shufP, col("doc_id"))
       .localCheckpoint())
 
     // Stage 2 — parallel quality gates on the cleaned text.
